@@ -1,0 +1,247 @@
+"""Read operators R1-R4 (SURVEY.md §2.1): raw retrieve, row retrieve,
+min_samples retrieve, and the retrieve_flex planner with smoothing.
+
+Reference: /root/reference/src/metric.cpp:101-110 (raw), :245-257
+(min_samples), :259-311 (raw smoothing), :313-354 (row smoothing),
+:356-439 (flex planner + row fallthrough).
+
+Planner shape (Spark-first): the reference picks the largest materialized
+rollup with ``interval <= limit`` and steps down while the level is empty
+(young metric).  Here that is a *driver-side* decision over metric-count-sized
+statistics (one tiny aggregate per candidate level), after which the data
+path is a single pruned scan of the chosen level table — the Spark analog of
+"aggregate pushdown via pre-materialized rollups" (SURVEY.md §4).
+Per-metric decisions are grouped so one physical plan serves all metrics that
+chose the same level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import InvalidRangeError
+from ..meta import Meta
+from .aggregate import aggregate_exact
+from .rollup import lagged, segment_pieces, _merge_pieces
+from .scopes import (ROW_DEFAULT, RAW_DEFAULT, IntervalScope, Scope,
+                     check_range, filter_level, filter_raw)
+
+__all__ = [
+    "retrieve_raw",
+    "retrieve_rows",
+    "retrieve_min_samples",
+    "retrieve_flex",
+    "rows_from_timevalues",
+]
+
+_ROW_COLS = ["metric", "interval", "time", "minimum", "maximum", "sum",
+             "count", "integral", "active_time"]
+
+
+def retrieve_raw(raw: DataFrame, begin: int, end: int,
+                 scope: IntervalScope = RAW_DEFAULT) -> DataFrame:
+    """R1 — scoped raw point scan (metric, time, value)."""
+    return filter_raw(raw, begin, end, scope).select("metric", "time", "value")
+
+
+def _rows_from_level(level_df: DataFrame, interval: int) -> DataFrame:
+    return level_df.select(
+        "metric",
+        F.lit(interval).cast("long").alias("interval"),
+        F.col("interval_start").alias("time"),
+        "minimum", "maximum", "sum", "count", "integral", "active_time",
+    )
+
+
+def rows_from_timevalues(points: DataFrame) -> DataFrame:
+    """Raw fallthrough of the Row-returning retrieve: interval=0, duration
+    from the predecessor gap *within the result* (first row gets 0)
+    (/root/reference/src/metric.cpp:424-438)."""
+    w = Window.partitionBy("metric").orderBy("time")
+    prev = F.lag("time").over(w)
+    dur = (F.col("time") - F.coalesce(prev, F.col("time"))).cast("long")
+    v = F.col("value")
+    return points.select(
+        "metric",
+        F.lit(0).cast("long").alias("interval"),
+        "time",
+        v.alias("minimum"),
+        v.alias("maximum"),
+        v.alias("sum"),
+        F.lit(1).cast("long").alias("count"),
+        (v * dur.cast("double")).alias("integral"),
+        dur.alias("active_time"),
+    )
+
+
+def _smooth_rows(level_rows: DataFrame, interval: int, smooth_factor: int) -> DataFrame:
+    """Merge each run of ``smooth_factor`` consecutive *result* rows
+    (grouping is anchored at the first result row, not the absolute grid —
+    /root/reference/src/metric.cpp:313-354).  Row time = first member's
+    time; ``interval`` stays the level's interval (quirk preserved)."""
+    if smooth_factor <= 1:
+        return level_rows
+    w = Window.partitionBy("metric").orderBy("time")
+    grp = F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(smooth_factor))
+    return (
+        level_rows.withColumn("_grp", grp)
+        .groupBy("metric", "_grp")
+        .agg(
+            F.min("time").alias("time"),
+            F.min("minimum").alias("minimum"),
+            F.max("maximum").alias("maximum"),
+            F.sum("sum").alias("sum"),
+            F.sum("count").cast("long").alias("count"),
+            F.sum("integral").alias("integral"),
+            F.sum("active_time").cast("long").alias("active_time"),
+        )
+        .select("metric", F.lit(interval).cast("long").alias("interval"),
+                "time", "minimum", "maximum", "sum", "count", "integral",
+                "active_time")
+    )
+
+
+def smooth_raw(points: DataFrame, begin: int, end: int, interval: int) -> DataFrame:
+    """``convert_timevalues_smooth`` (/root/reference/src/metric.cpp:259-311):
+    re-bin scoped raw points into synthetic intervals anchored at ``begin``
+    with LAST-semantics weighting.  Vectorized via the same segment-split
+    transform as the level build (origin=begin, clipped at end, pre-begin
+    overhang folded into bucket 0)."""
+    pieces = segment_pieces(lagged(points), interval, origin=begin,
+                            clip_begin=begin, clip_end=end)
+    agg = _merge_pieces(pieces, interval, origin=begin)
+    return agg.select(
+        "metric",
+        F.lit(interval).cast("long").alias("interval"),
+        F.col("interval_start").alias("time"),
+        "minimum", "maximum", "sum", "count", "integral", "active_time",
+    )
+
+
+def _per_metric_level_choice(levels: dict[int, DataFrame], candidates: list[int],
+                             begin: int, end: int,
+                             scope: IntervalScope) -> dict[str, int]:
+    """For each metric, the largest candidate level (ordered as given) with
+    data in the scoped range — the reference's empty-level step-down loop
+    (/root/reference/src/metric.cpp:394-409) as a stats-only planner query."""
+    chosen: dict[str, int] = {}
+    for iv in candidates:
+        if iv not in levels:
+            continue
+        present = (
+            filter_level(levels[iv], begin, end, iv, scope)
+            .select("metric").distinct().collect()
+        )
+        for r in present:
+            chosen.setdefault(r["metric"], iv)
+    return chosen
+
+
+def retrieve_flex(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
+                  begin: int, end: int, interval_upper_limit: int,
+                  scope: IntervalScope = ROW_DEFAULT,
+                  smooth: bool = True) -> tuple[str, DataFrame]:
+    """R4 — the main query planner (/root/reference/src/metric.cpp:356-412).
+
+    Returns ``(kind, df)`` with kind in {"rows", "timevalues"} mirroring the
+    reference's variant return: "timevalues" has (metric, time, value),
+    "rows" has the Row shape.
+    """
+    check_range(begin, end, scope)
+
+    if interval_upper_limit < 0:
+        # single total aggregate (R5 as one Row)
+        agg = aggregate_exact(raw, begin, end)
+        return "rows", agg.select(
+            "metric",
+            F.lit(end - begin).cast("long").alias("interval"),
+            F.lit(begin).cast("long").alias("time"),
+            "minimum", "maximum", "sum", "count", "integral", "active_time",
+        )
+
+    if interval_upper_limit < meta.interval_min:
+        pts = retrieve_raw(raw, begin, end, scope)
+        if not smooth:
+            return "timevalues", pts
+        # per-metric density decision: smooth iff (end-begin)/n < limit
+        counts = {r["metric"]: r["n"]
+                  for r in pts.groupBy("metric").agg(F.count("*").alias("n")).collect()}
+        if not counts:
+            return "timevalues", pts
+        dense = [m for m, n in counts.items()
+                 if n > 0 and (end - begin) // n < interval_upper_limit]
+        sparse = [m for m in counts if m not in dense]
+        parts = []
+        if dense:
+            parts.append(smooth_raw(pts.filter(F.col("metric").isin(dense)),
+                                    begin, end, interval_upper_limit))
+        if sparse:
+            parts.append(rows_from_timevalues(
+                pts.filter(F.col("metric").isin(sparse))))
+        if len(parts) == 1 and not dense:
+            # all sparse -> reference returns raw TimeValues
+            return "timevalues", pts
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return "rows", out
+
+    # pick the largest level interval <= min(limit, interval_max); step down
+    # per metric while empty (src/metric.cpp:388-409)
+    limit = min(interval_upper_limit, meta.interval_max)
+    interval = meta.interval_min
+    while interval * meta.interval_factor <= limit:
+        interval *= meta.interval_factor
+    candidates = []
+    iv = interval
+    while iv >= meta.interval_min:
+        candidates.append(iv)
+        iv //= meta.interval_factor
+    chosen = _per_metric_level_choice(levels, candidates, begin, end, scope)
+    if not chosen:
+        # no data at all -> empty TimeValues (metric.cpp:410-411)
+        return "timevalues", raw.filter(F.lit(False)).select("metric", "time", "value")
+
+    by_level: dict[int, list[str]] = {}
+    for m, iv in chosen.items():
+        by_level.setdefault(iv, []).append(m)
+    parts = []
+    for iv, metrics in sorted(by_level.items(), reverse=True):
+        rows = _rows_from_level(
+            filter_level(levels[iv], begin, end, iv, scope)
+            .filter(F.col("metric").isin(metrics)), iv)
+        sf = (limit // iv) if smooth else 1
+        parts.append(_smooth_rows(rows, iv, sf))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return "rows", out
+
+
+def retrieve_rows(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
+                  begin: int, end: int, interval_upper_limit: int,
+                  scope: IntervalScope = ROW_DEFAULT) -> DataFrame:
+    """R2 — Row-returning retrieve: flex without smoothing; raw results are
+    converted to interval=0 rows (/root/reference/src/metric.cpp:414-439)."""
+    if begin > end:
+        raise InvalidRangeError(
+            f"invalid request: begin timestamp {begin} larger than end {end}")
+    kind, df = retrieve_flex(raw, levels, meta, begin, end,
+                             interval_upper_limit, scope, smooth=False)
+    if kind == "rows":
+        return df
+    return rows_from_timevalues(df)
+
+
+def retrieve_min_samples(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
+                         begin: int, end: int, min_samples: int,
+                         scope: IntervalScope = ROW_DEFAULT) -> DataFrame:
+    """R3 — pixel-oriented API: ``interval_upper = (end-begin)/min_samples``
+    then R2 (/root/reference/src/metric.cpp:245-257)."""
+    if begin > end:
+        raise InvalidRangeError(
+            f"invalid request: begin timestamp {begin} larger than end {end}")
+    duration = end - begin
+    return retrieve_rows(raw, levels, meta, begin, end,
+                         duration // min_samples, scope)

@@ -1,0 +1,258 @@
+"""Hierarchical rollup build — the engine's core transform.
+
+Re-expresses the reference's insert cascade (W1-W4 in SURVEY.md §2.1;
+/root/reference/src/metric.cpp:510-603, /root/reference/src/level.hpp:38-67,
+/root/reference/src/aggregate.cpp:37-59) as one declarative Spark pipeline.
+
+Semantics (LAST / sample-and-hold, ns-exact):
+- every point ``(t_i, v_i)`` contributes ``count=1, sum=v, min=max=v`` to the
+  bucket containing ``t_i``;
+- its *segment* ``[t_{i-1}, t_i)`` carries value ``v_i`` and contributes
+  ``integral = v * overlap_ns``, ``active_time = overlap_ns`` and
+  ``min=max=v`` (count=0, sum=0) to every bucket it overlaps — this is the
+  reference's boundary-splitting partial aggregate
+  (/root/reference/src/metric.cpp:537-558: ``Aggregate{v, v, 0, 0,
+  v*partial_ns, partial_duration}``);
+- the first point of a metric has an empty segment (``Level.time_current`` is
+  initialized to the first point's own time, /root/reference/src/metric.cpp:533-535).
+
+Only *closed* intervals are materialized, matching the reference's level
+files: bucket ``k`` of width ``d`` is closed iff ``(k+1)*d <= t_last`` (the
+open tail interval lives in the Level state, not storage).  At every level
+``m`` the stored buckets are exactly ``floor(t_first/d_m) <= k <
+floor(t_last/d_m)`` — higher levels are pure monoid re-groups of the level
+below (/root/reference/src/metric.cpp:562-603).
+
+Scale notes:
+- the lag window shuffles once on ``metric``; the grouped aggregation is
+  partial-aggregated map-side, so the second shuffle moves ~|level-1| rows
+  (≈ raw/30 with recommended params), not raw rows;
+- each following level is a single groupBy over a 10x smaller input — total
+  build cost ≈ 1.1x one raw scan (the reference's ~11% overhead figure,
+  /root/reference/README.md "Planning the aggregation parameters");
+- a single giant metric makes ``Window.partitionBy(metric)`` skew; for that
+  shape use bucketed time-ranges per metric (salt on
+  ``floor(time/coarse)`` and fix up the per-salt first row, which only needs
+  the neighbouring salt's last point).  The segment explode is bounded by the
+  same dense-row count the reference itself would write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..meta import Meta
+
+__all__ = [
+    "raw_range",
+    "lagged",
+    "segment_pieces",
+    "build_level1",
+    "build_next_level",
+    "build_levels",
+]
+
+
+def raw_range(raw: DataFrame) -> DataFrame:
+    """Per-metric (t_first, t_last) — the reference's ``Metric::range()``
+    (/root/reference/src/metric.cpp:441-445)."""
+    return raw.groupBy("metric").agg(
+        F.min("time").alias("t_first"), F.max("time").alias("t_last")
+    )
+
+
+def lagged(raw: DataFrame) -> DataFrame:
+    """Attach ``prev_time`` (strictly-earlier neighbour) per metric.
+
+    One shuffle on ``metric`` + in-partition sort; feeds both the level-1
+    build and the raw-exact aggregate.
+    """
+    w = Window.partitionBy("metric").orderBy("time")
+    return raw.withColumn("prev_time", F.lag("time").over(w))
+
+
+def segment_pieces(
+    lagged_df: DataFrame,
+    interval: int,
+    origin: int = 0,
+    clip_begin: int | None = None,
+    clip_end: int | None = None,
+) -> DataFrame:
+    """Explode each point + its segment into per-bucket contribution pieces.
+
+    Returns columns: ``metric, k (bucket index), value, cnt (0/1), dur (ns)``.
+
+    ``origin``/``clip_*`` generalize the transform: the level build uses
+    ``origin=0`` and no clipping; ``retrieve_flex``'s raw smoothing
+    (/root/reference/src/metric.cpp:259-311) uses ``origin=clip_begin=begin``
+    and ``clip_end=end``.  Faithful smoothing quirks reproduced here:
+
+    - a missing predecessor is initialized to ``begin`` (the reference's
+      ``previous_tp = min(begin, first_point)``), so the first point
+      back-fills to the query begin;
+    - a segment entering from before ``begin`` is *not* clipped: its
+      pre-begin overhang folds into bucket 0 (the reference's skip loop
+      leaves ``previous_tp`` at the last pre-begin point and the first
+      consumed point is weighted from there, metric.cpp:265-272,289);
+    - segments are clipped at ``end`` (the inner loop never consumes a point
+      ``>= current_end``; partials stop at ``min(current_begin + interval,
+      end)``, metric.cpp:286,299-306).
+    """
+    t = F.col("time")
+    v = F.col("value")
+    prev = F.col("prev_time")
+    if clip_begin is not None:
+        # reference: previous_tp starts at min(begin, first point time)
+        prev = F.coalesce(prev, F.least(F.lit(clip_begin), t))
+
+    seg_begin = prev
+    seg_end = t if clip_end is None else F.least(t, F.lit(clip_end))
+
+    o = F.lit(origin)
+    d = F.lit(interval)
+
+    def bucket(x: Column) -> Column:
+        off = x - o
+        return ((off - F.pmod(off, d)) / d).cast("long")
+
+    # count/sum piece: only for points inside [clip_begin, clip_end)
+    in_range = F.lit(True)
+    if clip_begin is not None:
+        in_range = in_range & (t >= F.lit(clip_begin))
+    if clip_end is not None:
+        in_range = in_range & (t < F.lit(clip_end))
+    point_piece = F.when(
+        in_range,
+        F.array(F.struct(bucket(t).alias("k"), F.lit(1).alias("cnt"))),
+    ).otherwise(F.array().cast("array<struct<k:long,cnt:int>>"))
+
+    # integral pieces: one per overlapped bucket of the segment, bucket
+    # indices clamped to >= 0 when folding (pre-begin overhang -> bucket 0).
+    k_lo = bucket(seg_begin)
+    k_hi = bucket(seg_end - F.lit(1))
+    if clip_begin is not None:
+        k_lo = F.greatest(k_lo, F.lit(0).cast("long"))
+        k_hi = F.greatest(k_hi, F.lit(0).cast("long"))
+        seg_valid = seg_begin.isNotNull() & (seg_begin <= seg_end) & (
+            seg_end >= F.lit(origin)) & (t >= F.lit(clip_begin))
+    else:
+        seg_valid = seg_begin.isNotNull() & (seg_begin < seg_end)
+    seg_pieces = F.when(
+        seg_valid,
+        F.transform(
+            F.sequence(k_lo, k_hi),
+            lambda k: F.struct(k.alias("k"), F.lit(0).alias("cnt")),
+        ),
+    ).otherwise(F.array().cast("array<struct<k:long,cnt:int>>"))
+
+    pieces = lagged_df.select(
+        "metric",
+        t.alias("time"),
+        v.alias("value"),
+        seg_begin.alias("sb"),
+        seg_end.alias("se"),
+        F.explode(F.concat(point_piece, seg_pieces)).alias("p"),
+    )
+    k = F.col("p.k")
+    lower = F.when(k == 0, F.least(o, F.col("sb"))).otherwise(o + k * d)
+    dur = F.when(
+        F.col("p.cnt") == 1, F.lit(0).cast("long")
+    ).otherwise(
+        F.least(o + (k + 1) * d, F.col("se")) - F.greatest(lower, F.col("sb"))
+    )
+    return pieces.select(
+        "metric",
+        k.alias("k"),
+        "value",
+        F.col("p.cnt").alias("cnt"),
+        dur.alias("dur"),
+    )
+
+
+def _merge_pieces(pieces: DataFrame, interval: int, origin: int = 0) -> DataFrame:
+    """groupBy (metric, bucket) with the Aggregate monoid
+    (/root/reference/src/aggregate.cpp:50-59) — Spark's partial+final hash
+    aggregation IS ``Aggregate::operator+=``."""
+    return (
+        pieces.groupBy("metric", "k")
+        .agg(
+            F.min("value").alias("minimum"),
+            F.max("value").alias("maximum"),
+            F.sum(F.when(F.col("cnt") == 1, F.col("value")).otherwise(0.0)).alias("sum"),
+            F.sum("cnt").cast("long").alias("count"),
+            F.sum(F.col("value") * F.col("dur")).alias("integral"),
+            F.sum("dur").cast("long").alias("active_time"),
+        )
+        .select(
+            "metric",
+            (F.lit(origin) + F.col("k") * F.lit(interval)).alias("interval_start"),
+            "minimum", "maximum", "sum", "count", "integral", "active_time",
+        )
+    )
+
+
+def build_level1(raw: DataFrame, interval: int,
+                 ranges: DataFrame | None = None) -> DataFrame:
+    """Level-1 rollup (closed buckets only) from the raw table.
+
+    Equivalent to replaying ``Metric::insert`` (/root/reference/src/metric.cpp:510-560)
+    over the whole series, keeping only closed intervals.
+    """
+    ranges = ranges if ranges is not None else raw_range(raw)
+    pieces = segment_pieces(lagged(raw), interval)
+    agg = _merge_pieces(pieces, interval)
+    return (
+        agg.join(F.broadcast(ranges), "metric")
+        .filter(F.col("interval_start") + F.lit(interval) <= F.col("t_last"))
+        .drop("t_first", "t_last")
+    )
+
+
+def build_next_level(child: DataFrame, child_interval: int, factor: int,
+                     ranges: DataFrame) -> DataFrame:
+    """Level n+1 from level n — the ``Metric::insert(Row)`` cascade
+    (/root/reference/src/metric.cpp:562-603) as a monoid re-group."""
+    parent_interval = child_interval * factor
+    pk = (F.col("interval_start") - F.pmod(F.col("interval_start"), F.lit(parent_interval)))
+    agg = (
+        child.groupBy("metric", pk.alias("interval_start"))
+        .agg(
+            F.min("minimum").alias("minimum"),
+            F.max("maximum").alias("maximum"),
+            F.sum("sum").alias("sum"),
+            F.sum("count").cast("long").alias("count"),
+            F.sum("integral").alias("integral"),
+            F.sum("active_time").cast("long").alias("active_time"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(ranges), "metric")
+        .filter(F.col("interval_start") + F.lit(parent_interval) <= F.col("t_last"))
+        .drop("t_first", "t_last")
+    )
+
+
+def build_levels(raw: DataFrame, meta: Meta,
+                 cache_level1: bool = True) -> dict[int, DataFrame]:
+    """Build the whole hierarchy: dict interval_ns -> agg DataFrame.
+
+    Levels cascade (each built from the previous), so materializing level 1
+    (cache or a parquet write by the caller) avoids re-scanning raw for every
+    level.
+    """
+    ranges = raw_range(raw)
+    out: dict[int, DataFrame] = {}
+    intervals = meta.level_intervals()
+    if not intervals:
+        return out
+    lvl = build_level1(raw, intervals[0], ranges)
+    if cache_level1 and len(intervals) > 1:
+        lvl = lvl.cache()
+    out[intervals[0]] = lvl
+    child = lvl
+    for iv in intervals[:-1]:
+        nxt = build_next_level(child, iv, meta.interval_factor, ranges)
+        out[iv * meta.interval_factor] = nxt
+        child = nxt
+    return out

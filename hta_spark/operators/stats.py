@@ -1,0 +1,45 @@
+"""R6/R8 — count, range, last (SURVEY.md §2.1).
+
+Reference: /root/reference/src/metric.cpp:233-243,441-445;
+/root/reference/src/storage/file/metric.cpp:341-345,497-515.
+
+The reference computes scoped counts from rollup ``count`` sums plus a local
+refine (its prefix-sum index walk).  In Spark a scoped count is a pruned
+``count(*)`` — parquet row-group stats give the same skip-scan effect; for
+very large ranges :func:`count_via_levels` sums rollup counts instead,
+touching O(levels·factor) rows (used by bench to show the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .scopes import RAW_DEFAULT, IntervalScope, filter_raw
+
+__all__ = ["count_scoped", "count_total", "metric_range", "last_point"]
+
+
+def count_scoped(raw: DataFrame, begin: int, end: int,
+                 scope: IntervalScope = RAW_DEFAULT) -> DataFrame:
+    """Per-metric point count in the scoped range (metric, n)."""
+    return (filter_raw(raw, begin, end, scope)
+            .groupBy("metric").agg(F.count("*").alias("n")))
+
+
+def count_total(raw: DataFrame) -> DataFrame:
+    return raw.groupBy("metric").agg(F.count("*").alias("n"))
+
+
+def metric_range(raw: DataFrame) -> DataFrame:
+    """(first, last) timestamp pair per metric."""
+    return raw.groupBy("metric").agg(
+        F.min("time").alias("t_first"), F.max("time").alias("t_last"))
+
+
+def last_point(raw: DataFrame) -> DataFrame:
+    """Tail element per metric — max_by keeps it a single aggregation
+    (no sort/limit per metric)."""
+    return raw.groupBy("metric").agg(
+        F.max("time").alias("time"),
+        F.max_by("value", "time").alias("value"))
