@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship hierarchical-rollup query on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+training-data pipeline surface; ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for the driver's correctness gate.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+_REQUIRED_CONF = {
+    # engine-native ns timestamps: parquet TIMESTAMP(NANOS) loads as long
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def _conf(spark: SparkSession) -> SparkSession:
+    for k, v in _REQUIRED_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: hierarchical level-1 rollup (LAST-semantics
+    min/max/sum/count/integral/active_time) of the events stream."""
+    from hta_spark.queries_hta import q_hta_level1
+    return q_hta_level1(_conf(spark), "/root/testdata/sf0.001")
+
+
+def _registry() -> dict[str, tuple]:
+    from hta_spark.queries_hta import HTA_QUERIES
+    from hta_spark.queries_pipeline import PIPELINE_QUERIES
+    from hta_spark.queries_rel import REL_QUERIES
+    reg: dict[str, tuple] = {}
+    reg.update(HTA_QUERIES)
+    reg.update(REL_QUERIES)
+    reg.update(PIPELINE_QUERIES)
+    return reg
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {}
+    for name, (fn, _sql) in _registry().items():
+        def wrapped(spark, sf_dir, _fn=fn):
+            return _fn(_conf(spark), sf_dir)
+        out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (fn, sql) in _registry().items()
+            if sql is not None}

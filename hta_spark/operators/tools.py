@@ -1,0 +1,177 @@
+"""Data-management pipelines (SURVEY.md §2.2): check, repair, throttle,
+clone, dummy.
+
+References: /root/reference/src/tools/check.cpp, repair.cpp, throttle.cpp,
+clone.cpp, dummy.cpp.  The reference chunks these by 4096 records; Spark's
+task batching + vectorized parquet reader replaces that, and the per-metric
+fan-out of ``helpers/check_db_directory.sh`` is native task parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..chrono import SECOND
+from ..meta import Meta
+from .rollup import build_levels
+
+__all__ = ["check_raw", "check_levels", "repair", "throttle", "clone", "dummy"]
+
+# plausibility bounds from check.cpp:76-101
+_MAX_MAGNITUDE = 1e20
+_MIN_TS = 946_684_800 * SECOND  # 2000-01-01 (check.cpp:94-99)
+
+
+def check_raw(raw: DataFrame, now_ns: int | None = None) -> DataFrame:
+    """Consistency scan of the raw table — one row per offending point with
+    an ``issues`` array (mirrors hta_check's raw checks,
+    /root/reference/src/tools/check.cpp:43-115,190-254: non-finite values,
+    implausible magnitude, timestamps outside [2000-01-01, now],
+    non-monotonic, duplicates).
+
+    Fully declarative: one window pass; Catalyst pushes nothing here because
+    every row is inspected — exactly what the reference does, chunked.
+    """
+    w = Window.partitionBy("metric").orderBy("time")
+    prev = F.lag("time").over(w)
+    v, t = F.col("value"), F.col("time")
+    issues = F.array_compact(F.array(
+        F.when(F.isnan(v), F.lit("nan")),
+        F.when(v == float("inf"), F.lit("inf")),
+        F.when(v == float("-inf"), F.lit("-inf")),
+        F.when(~F.isnan(v) & (F.abs(v) > _MAX_MAGNITUDE), F.lit("implausible_magnitude")),
+        F.when(t < F.lit(_MIN_TS), F.lit("timestamp_too_old")),
+        F.when(now_ns is not None and t > F.lit(now_ns), F.lit("timestamp_in_future"))
+         if now_ns is not None else F.lit(None).cast("string"),
+        F.when(prev.isNotNull() & (t < prev), F.lit("non_monotonic")),
+        F.when(prev.isNotNull() & (t == prev), F.lit("duplicate_timestamp")),
+    ))
+    return (raw.select("metric", "time", "value", issues.alias("issues"))
+            .filter(F.size("issues") > 0))
+
+
+def check_levels(raw: DataFrame, levels: dict[int, DataFrame]) -> DataFrame:
+    """Level-file invariants (check.cpp:117-188): dense epoch-aligned grid
+    per metric (entry i at epoch + i*interval), last entry abuts
+    interval_begin(raw_end), finite aggregate fields.
+
+    Implemented as an anti-join of the expected dense start sequence against
+    the actual rows, plus a finiteness filter.
+    """
+    from .rollup import raw_range
+    parts = []
+    ranges = raw_range(raw)
+    for interval, lvl in levels.items():
+        expected = (
+            ranges.select(
+                "metric",
+                F.explode(F.sequence(
+                    F.col("t_first") - F.pmod(F.col("t_first"), F.lit(interval)),
+                    F.col("t_last") - F.pmod(F.col("t_last"), F.lit(interval))
+                    - F.lit(interval),
+                    F.lit(interval))).alias("interval_start"))
+            .filter(F.col("interval_start") >= 0)
+        )
+        missing = (expected.join(lvl, ["metric", "interval_start"], "left_anti")
+                   .select("metric", "interval_start",
+                           F.lit(interval).cast("long").alias("interval"),
+                           F.lit("missing_row").alias("issue")))
+        bad = lvl.filter(
+            F.isnan("minimum") | F.isnan("maximum") | F.isnan("sum")
+            | F.isnan("integral")
+            | (F.abs(F.col("minimum")) == float("inf"))
+            | (F.abs(F.col("maximum")) == float("inf"))
+        ).select("metric", "interval_start",
+                 F.lit(interval).cast("long").alias("interval"),
+                 F.lit("non_finite_aggregate").alias("issue"))
+        parts.append(missing.unionByName(bad))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def repair(raw: DataFrame,
+           drop_above: float | None = None,
+           drop_below: float | None = None,
+           drop_intervals: list[tuple[int, int]] | None = None,
+           take_absolute: bool = False) -> DataFrame:
+    """Cleaning copy (hta_repair, /root/reference/src/tools/repair.cpp:81-136):
+    drop non-monotonic/duplicate timestamps, NaN, ±Inf, clamp filters,
+    timestamp drop-intervals, optional abs().  Rebuild levels afterwards by
+    re-running the rollup build on the result."""
+    v, t = F.col("value"), F.col("time")
+    df = raw.filter(~F.isnan(v) & (F.abs(v) != float("inf")) & (t > 0))
+    if drop_above is not None:
+        df = df.filter(v <= F.lit(drop_above))
+    if drop_below is not None:
+        df = df.filter(v >= F.lit(drop_below))
+    for (b, e) in drop_intervals or []:
+        df = df.filter(~((t >= F.lit(b)) & (t < F.lit(e))))
+    if take_absolute:
+        df = df.withColumn("value", F.abs(v))
+    # drop non-monotonic: keep first occurrence per timestamp, then points
+    # that strictly advance the running max (order-dependent, window-based)
+    w = Window.partitionBy("metric").orderBy("time", "value")
+    df = df.withColumn("_rn", F.row_number().over(
+        Window.partitionBy("metric", "time").orderBy("value"))).filter(
+        F.col("_rn") == 1).drop("_rn")
+    wmax = Window.partitionBy("metric").orderBy("time").rowsBetween(
+        Window.unboundedPreceding, -1)
+    df = (df.withColumn("_prev_max", F.max("time").over(wmax))
+          .filter(F.col("_prev_max").isNull() | (t > F.col("_prev_max")))
+          .drop("_prev_max"))
+    return df
+
+
+def throttle(raw: DataFrame, cooldown_ns: int) -> DataFrame:
+    """Rate-limit downsample (hta_throttle,
+    /root/reference/src/tools/throttle.cpp:57-92): keep a point iff
+    ``last_kept + cooldown < t``.  The kept-set is an order-dependent
+    recurrence (each decision depends on the previous *kept* point), not
+    expressible as a stateless filter or plain window — flagged "hard" in
+    SURVEY.md §2.2.
+
+    Implemented with ``applyInPandas`` per metric: Arrow-batched, one pass,
+    O(points-per-metric) memory.  At scale, per-metric state is exactly how
+    the reference runs (one metric per process); Spark gives the fan-out.
+    """
+    def _throttle(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time")
+        times = pdf["time"].to_numpy()
+        keep = [False] * len(times)
+        last_kept = None
+        for i, t in enumerate(times):
+            if last_kept is None or last_kept + cooldown_ns < t:
+                keep[i] = True
+                last_kept = t
+        return pdf[keep]
+
+    return raw.groupBy("metric").applyInPandas(
+        _throttle, schema="metric string, time long, value double")
+
+
+def clone(raw: DataFrame, new_meta: Meta) -> dict[int, DataFrame]:
+    """hta_clone (/root/reference/src/tools/clone.cpp:57-81): re-aggregate the
+    same raw series under different hierarchy parameters."""
+    return build_levels(raw, new_meta)
+
+
+def dummy(spark, metric: str = "dummy", count: int = 3600,
+          time_delta_ns: int = 50 * 1_000_000,
+          start_ns: int = 1_519_832_293_179_227_888,
+          value: float | None = 42.0) -> DataFrame:
+    """hta_dummy (/root/reference/src/tools/dummy.cpp:53-79) / the bench
+    generator (tests/bench.cpp:64-71): ``count`` points at fixed spacing.
+    ``value=None`` gives the bench ramp ``i + 1/3``."""
+    df = spark.range(count).select(
+        F.lit(metric).alias("metric"),
+        (F.lit(start_ns) + F.col("id") * F.lit(time_delta_ns)).alias("time"),
+        (F.lit(value) if value is not None
+         else F.col("id").cast("double") + F.lit(1.0 / 3.0)).alias("value"),
+    )
+    return df

@@ -1,0 +1,164 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hash primitives are md5-based so an external SQL oracle can reproduce
+them bit-for-bit; the helpers stay fully declarative (built-in functions,
+no UDFs) so the whole pipeline is JVM-side and codegen'd.
+
+Scale notes:
+- exact dedup is one hash-groupBy (map-side combined);
+- MinHash/LSH avoids the O(n^2) pair join: candidates come from an
+  equi-join on (band_id, band_hash) — standard banding; with r rows per
+  band, P(candidate) = 1-(1-j^r)^b, tunable per corpus;
+- the shingle explode is the big intermediate; it's generated, aggregated
+  to fixed-width signatures (k longs/doc) and discarded within one stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["normalize_text", "tokens_col", "shingles_col", "md5_long",
+           "exact_dedup", "prefix_dedup", "minhash_signatures", "lsh_pairs",
+           "ngram_jaccard_pairs", "simhash"]
+
+
+def normalize_text(text: Column) -> Column:
+    return F.lower(F.trim(text))
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(normalize_text(text), " ")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined)."""
+    toks = tokens_col(text)
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(0), sz - F.lit(n))
+    mk = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]))
+    return F.when(sz >= n, mk).otherwise(F.array().cast("array<string>"))
+
+
+def md5_long(c: Column, seed: str = "") -> Column:
+    """Deterministic 60-bit positive hash reproducible in any engine with
+    md5: first 15 hex chars of md5(seed || '|' || value) as a long."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(seed + "|"), c)), 1, 15),
+                  16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash: one row per distinct content with the
+    smallest id as keeper and the duplicate count."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (docs.select(h, F.col(id_col))
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias("keeper"),
+                 F.count("*").alias("n_copies")))
+
+
+def prefix_dedup(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n_tokens: int = 5) -> DataFrame:
+    """Near-dup by leading-token fingerprint (cheap URL/boilerplate-style
+    collapse): group on the first ``n_tokens`` tokens."""
+    toks = tokens_col(F.col(text_col))
+    pfx = F.concat_ws(" ", F.slice(toks, 1, n_tokens)).alias("prefix_key")
+    return (docs.select(pfx, F.col(id_col))
+            .groupBy("prefix_key")
+            .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_docs")))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    """k-permutation MinHash signature per doc: mh_0..mh_{k-1} columns.
+
+    Declarative formulation: explode shingles once, compute the k seeded
+    hashes per shingle as columns, take per-doc mins — one shuffle, k longs
+    per doc out.
+    """
+    sh = (docs.select(F.col(id_col),
+                      F.explode(shingles_col(F.col(text_col), shingle_n))
+                      .alias("sh")))
+    hashes = [md5_long(F.col("sh"), seed=str(s)).alias(f"h{s}") for s in range(k)]
+    sh = sh.select(id_col, *hashes)
+    return sh.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"mh_{s}") for s in range(k)])
+
+
+def lsh_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 8,
+              rows_per_band: int = 2) -> DataFrame:
+    """Candidate pairs (a < b) sharing at least one LSH band."""
+    bands = k // rows_per_band
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        parts.append(signatures.select(
+            F.col(id_col).alias("id"),
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("bh")))
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionByName(p)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (left.join(right, (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.bh") == F.col("r.bh"))
+                       & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+             .distinct())
+    return pairs
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        min_shared: int = 1) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing >= min_shared shingles.
+
+    Pair generation via a shingle inverted index (equi-join on shingle),
+    not a cross join; Jaccard = shared / (|A| + |B| - shared).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n)))
+        .alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    l, r = sh.alias("l"), sh.alias("r")
+    shared = (l.join(r, (F.col("l.sh") == F.col("r.sh"))
+                     & (F.col("l.id") < F.col("r.id")))
+              .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+              .agg(F.count("*").alias("shared"))
+              .filter(F.col("shared") >= min_shared))
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
+    return (shared.join(sa, "a").join(sb, "b")
+            .select("a", "b",
+                    F.round(F.col("shared")
+                            / (F.col("sza") + F.col("szb") - F.col("shared")),
+                            4).alias("jaccard")))
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over token hashes: bit i is the sign of
+    sum(+1/-1 per token's i-th hash bit).  Returns (id, simhash)."""
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(tokens_col(F.col(text_col))).alias("tok"))
+            .select("id", md5_long(F.col("tok"), "sim").alias("h")))
+    per_bit = toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"),
+        F.col("h"))
+    signed = per_bit.select(
+        "id", "i",
+        F.when(F.expr("shiftright(h, i) % 2") == 1, F.lit(1)).otherwise(F.lit(-1))
+         .alias("s"))
+    bit_votes = signed.groupBy("id", "i").agg(F.sum("s").alias("v"))
+    return (bit_votes
+            .groupBy("id")
+            .agg(F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(1L, i)"))
+                       .otherwise(F.lit(0))).cast("long").alias("simhash"))
+            .withColumnRenamed("id", id_col))

@@ -1,0 +1,100 @@
+"""Text analysis operators: language-ID (stopword n-gram heuristic),
+quality scoring, token counting, document fingerprinting.
+
+Declarative only (no UDFs): tokenization with split/lower, scoring with
+higher-order array functions — all whole-stage-codegen'd, reproducible in
+SQL for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text, tokens_col
+
+__all__ = ["LANG_MARKERS", "language_id", "quality_score", "token_stats",
+           "fingerprint"]
+
+# tiny deterministic stopword marker lists (order = tie-break priority)
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "es": ["el", "la", "los", "y", "es", "que"],
+    "fr": ["le", "la", "les", "et", "est", "que"],
+}
+
+
+def _score(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-doc stopword-marker scores and the predicted language
+    (max score, ties broken alphabetically, all-zero -> 'und')."""
+    toks = tokens_col(F.col(text_col))
+    out = docs.select(F.col(id_col), toks.alias("_toks"))
+    for lang, words in LANG_MARKERS.items():
+        out = out.withColumn(f"score_{lang}", _score(F.col("_toks"), words))
+    best = None
+    for lang in sorted(LANG_MARKERS):        # alphabetical tie-break
+        c = F.col(f"score_{lang}")
+        if best is None:
+            best = F.struct(c.alias("s"), F.lit(lang).alias("l"))
+        else:
+            best = F.when(c > best["s"],
+                          F.struct(c.alias("s"), F.lit(lang).alias("l"))) \
+                    .otherwise(best)
+    pred = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+    return out.withColumn("predicted", pred).drop("_toks")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    toks = tokens_col(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(normalize_text(F.col(text_col))).alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality heuristics: length, lexical diversity,
+    mean token length, stopword ratio; combined score in [0, 1]-ish."""
+    toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    n_chars = F.length(normalize_text(F.col(text_col)))
+    en = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    ttr = n_dis.cast("double") / n_tok.cast("double")
+    mean_tok_len = (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    score = (F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+             + ttr * 0.4 + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2)
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 of the whitespace-normalized lowercase text
+    plus a coarse 16-bit bucket for partition-friendly grouping."""
+    norm = F.regexp_replace(normalize_text(F.col(text_col)), r"\s+", " ")
+    h = F.md5(norm)
+    return docs.select(
+        F.col(id_col),
+        h.alias("fp_md5"),
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("int").alias("fp_bucket"),
+    )

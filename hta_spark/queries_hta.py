@@ -1,0 +1,353 @@
+"""HTA operator queries on the ``events`` table, paired with DuckDB oracle
+SQL (the driver's correctness gate — see __spark_entry__.py).
+
+Canonical events -> raw mapping (both engines MUST agree bit-for-bit):
+DuckDB truncates parquet TIMESTAMP(NANOS) to microseconds on read, so the
+Spark side (which reads exact ns via ``nanosAsLong``) truncates to µs too:
+``time = ts - ts % 1000``.  Duplicate (metric, time) pairs collapse to
+``max(value)`` to honor the reference's strict-monotonicity requirement
+(/root/reference/src/metric.cpp:519-524) deterministically.
+
+Double-summation note: integrals are reported in value*seconds with each
+term divided by 1e9 *before* summing, then rounded — IEEE multiplication
+and division are order-free, and rounding absorbs the summation-order ulp
+difference between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .chrono import HOUR, SECOND
+from .meta import Meta
+from .operators import (IntervalScope, Scope, aggregate_exact, build_levels,
+                        count_scoped, filter_raw, last_point, metric_range)
+from .operators.rollup import build_level1, build_next_level, raw_range
+from .operators.tools import throttle
+
+# query window constants (ns, UTC) — inside the events span (2024-01)
+AGG_BEGIN = 1_704_412_800 * SECOND   # 2024-01-05
+AGG_END = 1_705_708_800 * SECOND     # 2024-01-20
+RET_BEGIN = 1_704_844_800 * SECOND   # 2024-01-10
+RET_END = 1_704_931_200 * SECOND     # 2024-01-11
+LEVEL1 = HOUR                        # 1 h level
+COOLDOWN = 2 * HOUR
+
+# DuckDB relation producing the canonical raw mapping
+EVT = ("SELECT event_type AS metric, epoch_ns(ts) AS time, max(value) AS value "
+       "FROM events GROUP BY 1, 2")
+
+EVENTS_META = Meta(interval_min=LEVEL1, interval_max=100 * HOUR,
+                   interval_factor=10)
+
+
+def events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("time")
+    return (ev.select(F.col("event_type").alias("metric"), t, "value")
+            .groupBy("metric", "time").agg(F.max("value").alias("value")))
+
+
+def _round_rollup(df: DataFrame) -> DataFrame:
+    """Common result shaping for rollup-shaped outputs."""
+    return df.select(
+        "metric", "interval_start",
+        F.col("minimum").alias("min_v"),
+        F.col("maximum").alias("max_v"),
+        F.round(F.col("sum"), 3).alias("sum_v"),
+        F.col("count").alias("cnt"),
+        F.round(F.col("integral") / F.lit(1e9), 3).alias("integral_s"),
+        F.col("active_time").alias("active_ns"),
+    )
+
+
+def _rollup_sql(interval: int, parent: int | None = None,
+                tail: str | None = None) -> str:
+    """Oracle for the segment-split rollup at ``interval`` (optionally
+    re-grouped to ``parent``, or with a custom ``tail`` select over the
+    ``lvl`` CTE) — independent SQL re-statement of the LAST semantics, not a
+    translation of the Spark plan."""
+    d = interval
+    base = f"""
+WITH pts AS ({EVT}),
+lag_pts AS (
+  SELECT metric, time, value,
+         lag(time) OVER (PARTITION BY metric ORDER BY time) AS prev
+  FROM pts
+),
+rng AS (SELECT metric, min(time) AS t_first, max(time) AS t_last FROM pts GROUP BY 1),
+apieces AS (
+  SELECT metric, time // {d} AS k, value, 1 AS cnt, 0 AS dur FROM lag_pts
+),
+bpieces AS (
+  SELECT metric,
+         unnest(range(prev // {d}, (time - 1) // {d} + 1)) AS k,
+         value, 0 AS cnt, 0 AS dur, prev, time
+  FROM lag_pts WHERE prev IS NOT NULL
+),
+bpieces2 AS (
+  SELECT metric, k, value, cnt,
+         least((k + 1) * {d}, time) - greatest(k * {d}, prev) AS dur
+  FROM bpieces
+),
+pieces AS (
+  SELECT metric, k, value, cnt, dur FROM apieces
+  UNION ALL
+  SELECT metric, k, value, cnt, dur FROM bpieces2
+),
+lvl AS (
+  SELECT p.metric, p.k * {d} AS interval_start,
+         min(p.value) AS minimum, max(p.value) AS maximum,
+         sum(CASE WHEN p.cnt = 1 THEN p.value ELSE 0 END) AS sum_val,
+         CAST(sum(p.cnt) AS BIGINT) AS cnt_val,
+         sum(p.value * (p.dur / 1e9)) AS integral_sec,
+         CAST(sum(p.dur) AS BIGINT) AS active_time
+  FROM pieces p JOIN rng r ON p.metric = r.metric
+  WHERE (p.k + 1) * {d} <= r.t_last
+  GROUP BY 1, 2
+)"""
+    if tail is not None:
+        return base + tail
+    if parent is None:
+        return base + """
+SELECT metric, interval_start, minimum AS min_v, maximum AS max_v,
+       round(sum_val, 3) AS sum_v, cnt_val AS cnt,
+       round(integral_sec, 3) AS integral_s, active_time AS active_ns
+FROM lvl"""
+    p = parent
+    return base + f""",
+plvl AS (
+  SELECT l.metric, (l.interval_start // {p}) * {p} AS interval_start,
+         min(l.minimum) AS minimum, max(l.maximum) AS maximum,
+         sum(l.sum_val) AS sum_val, CAST(sum(l.cnt_val) AS BIGINT) AS cnt_val,
+         sum(l.integral_sec) AS integral_sec,
+         CAST(sum(l.active_time) AS BIGINT) AS active_time
+  FROM lvl l JOIN rng r ON l.metric = r.metric
+  WHERE ((l.interval_start // {p}) + 1) * {p} <= r.t_last
+  GROUP BY 1, 2
+)
+SELECT metric, interval_start, minimum AS min_v, maximum AS max_v,
+       round(sum_val, 3) AS sum_v, cnt_val AS cnt,
+       round(integral_sec, 3) AS integral_s, active_time AS active_ns
+FROM plvl"""
+
+
+def q_hta_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = events_raw(spark, sf_dir)
+    lvl = build_level1(raw, LEVEL1)
+    return _round_rollup(lvl)
+
+
+def q_hta_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = events_raw(spark, sf_dir)
+    ranges = raw_range(raw)
+    l1 = build_level1(raw, LEVEL1, ranges)
+    l2 = build_next_level(l1, LEVEL1, 10, ranges)
+    return _round_rollup(l2)
+
+
+def q_hta_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = events_raw(spark, sf_dir)
+    agg = aggregate_exact(raw, AGG_BEGIN, AGG_END)
+    # drop identity rows (out-of-range metrics) to keep the hash finite
+    return (agg.filter(F.col("active_time") > 0)
+            .select("metric",
+                    F.col("minimum").alias("min_v"),
+                    F.col("maximum").alias("max_v"),
+                    F.round(F.col("sum"), 3).alias("sum_v"),
+                    F.col("count").alias("cnt"),
+                    F.round(F.col("integral") / F.lit(1e9), 3).alias("integral_s"),
+                    F.col("active_time").alias("active_ns")))
+
+
+SQL_HTA_AGGREGATE = f"""
+WITH pts AS ({EVT}),
+rng AS (SELECT metric, min(time) AS t_first, max(time) AS t_last FROM pts GROUP BY 1),
+cl AS (
+  SELECT metric, t_first, t_last,
+         greatest(least({AGG_BEGIN}, t_last), t_first) AS bm,
+         greatest(least({AGG_END}, t_last), t_first) AS em
+  FROM rng
+  WHERE {AGG_END} > t_first AND {AGG_BEGIN} <= t_last
+),
+f AS (
+  SELECT p.metric, p.time, p.value, c.bm, c.em
+  FROM pts p JOIN cl c ON p.metric = c.metric
+  WHERE p.time >= c.bm
+),
+g AS (
+  SELECT metric, time, value, bm, em,
+         greatest(coalesce(lag(time) OVER (PARTITION BY metric ORDER BY time), bm), bm) AS pv,
+         min(CASE WHEN time >= em THEN time END) OVER (PARTITION BY metric) AS ept
+  FROM f
+),
+h AS (SELECT * FROM g WHERE ept IS NULL OR time <= ept)
+SELECT metric,
+       min(value) AS min_v, max(value) AS max_v,
+       round(sum(CASE WHEN time < em THEN value ELSE 0 END), 3) AS sum_v,
+       CAST(sum(CASE WHEN time < em THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+       round(sum(value * ((CASE WHEN time < em THEN time ELSE em END) - pv) / 1e9), 3) AS integral_s,
+       CAST(sum((CASE WHEN time < em THEN time ELSE em END) - pv) AS BIGINT) AS active_ns
+FROM h
+GROUP BY 1
+HAVING CAST(sum((CASE WHEN time < em THEN time ELSE em END) - pv) AS BIGINT) > 0
+"""
+
+
+def q_hta_retrieve_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = events_raw(spark, sf_dir)
+    return filter_raw(raw, RET_BEGIN, RET_END,
+                      IntervalScope(Scope.extended, Scope.extended)) \
+        .select("metric", "time", F.round("value", 3).alias("value"))
+
+
+SQL_HTA_RETRIEVE_EXTENDED = f"""
+WITH pts AS ({EVT}),
+b AS (
+  SELECT metric,
+         max(CASE WHEN time <= {RET_BEGIN} THEN time END) AS b_ext,
+         min(CASE WHEN time >= {RET_END} THEN time END) AS e_ext
+  FROM pts GROUP BY 1)
+SELECT p.metric, p.time, round(p.value, 3) AS value
+FROM pts p JOIN b ON p.metric = b.metric
+WHERE (b.b_ext IS NULL OR p.time >= b.b_ext)
+  AND (b.e_ext IS NULL OR p.time <= b.e_ext)
+"""
+
+
+def q_hta_count_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = events_raw(spark, sf_dir)
+    return count_scoped(raw, RET_BEGIN, RET_END,
+                        IntervalScope(Scope.closed, Scope.extended))
+
+
+SQL_HTA_COUNT_SCOPED = f"""
+WITH pts AS ({EVT}),
+b AS (
+  SELECT metric, min(CASE WHEN time >= {RET_END} THEN time END) AS e_ext
+  FROM pts GROUP BY 1)
+SELECT p.metric, CAST(count(*) AS BIGINT) AS n
+FROM pts p JOIN b ON p.metric = b.metric
+WHERE p.time >= {RET_BEGIN}
+  AND (b.e_ext IS NULL OR p.time <= b.e_ext)
+GROUP BY 1
+"""
+
+
+def q_hta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metric_range(events_raw(spark, sf_dir))
+
+
+SQL_HTA_RANGE = f"""
+WITH pts AS ({EVT})
+SELECT metric, min(time) AS t_first, max(time) AS t_last FROM pts GROUP BY 1
+"""
+
+
+def q_hta_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return last_point(events_raw(spark, sf_dir)) \
+        .select("metric", "time", F.round("value", 3).alias("value"))
+
+
+SQL_HTA_LAST = f"""
+WITH pts AS ({EVT})
+SELECT metric, max(time) AS time, round(arg_max(value, time), 3) AS value
+FROM pts GROUP BY 1
+"""
+
+
+def q_hta_smooth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row smoothing (convert_timeaggregates_to_rows with smooth_factor=3,
+    /root/reference/src/metric.cpp:313-354): consecutive level-1 result rows
+    merged in threes anchored at each metric's first row."""
+    from .operators.retrieve import _rows_from_level, _smooth_rows
+    raw = events_raw(spark, sf_dir)
+    lvl = build_level1(raw, LEVEL1)
+    rows = _rows_from_level(lvl, LEVEL1)
+    sm = _smooth_rows(rows, LEVEL1, 3)
+    return sm.select(
+        "metric", "time",
+        F.col("minimum").alias("min_v"), F.col("maximum").alias("max_v"),
+        F.round(F.col("sum"), 3).alias("sum_v"), F.col("count").alias("cnt"),
+        F.round(F.col("integral") / F.lit(1e9), 3).alias("integral_s"),
+        F.col("active_time").alias("active_ns"))
+
+
+SQL_HTA_SMOOTH3 = _rollup_sql(LEVEL1, tail=""",
+numbered AS (
+  SELECT *, (row_number() OVER (PARTITION BY metric ORDER BY interval_start) - 1) // 3 AS grp
+  FROM lvl
+)
+SELECT metric, min(interval_start) AS time,
+       min(minimum) AS min_v, max(maximum) AS max_v,
+       round(sum(sum_val), 3) AS sum_v, CAST(sum(cnt_val) AS BIGINT) AS cnt,
+       round(sum(integral_sec), 3) AS integral_s,
+       CAST(sum(active_time) AS BIGINT) AS active_ns
+FROM numbered GROUP BY metric, grp""")
+
+
+def q_hta_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = events_raw(spark, sf_dir)
+    return (throttle(raw, COOLDOWN)
+            .select("metric", "time", F.round("value", 3).alias("value")))
+
+
+SQL_HTA_THROTTLE = f"""
+WITH RECURSIVE pts AS ({EVT}),
+o AS (
+  SELECT metric, time, value,
+         row_number() OVER (PARTITION BY metric ORDER BY time) AS rn
+  FROM pts
+),
+keep AS (
+  SELECT metric, time, value, rn, time AS last_kept FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.metric, o.time, o.value, o.rn,
+         CASE WHEN k.last_kept + {COOLDOWN} < o.time THEN o.time ELSE k.last_kept END
+  FROM o JOIN keep k ON o.metric = k.metric AND o.rn = k.rn + 1
+)
+SELECT metric, time, round(value, 3) AS value FROM keep WHERE time = last_kept
+"""
+
+
+def q_hta_check_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hta_check's duplicate/monotonicity scan on the *un-deduplicated*
+    events mapping (check.cpp:190-254) — counts offending points."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = ev.select(F.col("event_type").alias("metric"),
+                    (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("time"),
+                    "value")
+    from .operators.tools import check_raw
+    issues = check_raw(raw)
+    return (issues.select("metric", F.explode("issues").alias("issue"))
+            .groupBy("metric", "issue").agg(F.count("*").alias("n")))
+
+
+SQL_HTA_CHECK_DUPS = """
+WITH raw AS (
+  SELECT event_type AS metric, epoch_ns(ts) AS time, value FROM events
+),
+lag_raw AS (
+  SELECT metric, time, value,
+         lag(time) OVER (PARTITION BY metric ORDER BY time) AS prev
+  FROM raw
+)
+SELECT metric, 'duplicate_timestamp' AS issue, CAST(count(*) AS BIGINT) AS n
+FROM lag_raw WHERE prev IS NOT NULL AND time = prev
+GROUP BY 1, 2
+"""
+
+
+HTA_QUERIES: dict[str, tuple] = {
+    "hta_level1_rollup": (q_hta_level1, _rollup_sql(LEVEL1)),
+    "hta_level2_rollup": (q_hta_level2, _rollup_sql(LEVEL1, 10 * LEVEL1)),
+    "hta_aggregate_range": (q_hta_aggregate, SQL_HTA_AGGREGATE),
+    "hta_retrieve_extended": (q_hta_retrieve_extended, SQL_HTA_RETRIEVE_EXTENDED),
+    "hta_count_scoped": (q_hta_count_scoped, SQL_HTA_COUNT_SCOPED),
+    "hta_range": (q_hta_range, SQL_HTA_RANGE),
+    "hta_last": (q_hta_last, SQL_HTA_LAST),
+    "hta_smooth3": (q_hta_smooth3, SQL_HTA_SMOOTH3),
+    "hta_throttle": (q_hta_throttle, SQL_HTA_THROTTLE),
+    "hta_check_dups": (q_hta_check_dups, SQL_HTA_CHECK_DUPS),
+}

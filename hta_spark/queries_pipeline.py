@@ -1,0 +1,317 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis) on
+the ``documents`` and ``embeddings`` tables, paired with DuckDB oracle SQL.
+
+Engine-parity conventions:
+- all hashes are md5-derived (both engines agree bit-for-bit);
+- tokenization is split-on-single-space over lower(trim(text));
+- float embeddings are widened to double before any arithmetic;
+- similarity values rounded before ordering so ties break identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline.ann import cosine_topk, ivf_assign
+from .pipeline.dedup import (exact_dedup, lsh_pairs, minhash_signatures,
+                             ngram_jaccard_pairs, prefix_dedup, simhash)
+from .pipeline.text import (LANG_MARKERS, fingerprint, language_id,
+                            quality_score, token_stats)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# shared SQL snippets ------------------------------------------------------
+
+SQL_TOKS = ("SELECT doc_id, string_split(lower(trim(text)), ' ') AS t "
+            "FROM documents")
+
+SQL_SHINGLES = f"""
+toks AS ({SQL_TOKS}),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shs
+  FROM toks WHERE len(t) >= 3
+),
+ex AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM sh)
+"""
+
+
+# -- exact dedup ------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(trim(text))) AS content_hash,
+       min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# -- prefix near-dedup ------------------------------------------------------
+
+def q_dedup_prefix(spark, sf_dir):
+    return prefix_dedup(_docs(spark, sf_dir), n_tokens=5)
+
+
+SQL_DEDUP_PREFIX = f"""
+WITH toks AS ({SQL_TOKS})
+SELECT array_to_string(t[1:5], ' ') AS prefix_key,
+       min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_docs
+FROM toks GROUP BY 1
+"""
+
+
+# -- n-gram jaccard pairs ---------------------------------------------------
+
+def q_ngram_jaccard(spark, sf_dir):
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=3, min_shared=2)
+    return pairs.orderBy(F.desc("jaccard"), "a", "b").limit(50)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {SQL_SHINGLES},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY 1),
+shared AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM ex l JOIN ex r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT s.a, s.b, round(s.shared / (sa.sz + sb.sz - s.shared), 4) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.a = sa.doc_id
+JOIN sizes sb ON s.b = sb.doc_id
+ORDER BY jaccard DESC, s.a, s.b LIMIT 50
+"""
+
+
+# -- minhash + LSH candidate pairs ------------------------------------------
+
+MINHASH_K = 8
+LSH_ROWS_PER_BAND = 2
+
+
+def q_minhash_lsh(spark, sf_dir):
+    sigs = minhash_signatures(_docs(spark, sf_dir), k=MINHASH_K, shingle_n=3)
+    pairs = lsh_pairs(sigs, k=MINHASH_K, rows_per_band=LSH_ROWS_PER_BAND)
+    return pairs.orderBy("a", "b")
+
+
+def _sql_minhash() -> str:
+    hcols = ",\n         ".join(
+        f"min(('0x' || substr(md5('{s}|' || sh), 1, 15))::BIGINT) AS mh_{s}"
+        for s in range(MINHASH_K))
+    bands = MINHASH_K // LSH_ROWS_PER_BAND
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS id, {b} AS band, "
+        f"md5(mh_{b * LSH_ROWS_PER_BAND}::VARCHAR || ',' || "
+        f"mh_{b * LSH_ROWS_PER_BAND + 1}::VARCHAR) AS bh FROM sigs"
+        for b in range(bands))
+    return f"""
+WITH {SQL_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+         {hcols}
+  FROM ex GROUP BY doc_id
+),
+buckets AS (
+{band_rows}
+)
+SELECT DISTINCT l.id AS a, r.id AS b
+FROM buckets l JOIN buckets r
+  ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
+ORDER BY a, b
+"""
+
+
+# -- simhash ---------------------------------------------------------------
+
+def q_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5('sim|' || tok), 1, 15))::BIGINT AS h
+  FROM toks
+),
+bits AS (SELECT doc_id, unnest(range(0, 16)) AS i, h FROM h),
+votes AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+           AS simhash
+FROM votes GROUP BY 1
+"""
+
+
+# -- language id ------------------------------------------------------------
+
+def q_lang_id(spark, sf_dir):
+    return language_id(_docs(spark, sf_dir))
+
+
+def _sql_lang_id() -> str:
+    score_cols = []
+    for lang, words in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"CAST(len(list_filter(t, x -> x IN ({lst}))) AS INT) AS score_{lang}")
+    scores = ",\n       ".join(score_cols)
+    return f"""
+WITH toks AS ({SQL_TOKS}),
+s AS (
+  SELECT doc_id,
+       {scores}
+  FROM toks
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+       CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+            WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+            WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END AS predicted
+FROM s
+"""
+
+
+# -- token stats / quality / fingerprint ------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(lower(trim(text)), ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS INT) AS n_distinct,
+       CAST(length(lower(trim(text))) AS INT) AS n_chars
+FROM documents
+"""
+
+
+def q_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _sql_quality() -> str:
+    en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t,
+         length(lower(trim(text))) AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_tok,
+         len(list_distinct(t)) AS n_dis,
+         n_chars,
+         len(list_filter(t, x -> x IN ({en}))) AS n_stop
+  FROM toks
+)
+SELECT doc_id, n_tok AS n_tokens,
+       round(n_dis / CAST(n_tok AS DOUBLE), 4) AS type_token_ratio,
+       round((n_chars - (n_tok - 1)) / CAST(n_tok AS DOUBLE), 4) AS mean_token_len,
+       round(n_stop / CAST(n_tok AS DOUBLE), 4) AS stopword_ratio,
+       round(least(n_tok / 100.0, 1.0) * 0.4
+             + (n_dis / CAST(n_tok AS DOUBLE)) * 0.4
+             + least((n_stop / CAST(n_tok AS DOUBLE)) * 5.0, 1.0) * 0.2, 4) AS quality
+FROM m
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINT = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fp_md5,
+       CAST(('0x' || substr(md5(norm), 1, 4))::INT AS INT) AS fp_bucket
+FROM n
+"""
+
+
+# -- embedding similarity ---------------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb, [float(x) for x in qv], k=10, exclude_ids=[0])
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4)
+           AS cos_sim
+FROM embeddings WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") < 10)
+             .select("vec_id", "embedding").collect()]
+    assigned = ivf_assign(emb, cents)
+    return (assigned.groupBy("centroid_id")
+            .agg(F.count("*").alias("n_assigned"),
+                 F.round(F.avg("centroid_sim"), 3).alias("mean_sim")))
+
+
+SQL_ANN_IVF = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 10
+),
+a AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS s
+  FROM embeddings e CROSS JOIN c
+),
+best AS (
+  SELECT vec_id, cid, s,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+  FROM a
+)
+SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_assigned,
+       round(avg(s), 3) AS mean_sim
+FROM best WHERE rk = 1 GROUP BY 1
+"""
+
+
+PIPELINE_QUERIES: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_prefix": (q_dedup_prefix, SQL_DEDUP_PREFIX),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_minhash_lsh, _sql_minhash()),
+    "dedup_simhash": (q_simhash, SQL_SIMHASH),
+    "text_lang_id": (q_lang_id, _sql_lang_id()),
+    "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "text_quality": (q_quality, _sql_quality()),
+    "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_ivf_assign": (q_ann_ivf, SQL_ANN_IVF),
+}

@@ -1,0 +1,232 @@
+"""Catalog + persistence — the reference's ``Directory`` re-expressed as a
+Parquet layout (SURVEY.md §1.5-1.7, D1 in §2.1).
+
+Reference: /root/reference/src/directory.cpp:86-171 (JSON config, prefix
+rules, create-on-open, sorted listing), /root/reference/src/storage/file/
+directory.cpp:45-86.  The custom .hta container (magic/BOM/versioned header,
+src/storage/file/file.hpp:94-326) is replaced wholesale by Parquet: schema,
+endianness and stats travel with the files, and positional index arithmetic
+becomes predicate pushdown on ``time``/``interval_start``.
+
+Layout:
+    <base>/meta.json                 per-metric Meta + prefix rules
+    <base>/raw/                      parquet, partitioned by metric
+    <base>/levels/<interval_ns>/     parquet rollups, partitioned by metric
+
+Scale notes: ``partitionBy("metric")`` gives per-metric file pruning (the
+analog of one directory per metric in the reference).  For millions of
+metrics switch ``partition_by_metric=False`` — data is then bucket-sorted by
+(metric, time) and row-group stats prune instead (avoids small-file
+explosion).  Appends are directory-append atomic; a Delta/Iceberg catalog
+drops in here when the jars are available (import-gated, not required).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..errors import InvalidTimestampError, MissingMetricConfigError
+from ..meta import Meta
+from ..operators.aggregate import aggregate_exact, aggregate_telescope
+from ..operators.retrieve import (retrieve_flex, retrieve_min_samples,
+                                  retrieve_raw, retrieve_rows)
+from ..operators.rollup import build_levels
+from ..operators.scopes import (RAW_DEFAULT, ROW_DEFAULT, IntervalScope)
+from ..operators.stats import count_scoped
+
+__all__ = ["HtaStore", "Metric"]
+
+
+class HtaStore:
+    """A directory of metrics with hierarchical rollups."""
+
+    def __init__(self, spark: SparkSession, base_path: str,
+                 configs: dict[str, Meta] | None = None,
+                 prefix_configs: dict[str, Meta] | None = None,
+                 partition_by_metric: bool = True):
+        self.spark = spark
+        self.base = base_path.rstrip("/")
+        self.partition_by_metric = partition_by_metric
+        self._configs: dict[str, Meta] = dict(configs or {})
+        self._prefix: dict[str, Meta] = dict(prefix_configs or {})
+        if os.path.exists(self._meta_path()) and not configs:
+            self._load_meta()
+        elif configs or prefix_configs:
+            self._save_meta()
+
+    # -- config / catalog --------------------------------------------------
+    def _meta_path(self) -> str:
+        return f"{self.base}/meta.json"
+
+    def _save_meta(self) -> None:
+        os.makedirs(self.base, exist_ok=True)
+        doc = {
+            "metrics": {m: asdict(c) for m, c in self._configs.items()},
+            "prefixes": {m: asdict(c) for m, c in self._prefix.items()},
+        }
+        with open(self._meta_path(), "w") as f:
+            json.dump(doc, f, indent=1)
+
+    def _load_meta(self) -> None:
+        with open(self._meta_path()) as f:
+            doc = json.load(f)
+        self._configs = {m: Meta(**c) for m, c in doc.get("metrics", {}).items()}
+        self._prefix = {m: Meta(**c) for m, c in doc.get("prefixes", {}).items()}
+
+    def meta_for(self, name: str) -> Meta:
+        """Exact config, else longest matching prefix rule
+        (src/directory.cpp:106-111,157-170); unknown names raise."""
+        if name in self._configs:
+            return self._configs[name]
+        best = None
+        for p, m in self._prefix.items():
+            if name.startswith(p + ".") and (best is None or len(p) > len(best[0])):
+                best = (p, m)
+        if best:
+            return best[1]
+        raise MissingMetricConfigError(f"no metric config for {name!r}")
+
+    def metric_names(self) -> list[str]:
+        """Sorted listing (src/storage/file/directory.cpp:74-86)."""
+        raw = self.raw()
+        if raw is None:
+            return []
+        return sorted(r["metric"] for r in raw.select("metric").distinct().collect())
+
+    def __getitem__(self, name: str) -> "Metric":
+        return Metric(self, name, self.meta_for(name))
+
+    # -- physical tables ---------------------------------------------------
+    def raw(self) -> DataFrame | None:
+        path = f"{self.base}/raw"
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def level(self, interval: int) -> DataFrame | None:
+        path = f"{self.base}/levels/{interval}"
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def levels_for(self, meta: Meta) -> dict[int, DataFrame]:
+        out = {}
+        for iv in meta.level_intervals():
+            df = self.level(iv)
+            if df is not None:
+                out[iv] = df
+        return out
+
+    def write_raw(self, df: DataFrame, mode: str = "append",
+                  validate: bool = True) -> None:
+        """Append raw points.  ``validate`` enforces the reference's insert
+        guards (t != 0, src/metric.cpp:513-518) batch-wide; strict
+        monotonicity across appends is the ingest job's contract (see
+        streaming.ingest for the stateful enforcement)."""
+        if validate:
+            if df.filter(F.col("time") <= 0).limit(1).count() > 0:
+                raise InvalidTimestampError("cannot insert invalid (<= 0) time")
+        w = df.select("metric", "time", "value").sortWithinPartitions("metric", "time")
+        writer = w.write.mode(mode)
+        if self.partition_by_metric:
+            writer = writer.partitionBy("metric")
+        writer.parquet(f"{self.base}/raw")
+
+    def build(self, metas: dict[str, Meta] | None = None) -> None:
+        """(Re)build all rollup levels for all metrics.
+
+        Metrics sharing identical hierarchy parameters are built together in
+        one job (one scan per distinct Meta), each level written as its own
+        parquet table.
+        """
+        raw = self.raw()
+        if raw is None:
+            return
+        metas = metas or {m: self.meta_for(m) for m in self.metric_names()}
+        by_params: dict[tuple, list[str]] = {}
+        for m, meta in metas.items():
+            key = (meta.interval_min, meta.interval_max, meta.interval_factor)
+            by_params.setdefault(key, []).append(m)
+        written: set[int] = set()
+        for (imin, imax, ifac), metrics in by_params.items():
+            meta = Meta(interval_min=imin, interval_max=imax, interval_factor=ifac)
+            sub = raw.filter(F.col("metric").isin(metrics))
+            for iv, df in build_levels(sub, meta).items():
+                mode = "append" if iv in written else "overwrite"
+                out = df.sortWithinPartitions("metric", "interval_start")
+                writer = out.write.mode(mode)
+                if self.partition_by_metric:
+                    writer = writer.partitionBy("metric")
+                writer.parquet(f"{self.base}/levels/{iv}")
+                written.add(iv)
+
+
+class Metric:
+    """Single-metric facade with the reference Metric's read API
+    (mode-checked), over the store's tables."""
+
+    def __init__(self, store: HtaStore, name: str, meta: Meta):
+        self.store = store
+        self.name = name
+        self.meta = meta
+
+    def _raw(self) -> DataFrame:
+        self.meta.check_read()
+        raw = self.store.raw()
+        if raw is None:
+            raise MissingMetricConfigError(f"no data for {self.name!r}")
+        return raw.filter(F.col("metric") == self.name)
+
+    def _levels(self) -> dict[int, DataFrame]:
+        out = {}
+        for iv, df in self.store.levels_for(self.meta).items():
+            out[iv] = df.filter(F.col("metric") == self.name)
+        return out
+
+    def retrieve(self, begin: int, end: int,
+                 scope: IntervalScope = RAW_DEFAULT) -> DataFrame:
+        return retrieve_raw(self._raw(), begin, end, scope)
+
+    def retrieve_rows(self, begin: int, end: int, interval_upper: int,
+                      scope: IntervalScope = ROW_DEFAULT) -> DataFrame:
+        return retrieve_rows(self._raw(), self._levels(), self.meta,
+                             begin, end, interval_upper, scope)
+
+    def retrieve_min_samples(self, begin: int, end: int, min_samples: int,
+                             scope: IntervalScope = ROW_DEFAULT) -> DataFrame:
+        return retrieve_min_samples(self._raw(), self._levels(), self.meta,
+                                    begin, end, min_samples, scope)
+
+    def retrieve_flex(self, begin: int, end: int, interval_upper: int,
+                      scope: IntervalScope = ROW_DEFAULT,
+                      smooth: bool = True):
+        return retrieve_flex(self._raw(), self._levels(), self.meta,
+                             begin, end, interval_upper, scope, smooth)
+
+    def aggregate(self, begin: int, end: int, use_levels: bool = True) -> DataFrame:
+        if use_levels:
+            levels = self._levels()
+            if levels:
+                return aggregate_telescope(self._raw(), levels, self.meta,
+                                           begin, end)
+        return aggregate_exact(self._raw(), begin, end)
+
+    def count(self, begin: int | None = None, end: int | None = None,
+              scope: IntervalScope = RAW_DEFAULT) -> int:
+        if begin is None:
+            return self._raw().count()
+        rows = count_scoped(self._raw(), begin, end, scope).collect()
+        return rows[0]["n"] if rows else 0
+
+    def range(self) -> tuple[int, int]:
+        r = self._raw().agg(F.min("time"), F.max("time")).collect()[0]
+        return r[0], r[1]
+
+    def insert(self, df: DataFrame) -> None:
+        self.meta.check_write()
+        self.store.write_raw(df.withColumn("metric", F.lit(self.name)))
