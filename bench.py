@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side result transfer skewing the numbers).  The level-1 rollup build
+is the analog of the reference's insert-throughput bench
+(/root/reference/tests/bench.cpp:43-88); rows/s derivable from events size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+HEADLINE = [
+    "hta_level1_rollup",
+    "hta_level2_rollup",
+    "hta_aggregate_range",
+    "hta_retrieve_extended",
+    "hta_smooth3",
+    "hta_throttle",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_sessionize",
+    "q_asof_signup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    from hta_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="hta_spark_bench")
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
