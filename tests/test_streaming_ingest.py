@@ -1,0 +1,87 @@
+"""Restore-equivalence (W5): incremental multi-batch ingest must produce
+level tables identical to one continuous build — the Spark analog of
+/root/reference/tests/restore.cpp:87-215 (reopen-between-inserts equals a
+single session), plus a real Structured Streaming smoke via foreachBatch.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from hta_spark import SECOND
+from hta_spark.operators import build_levels
+from hta_spark.streaming.ingest import IncrementalRollup
+
+from .conftest import F1_META, f1_points
+
+
+def _as_df(spark, pts):
+    return spark.createDataFrame(pts, "metric string, time long, value double")
+
+
+def _level_dict(df):
+    return {(r["metric"], r["interval_start"]):
+            (r["minimum"], r["maximum"], r["sum"], r["count"], r["integral"],
+             r["active_time"])
+            for r in df.collect()}
+
+
+@pytest.mark.parametrize("n_batches", [2, 6])
+def test_incremental_equals_continuous(spark, tmp_path, n_batches):
+    pts = f1_points()
+    base = str(tmp_path / f"store_{n_batches}")
+    ing = IncrementalRollup(spark, base, F1_META)
+    step = (len(pts) + n_batches - 1) // n_batches
+    for i in range(0, len(pts), step):
+        ing.ingest(_as_df(spark, pts[i:i + step]))
+
+    continuous = build_levels(_as_df(spark, pts), F1_META)
+    for iv in F1_META.level_intervals():
+        inc = ing.level(iv)
+        cont = continuous[iv]
+        inc_d = _level_dict(inc) if inc is not None else {}
+        cont_d = _level_dict(cont)
+        assert inc_d == cont_d, f"level {iv}: incremental != continuous"
+
+
+def test_monotonic_enforcement(spark, tmp_path):
+    base = str(tmp_path / "mono")
+    ing = IncrementalRollup(spark, base, F1_META)
+    t0 = 1_519_130_000 * SECOND
+    ing.ingest(_as_df(spark, [("m", t0 + 10 * SECOND, 1.0),
+                              ("m", t0 + 20 * SECOND, 2.0)]))
+    # replayed/late points are dropped, new ones kept
+    ing.ingest(_as_df(spark, [("m", t0 + 15 * SECOND, 99.0),   # late -> drop
+                              ("m", t0 + 20 * SECOND, 99.0),   # dup -> drop
+                              ("m", t0 + 30 * SECOND, 3.0)]))
+    rows = sorted((r["time"], r["value"]) for r in ing.raw().collect())
+    assert rows == [(t0 + 10 * SECOND, 1.0), (t0 + 20 * SECOND, 2.0),
+                    (t0 + 30 * SECOND, 3.0)]
+
+
+def test_structured_streaming_smoke(spark, tmp_path):
+    """Drive the ingest through a real Structured Streaming query
+    (file source -> foreachBatch sink) and check the level build."""
+    src = tmp_path / "src"
+    src.mkdir()
+    base = str(tmp_path / "stream_store")
+    ckpt = str(tmp_path / "ckpt")
+    pts = f1_points()
+    _as_df(spark, pts).coalesce(1).write.parquet(str(src / "batch1"))
+
+    ing = IncrementalRollup(spark, base, F1_META)
+    stream = (spark.readStream
+              .schema("metric string, time long, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "batch1")))
+    q = ing.stream_from(stream, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    continuous = build_levels(_as_df(spark, pts), F1_META)
+    for iv in [10 * SECOND, 100 * SECOND]:
+        inc = ing.level(iv)
+        assert inc is not None
+        assert _level_dict(inc) == _level_dict(continuous[iv])
