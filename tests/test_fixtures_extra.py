@@ -1,0 +1,192 @@
+"""Remaining reference fixtures: F3 (middle_interval multi-level
+consistency), F4 (overflow boundary), F6 (single point retrieve), F7
+(meta validation, prefix config, R/W modes), plus raw-smoothing
+faithfulness against an independent Python implementation of
+``convert_timevalues_smooth`` written from its spec
+(/root/reference/src/metric.cpp:259-311).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hta_spark import Meta, MS, SECOND, US
+from hta_spark.errors import MetaValidationError, MissingMetricConfigError, ModeError
+from hta_spark.operators import (build_levels, retrieve_flex, lagged)
+from hta_spark.operators.retrieve import smooth_raw
+from hta_spark.sources import HtaStore
+
+from .conftest import F1_META, f1_points, tp
+
+
+# -- F4: overflow boundary --------------------------------------------------
+
+def test_f4_overflow_levels(spark):
+    swap = 1_440_000_000_000_000_000
+    meta = Meta(interval_min=14_400_000_000_000,
+                interval_max=1_440_000_000_000_000, interval_factor=10)
+    pts = [("overflow", swap - 20_000_000, 42.0),
+           ("overflow", swap + 20_000_000, 43.0),
+           ("overflow", swap + 1_440_000_000_000_000 + 20_000_000, 44.0)]
+    df = spark.createDataFrame(pts, "metric string, time long, value double")
+    levels = build_levels(df, meta)
+    # exactly three level tables: 1.44e13, 1.44e14, 1.44e15 — none beyond
+    # interval_max (tests/overflow.cpp:93-97)
+    assert sorted(levels.keys()) == [14_400_000_000_000, 144_000_000_000_000,
+                                     1_440_000_000_000_000]
+    # resolution requests above interval_max clamp (overflow.cpp:120-126):
+    # planner picks the top level
+    kind, res = retrieve_flex(df, levels, meta, swap - 10**15, swap + 2 * 10**15,
+                              10 * 1_440_000_000_000_000)
+    assert kind == "rows"
+    rows = res.collect()
+    assert all(r["interval"] == 1_440_000_000_000_000 for r in rows)
+
+
+def test_meta_level_interval_overflow_guard():
+    # near-int64 interval_min: the level walk must stop without overflow
+    m = Meta(interval_min=4_000_000_000_000_000_000,
+             interval_max=9_000_000_000_000_000_000, interval_factor=10)
+    assert m.level_intervals() == [4_000_000_000_000_000_000]
+
+
+# -- F3: high-rate ramp multi-level consistency -----------------------------
+
+def test_f3_middle_interval(spark):
+    n = 100_000  # scaled from 1M for test time; same structure
+    t0 = 1_520_012_636_139_086_277
+    meta = Meta(interval_min=1 * MS, interval_factor=10)
+    df = spark.range(n).selectExpr(
+        "'mid' as metric",
+        f"{t0}L + id * 20000 as time",
+        "cast(id as double) / 3.0 as value").cache()
+    levels = build_levels(df, meta)
+    l1, l2, l3 = (levels[1 * MS], levels[10 * MS], levels[100 * MS])
+    # cross-level invariants: parent == monoid of children for a sample
+    s1 = l1.groupBy().sum("count", "active_time").collect()[0]
+    s2 = l2.groupBy().sum("count", "active_time").collect()[0]
+    # children counts >= parent counts (parents only over closed ranges)
+    assert s1[0] >= s2[0] > 0
+    # every level-2 row's count equals the sum of its children's counts
+    from pyspark.sql import functions as F
+    j = (l1.withColumn("pk", (F.col("interval_start")
+                              - F.pmod(F.col("interval_start"), F.lit(10 * MS))))
+         .groupBy("metric", "pk").agg(F.sum("count").alias("c1"))
+         .join(l2.select("metric", F.col("interval_start").alias("pk"),
+                         F.col("count").alias("c2")), ["metric", "pk"]))
+    bad = j.filter(F.col("c1") != F.col("c2")).count()
+    assert bad == 0
+    df.unpersist()
+
+
+# -- F6 + store round-trip + F7 modes/prefix --------------------------------
+
+def test_store_roundtrip_and_modes(spark, tmp_path):
+    base = str(tmp_path / "store")
+    store = HtaStore(spark, base, configs={
+        "test.read": Meta(mode="R"),
+        "test.write": Meta(mode="W"),
+        "test.read_write": Meta(mode="RW"),
+    }, prefix_configs={
+        "prefix": Meta(interval_min=13_370_000_000_000,
+                       interval_max=1_337_000_000_000_000, interval_factor=20),
+    })
+    # prefix config resolution (tests/prefix.cpp:58-81)
+    m = store.meta_for("prefix.metric")
+    assert m.interval_min == 13_370_000_000_000
+    assert m.interval_factor == 20
+    with pytest.raises(MissingMetricConfigError):
+        store.meta_for("unconfigured")
+
+    # R/W enforcement (tests/read_write.cpp:115-130)
+    pts = spark.createDataFrame([("x", 23, 42.0)],
+                                "metric string, time long, value double")
+    with pytest.raises(ModeError):
+        store["test.read"].insert(pts)
+    store["test.read_write"].insert(pts)
+    with pytest.raises(ModeError):
+        store["test.write"].retrieve(0, 100)
+
+    # F6 basics golden: single point retrieve
+    got = store["test.read_write"].retrieve(0, 100).collect()
+    assert len(got) == 1 and got[0]["time"] == 23 and got[0]["value"] == 42.0
+
+    # persisted config reload
+    store2 = HtaStore(spark, base)
+    assert store2.meta_for("prefix.metric").interval_factor == 20
+
+
+def test_meta_validation():
+    with pytest.raises(MetaValidationError):
+        Meta(interval_min=0)
+    with pytest.raises(MetaValidationError):
+        Meta(interval_min=15, interval_factor=10)  # not divisible
+    with pytest.raises(MetaValidationError):
+        Meta(interval_min=100, interval_max=50, interval_factor=10)
+    with pytest.raises(MetaValidationError):
+        Meta(interval_factor=1)
+    # divisibility edge from tests/meta.cpp:53-65
+    Meta(interval_min=1_337_000_028, interval_max=2_000_000_000,
+         interval_factor=42)
+
+
+# -- raw smoothing vs independent spec implementation -----------------------
+
+def _spec_smooth(points, begin, end, interval):
+    """convert_timevalues_smooth re-implemented from its spec for use as an
+    independent oracle (iterator over (t, v) sorted)."""
+    rows = []
+    if not points:
+        return rows
+    it = iter(points)
+    cur = next(it, None)
+    prev_tp = min(begin, points[0][0])
+    while cur is not None and cur[0] < begin:
+        prev_tp = cur[0]
+        cur = next(it, None)
+    if cur is None:
+        return rows
+    b = begin
+    while b < end:
+        e = min(b + interval, end)
+        mn, mx, sm, cnt, integral, active = math.inf, -math.inf, 0.0, 0, 0.0, 0
+        while cur is not None and cur[0] < e:
+            t, v = cur
+            mn, mx = min(mn, v), max(mx, v)
+            sm += v
+            cnt += 1
+            integral += v * (t - prev_tp)
+            active += t - prev_tp
+            prev_tp = t
+            cur = next(it, None)
+        if cur is None:
+            rows.append((b, mn, mx, sm, cnt, integral, active))
+            return rows
+        t, v = cur
+        mn, mx = min(mn, v), max(mx, v)
+        integral += v * (e - prev_tp)
+        active += e - prev_tp
+        prev_tp = e
+        rows.append((b, mn, mx, sm, cnt, integral, active))
+        b += interval
+    return rows
+
+
+@pytest.mark.parametrize("b_s,e_s,iv_s", [
+    (100, 110, 2), (95, 125, 7), (0, 50, 13), (11, 225, 30), (150, 260, 25),
+])
+def test_smooth_raw_matches_spec(spark, f1_raw, b_s, e_s, iv_s):
+    from hta_spark.operators import filter_raw, IntervalScope, Scope
+    b, e, iv = tp(b_s), tp(e_s), iv_s * SECOND
+    scoped = filter_raw(f1_raw, b, e, IntervalScope(Scope.extended, Scope.open))
+    got = {r["time"]: r for r in smooth_raw(scoped, b, e, iv).collect()}
+    pts = sorted((r["time"], r["value"]) for r in scoped.collect())
+    expected = _spec_smooth(pts, b, e, iv)
+    assert len(got) == len(expected), (sorted(got), expected)
+    for (t, mn, mx, sm, cnt, integral, active) in expected:
+        r = got[t]
+        assert r["minimum"] == mn and r["maximum"] == mx
+        assert r["sum"] == sm and r["count"] == cnt
+        assert r["integral"] == integral and r["active_time"] == active
