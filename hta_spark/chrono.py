@@ -60,14 +60,15 @@ def floordiv(time_ns: int, interval_ns: int) -> int:
 def col_bucket(time: Column, interval_ns: int, origin_ns: int = 0) -> Column:
     """Bucket index ``floor((time - origin) / interval)`` as a LongType column.
 
-    Uses integer arithmetic (not F.floor on doubles) for ns exactness on
-    int64-range values.  All engine timestamps are > 0 and ``origin <= time``
-    in every call site, so truncating division == floor division; a pmod
-    correction keeps it exact even for negative offsets.
+    Uses the SQL integral ``div`` (exact int64 division) — a double division
+    would round the ~1e18 ns numerator into the 53-bit mantissa and can
+    truncate the quotient off by one at half-ulp ties.  ``pmod`` first makes
+    the numerator an exact multiple, giving floor (not truncating) semantics
+    for negative offsets too.
     """
     off = time - F.lit(origin_ns)
-    q = (off - F.pmod(off, F.lit(interval_ns))) / F.lit(interval_ns)
-    return q.cast("long")
+    return F.call_function(
+        "div", off - F.pmod(off, F.lit(interval_ns)), F.lit(interval_ns))
 
 
 def col_interval_begin(time: Column, interval_ns: int) -> Column:

@@ -113,8 +113,10 @@ def segment_pieces(
     d = F.lit(interval)
 
     def bucket(x: Column) -> Column:
+        # exact int64 floor-division (see chrono.col_bucket: double division
+        # can truncate the quotient off-by-one at 1e18 ns magnitudes)
         off = x - o
-        return ((off - F.pmod(off, d)) / d).cast("long")
+        return F.call_function("div", off - F.pmod(off, d), d)
 
     # count/sum piece: only for points inside [clip_begin, clip_end)
     in_range = F.lit(True)
