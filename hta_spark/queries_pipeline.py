@@ -108,8 +108,9 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def _sql_minhash() -> str:
+    # two 60-bit hashes per md5 digest (matches pipeline.dedup.minhash_signatures)
     hcols = ",\n         ".join(
-        f"min(('0x' || substr(md5('{s}|' || sh), 1, 15))::BIGINT) AS mh_{s}"
+        f"min(('0x' || substr(md5('{s // 2}|' || sh), {1 if s % 2 == 0 else 17}, 15))::BIGINT) AS mh_{s}"
         for s in range(MINHASH_K))
     bands = MINHASH_K // LSH_ROWS_PER_BAND
     band_rows = "\n  UNION ALL\n".join(
