@@ -5,7 +5,8 @@ from .rollup import (build_level1, build_levels, build_next_level, lagged,
                      raw_range, segment_pieces)
 from .scopes import (RAW_DEFAULT, ROW_DEFAULT, IntervalScope, Scope,
                      filter_level, filter_raw)
-from .stats import count_scoped, count_total, last_point, metric_range
+from .stats import (count_scoped, count_total, count_via_levels,
+                    last_point, metric_range)
 
 __all__ = [
     "aggregate_exact", "aggregate_telescope",
@@ -15,5 +16,6 @@ __all__ = [
     "raw_range", "segment_pieces",
     "RAW_DEFAULT", "ROW_DEFAULT", "IntervalScope", "Scope",
     "filter_level", "filter_raw",
-    "count_scoped", "count_total", "last_point", "metric_range",
+    "count_scoped", "count_total", "count_via_levels", "last_point",
+    "metric_range",
 ]

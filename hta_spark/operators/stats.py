@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from .scopes import RAW_DEFAULT, IntervalScope, filter_raw
 
-__all__ = ["count_scoped", "count_total", "metric_range", "last_point"]
+__all__ = ["count_scoped", "count_total", "count_via_levels", "metric_range",
+           "last_point"]
 
 
 def count_scoped(raw: DataFrame, begin: int, end: int,
@@ -35,6 +36,31 @@ def metric_range(raw: DataFrame) -> DataFrame:
     """(first, last) timestamp pair per metric."""
     return raw.groupBy("metric").agg(
         F.min("time").alias("t_first"), F.max("time").alias("t_last"))
+
+
+def count_via_levels(raw: DataFrame, levels: dict, meta, begin: int,
+                     end: int) -> DataFrame:
+    """Point count over [begin, end) via rollup ``count`` sums — the
+    reference's count-prefix-sum walk
+    (/root/reference/src/storage/file/metric.cpp:102-156) as a telescoped
+    plan: O(levels·factor) rollup rows + two raw edge scans instead of a
+    full range scan.
+
+    A point count over [begin, end) IS the ``count`` field of the exact
+    range aggregate, except at the data tail: the aggregate clamps ``end``
+    to the last point and counts points in [begin, t_last) — the last point
+    itself needs a +1 correction when ``begin <= t_last < end``.
+    """
+    from pyspark.sql import functions as F
+
+    from .aggregate import aggregate_telescope
+    from .rollup import raw_range
+    ranges = raw_range(raw)
+    agg = aggregate_telescope(raw, levels, meta, begin, end, ranges=ranges)
+    corr = F.when((F.lit(begin) <= F.col("t_last"))
+                  & (F.col("t_last") < F.lit(end)), 1).otherwise(0)
+    return (agg.join(F.broadcast(ranges), "metric")
+            .select("metric", (F.col("count") + corr).cast("long").alias("n")))
 
 
 def last_point(raw: DataFrame) -> DataFrame:

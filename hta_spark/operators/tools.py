@@ -66,14 +66,15 @@ def check_levels(raw: DataFrame, levels: dict[int, DataFrame]) -> DataFrame:
     parts = []
     ranges = raw_range(raw)
     for interval, lvl in levels.items():
+        lo = F.col("t_first") - F.pmod(F.col("t_first"), F.lit(interval))
+        hi = (F.col("t_last") - F.pmod(F.col("t_last"), F.lit(interval))
+              - F.lit(interval))
         expected = (
             ranges.select(
                 "metric",
-                F.explode(F.sequence(
-                    F.col("t_first") - F.pmod(F.col("t_first"), F.lit(interval)),
-                    F.col("t_last") - F.pmod(F.col("t_last"), F.lit(interval))
-                    - F.lit(interval),
-                    F.lit(interval))).alias("interval_start"))
+                F.explode(F.when(lo <= hi, F.sequence(lo, hi, F.lit(interval)))
+                          .otherwise(F.array().cast("array<bigint>")))
+                .alias("interval_start"))
             .filter(F.col("interval_start") >= 0)
         )
         missing = (expected.join(lvl, ["metric", "interval_start"], "left_anti")

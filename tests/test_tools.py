@@ -1,0 +1,110 @@
+"""Tool-pipeline tests (SURVEY.md §2.2): check, repair, throttle, clone,
+dummy — plus the flex negative-limit total aggregate and the level-backed
+count scale path."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hta_spark import Meta, SECOND
+from hta_spark.operators import build_levels, retrieve_flex
+from hta_spark.operators.tools import (check_levels, check_raw, clone, dummy,
+                                       repair, throttle)
+
+from .conftest import F1_META, tp
+
+
+def test_check_raw_flags(spark):
+    pts = [
+        ("m", tp(1), 1.0),
+        ("m", tp(2), float("nan")),
+        ("m", tp(3), float("inf")),
+        ("m", tp(4), -5e20),
+        ("m", tp(4), 2.0),           # duplicate timestamp
+        ("m", 1 * SECOND, 3.0),      # before 2000-01-01
+    ]
+    df = spark.createDataFrame(pts, "metric string, time long, value double")
+    issues = {(r["time"], i) for r in check_raw(df).collect()
+              for i in r["issues"]}
+    assert (tp(2), "nan") in issues
+    assert (tp(3), "inf") in issues
+    assert (tp(4), "implausible_magnitude") in issues
+    assert (tp(4), "duplicate_timestamp") in issues
+    assert (1 * SECOND, "timestamp_too_old") in issues
+
+
+def test_check_levels_clean(spark, f1_raw):
+    levels = build_levels(f1_raw, F1_META)
+    assert check_levels(f1_raw, levels).count() == 0
+
+
+def test_repair_cleans(spark):
+    pts = [
+        ("m", tp(1), 1.0),
+        ("m", tp(2), float("nan")),
+        ("m", tp(3), float("inf")),
+        ("m", tp(4), -500.0),
+        ("m", tp(4), 2.0),
+        ("m", tp(5), -2.0),
+    ]
+    df = spark.createDataFrame(pts, "metric string, time long, value double")
+    out = repair(df, drop_below=-100.0, take_absolute=True)
+    rows = sorted((r["time"], r["value"]) for r in out.collect())
+    assert rows == [(tp(1), 1.0), (tp(4), 2.0), (tp(5), 2.0)]
+
+
+def test_throttle_cooldown(spark):
+    pts = [("m", i * SECOND, float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(pts, "metric string, time long, value double")
+    kept = sorted(r["time"] for r in throttle(df, 5 * SECOND).collect())
+    # keep iff last_kept + 5s < t: 1, 7, 13, 19
+    assert kept == [1 * SECOND, 7 * SECOND, 13 * SECOND, 19 * SECOND]
+
+
+def test_clone_reaggregates(spark, f1_raw):
+    new_meta = Meta(interval_min=20 * SECOND, interval_max=2000 * SECOND,
+                    interval_factor=10)
+    levels = clone(f1_raw, new_meta)
+    assert sorted(levels.keys()) == [20 * SECOND, 200 * SECOND, 2000 * SECOND]
+    l20 = {r["interval_start"]: r for r in levels[20 * SECOND].collect()}
+    # bucket [20,40): points at 21 (-36); segment to 42 spans it
+    r = l20[tp(20)]
+    assert r["count"] == 1 and r["sum"] == -36.0
+    assert r["active_time"] == 20 * SECOND
+
+
+def test_dummy_generator(spark):
+    df = dummy(spark, count=100, time_delta_ns=50_000_000,
+               start_ns=1_519_832_293_179_227_888, value=42.0)
+    rows = df.collect()
+    assert len(rows) == 100
+    assert all(r["value"] == 42.0 for r in rows)
+    ramp = dummy(spark, count=10, value=None)
+    vals = [r["value"] for r in ramp.orderBy("time").collect()]
+    assert vals[3] == 3 + 1.0 / 3.0
+
+
+def test_flex_total_aggregate(spark, f1_raw):
+    levels = build_levels(f1_raw, F1_META)
+    kind, df = retrieve_flex(f1_raw, levels, F1_META, tp(20), tp(220), -1)
+    assert kind == "rows"
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["interval"] == 200 * SECOND and r["time"] == tp(20)
+    assert r["count"] == 108 and r["sum"] == 1985.0
+    assert r["active_time"] == 200 * SECOND
+
+
+def test_count_via_levels_matches_raw(spark, f1_raw):
+    from pyspark.sql import functions as F
+    from hta_spark.operators import count_via_levels
+    levels = build_levels(f1_raw, F1_META)
+    for b_s, e_s in [(20, 220), (11, 225), (0, 500), (12, 20), (110, 125)]:
+        b, e = tp(b_s), tp(e_s)
+        via = {r["metric"]: r["n"]
+               for r in count_via_levels(f1_raw, levels, F1_META, b, e).collect()}
+        direct = f1_raw.filter((F.col("time") >= b) & (F.col("time") < e)).count()
+        assert via.get("foo", 0) == direct, (b_s, e_s)
