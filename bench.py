@@ -50,6 +50,29 @@ HEADLINE = [
 ]
 
 
+def _insert_throughput(spark, n: int = 2 ** 24) -> dict:
+    """The reference's insert-throughput matrix analog
+    (/root/reference/tests/bench.cpp:43-88): build the full rollup
+    hierarchy over n ramp points at 50 ms spacing with recommended params
+    (interval_min = 30x spacing, factor 10).  Uses the salted window path —
+    a single metric is the worst-case skew shape."""
+    from hta_spark import Meta
+    from hta_spark.operators import build_levels
+    from hta_spark.operators.tools import dummy
+
+    df = dummy(spark, count=n, time_delta_ns=50_000_000, value=None) \
+        .repartition(32)
+    meta = Meta(interval_min=1_500_000_000, interval_max=1_500_000_000_000,
+                interval_factor=10)
+    t0 = time.perf_counter()
+    levels = build_levels(df, meta, salt_chunks=256)
+    for lvl in levels.values():
+        lvl.write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    return {"rows": n, "sec": round(dt, 3),
+            "rows_per_sec": round(n / dt)}
+
+
 def main() -> None:
     from hta_spark.session import get_spark
     import __spark_entry__ as entry_mod
@@ -65,6 +88,8 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    insert = _insert_throughput(spark)
+    timings["rollup_build_16m"] = insert["sec"]
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_sec",
@@ -72,6 +97,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_label(SF_DIR),
+        "insert_throughput": insert,
     }))
     spark.stop()
 

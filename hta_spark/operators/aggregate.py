@@ -65,7 +65,12 @@ def aggregate_exact(raw: DataFrame, begin: int, end: int,
             f"invalid request: begin timestamp {begin} >= end timestamp {end}")
     ranges = ranges if ranges is not None else raw_range(raw)
 
-    j = raw.join(F.broadcast(ranges), "metric")
+    # static pushdown bound: for every *valid* metric (begin <= t_last,
+    # end > t_first) the clamped begin bm = max(begin, t_first) >= begin, and
+    # invalid metrics contribute nothing — so `time >= begin` prunes the
+    # parquet scan (join-dependent predicates like `time >= bm` cannot).
+    j = (raw.filter(F.col("time") >= F.lit(begin))
+         .join(F.broadcast(ranges), "metric"))
     bm = F.greatest(F.least(F.lit(begin), F.col("t_last")), F.col("t_first"))
     em = F.greatest(F.least(F.lit(end), F.col("t_last")), F.col("t_first"))
     valid = (F.lit(end) > F.col("t_first")) & (F.lit(begin) <= F.col("t_last"))

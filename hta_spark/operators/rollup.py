@@ -66,10 +66,43 @@ def lagged(raw: DataFrame) -> DataFrame:
     """Attach ``prev_time`` (strictly-earlier neighbour) per metric.
 
     One shuffle on ``metric`` + in-partition sort; feeds both the level-1
-    build and the raw-exact aggregate.
+    build and the raw-exact aggregate.  For a single giant metric this puts
+    the whole series through one task — use :func:`lagged_salted` there.
     """
     w = Window.partitionBy("metric").orderBy("time")
     return raw.withColumn("prev_time", F.lag("time").over(w))
+
+
+def lagged_salted(raw: DataFrame, chunks: int = 256,
+                  ranges: DataFrame | None = None) -> DataFrame:
+    """Skew-proof ``prev_time``: salt each metric's time range into
+    ``chunks`` contiguous slices, window within (metric, slice), and repair
+    each slice's first row from the previous *non-empty* slice's last
+    timestamp (a slice-count-sized aggregate + broadcast join).
+
+    Identical output to :func:`lagged` (equivalence-tested); turns the
+    one-task-per-metric sort into ``chunks`` parallel tasks, which is the
+    difference between a single-threaded and a cluster-wide build when one
+    metric dominates.  Cost: one extra tiny aggregate + broadcast join.
+    """
+    ranges = ranges if ranges is not None else raw_range(raw)
+    j = raw.join(F.broadcast(ranges), "metric")
+    span = F.col("t_last") - F.col("t_first")
+    width = F.greatest(F.call_function("div", span, F.lit(chunks)), F.lit(1))
+    c = F.least(F.call_function("div", F.col("time") - F.col("t_first"), width),
+                F.lit(chunks - 1).cast("long"))
+    df = j.withColumn("_c", c).drop("t_first", "t_last")
+
+    w_in = Window.partitionBy("metric", "_c").orderBy("time")
+    df = df.withColumn("_lag_in", F.lag("time").over(w_in))
+
+    chunk_last = df.groupBy("metric", "_c").agg(F.max("time").alias("_cl"))
+    w_c = Window.partitionBy("metric").orderBy("_c")
+    boundary = chunk_last.select(
+        "metric", "_c", F.lag("_cl").over(w_c).alias("_prev_last"))
+    return (df.join(F.broadcast(boundary), ["metric", "_c"], "left")
+            .withColumn("prev_time", F.coalesce("_lag_in", "_prev_last"))
+            .drop("_c", "_lag_in", "_prev_last"))
 
 
 def segment_pieces(
@@ -195,14 +228,19 @@ def _merge_pieces(pieces: DataFrame, interval: int, origin: int = 0) -> DataFram
 
 
 def build_level1(raw: DataFrame, interval: int,
-                 ranges: DataFrame | None = None) -> DataFrame:
+                 ranges: DataFrame | None = None,
+                 salt_chunks: int | None = None) -> DataFrame:
     """Level-1 rollup (closed buckets only) from the raw table.
 
     Equivalent to replaying ``Metric::insert`` (/root/reference/src/metric.cpp:510-560)
     over the whole series, keeping only closed intervals.
+    ``salt_chunks``: parallelize the per-metric window via
+    :func:`lagged_salted` (use when few metrics carry most rows).
     """
     ranges = ranges if ranges is not None else raw_range(raw)
-    pieces = segment_pieces(lagged(raw), interval)
+    lg = (lagged_salted(raw, salt_chunks, ranges) if salt_chunks
+          else lagged(raw))
+    pieces = segment_pieces(lg, interval)
     agg = _merge_pieces(pieces, interval)
     return (
         agg.join(F.broadcast(ranges), "metric")
@@ -236,7 +274,8 @@ def build_next_level(child: DataFrame, child_interval: int, factor: int,
 
 
 def build_levels(raw: DataFrame, meta: Meta,
-                 cache_level1: bool = True) -> dict[int, DataFrame]:
+                 cache_level1: bool = True,
+                 salt_chunks: int | None = None) -> dict[int, DataFrame]:
     """Build the whole hierarchy: dict interval_ns -> agg DataFrame.
 
     Levels cascade (each built from the previous), so materializing level 1
@@ -248,7 +287,7 @@ def build_levels(raw: DataFrame, meta: Meta,
     intervals = meta.level_intervals()
     if not intervals:
         return out
-    lvl = build_level1(raw, intervals[0], ranges)
+    lvl = build_level1(raw, intervals[0], ranges, salt_chunks=salt_chunks)
     if cache_level1 and len(intervals) > 1:
         lvl = lvl.cache()
     out[intervals[0]] = lvl

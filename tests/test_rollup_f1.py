@@ -121,3 +121,24 @@ def test_single_point_metric(spark):
                                "metric string, time long, value double")
     levels = build_levels(df, Meta())
     assert levels[10 * SECOND].count() == 0
+
+
+def test_salted_lag_equivalence(spark, f1_raw):
+    # lagged_salted must equal lagged exactly, including across empty chunks
+    from hta_spark.operators.rollup import lagged, lagged_salted
+    a = {(r["metric"], r["time"]): r["prev_time"]
+         for r in lagged(f1_raw).collect()}
+    for chunks in (4, 17, 256):
+        b = {(r["metric"], r["time"]): r["prev_time"]
+             for r in lagged_salted(f1_raw, chunks).collect()}
+        assert a == b, f"chunks={chunks}"
+
+
+def test_salted_build_equivalence(spark, f1_raw):
+    from .conftest import F1_META
+    plain = build_levels(f1_raw, F1_META)
+    salted = build_levels(f1_raw, F1_META, salt_chunks=8)
+    for iv in F1_META.level_intervals():
+        pa = {r["interval_start"]: tuple(r) for r in plain[iv].collect()}
+        pb = {r["interval_start"]: tuple(r) for r in salted[iv].collect()}
+        assert pa == pb, f"interval {iv}"
