@@ -81,7 +81,8 @@ def ivf_topk(emb: DataFrame, centroids: list[tuple[int, list[float]]],
         d = sum(x * y for x, y in zip(a, b))
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(y * y for y in b))
-        return d / (na * nb)
+        return round(d / (na * nb), 6)   # rounded like ivf_assign, so an
+        # external oracle ranks probes identically
     probed = sorted(centroids, key=lambda cv: (-py_cos(cv[1], query_vec), cv[0]))
     probe_ids = [cid for cid, _ in probed[:nprobe]]
     assigned = ivf_assign(emb, centroids, id_col, vec_col)

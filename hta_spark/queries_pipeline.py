@@ -303,6 +303,107 @@ FROM best WHERE rk = 1 GROUP BY 1
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """Approximate top-k: probe the 2 max-cosine clusters of a seeded IVF
+    quantizer, exact cosine within them."""
+    from .pipeline.ann import ivf_topk
+    emb = _emb(spark, sf_dir)
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") < 10)
+             .select("vec_id", "embedding").collect()]
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]]
+    return ivf_topk(emb, cents, qv, k=10, nprobe=2)
+
+
+SQL_ANN_IVF_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42),
+c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 10
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(cv, (SELECT qv FROM q)), 6) DESC,
+                      cid) AS rk
+    FROM c) t
+  WHERE rk <= 2
+),
+a AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS s
+  FROM embeddings e CROSS JOIN c
+),
+best AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+    FROM a) t
+  WHERE rk = 1
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT qv FROM q)), 4)
+           AS cos_sim
+FROM embeddings e
+JOIN best b ON e.vec_id = b.vec_id
+WHERE b.cid IN (SELECT cid FROM probe)
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_dedup_injected(spark, sf_dir):
+    """Near-dup detection with planted duplicates: docs 0..49 are re-added
+    with the first token dropped (doc_id + 1000000); the jaccard pair scan
+    must recover the planted (i, i+1000000) pairs."""
+    from .pipeline.dedup import ngram_jaccard_pairs, tokens_col
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = tokens_col(F.col("text"))
+    mutated = (docs.filter(F.col("doc_id") < 50)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.concat_ws(" ", F.slice(toks, 2, F.size(toks) - 1))
+                       .alias("text")))
+    corpus = docs.unionByName(mutated)
+    pairs = ngram_jaccard_pairs(corpus, shingle_n=3, min_shared=2)
+    return (pairs.filter(F.col("jaccard") >= 0.5)
+            .orderBy(F.desc("jaccard"), "a", "b").limit(100))
+
+
+SQL_DEDUP_INJECTED = """
+WITH base AS (SELECT doc_id, text FROM documents),
+mut AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           string_split(lower(trim(text)), ' ')[2:len(string_split(lower(trim(text)), ' '))],
+           ' ') AS text
+  FROM documents WHERE doc_id < 50
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM corpus),
+sh0 AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shs
+  FROM toks WHERE len(t) >= 3
+),
+ex AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM sh0),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY 1),
+shared AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM ex l JOIN ex r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT a, b, jaccard FROM (
+  SELECT s.a, s.b,
+         round(s.shared / (sa.sz + sb.sz - s.shared), 4) AS jaccard
+  FROM shared s
+  JOIN sizes sa ON s.a = sa.doc_id
+  JOIN sizes sb ON s.b = sb.doc_id) t
+WHERE jaccard >= 0.5
+ORDER BY jaccard DESC, a, b LIMIT 100
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_prefix": (q_dedup_prefix, SQL_DEDUP_PREFIX),
@@ -315,4 +416,6 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_assign": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "dedup_injected": (q_dedup_injected, SQL_DEDUP_INJECTED),
 }

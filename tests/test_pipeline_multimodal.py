@@ -1,0 +1,67 @@
+"""Multimodal binary-column plumbing tests (decode stubbed by design —
+no codecs in the container) + IVF search behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hta_spark.pipeline.ann import cosine_topk, ivf_assign, ivf_topk
+from hta_spark.pipeline.multimodal import (attach_binary_metadata,
+                                           decode_image_meta, sample_frames)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, "image" if i % 2 == 0 else "video",
+             bytes([i % 256, (i * 7) % 256, 3, 4, 5]), {"src": f"s{i}"})
+            for i in range(20)]
+    return spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary, "
+              "meta map<string,string>")
+
+
+def test_binary_metadata(spark, media):
+    out = attach_binary_metadata(media).collect()
+    assert all(r["payload_len"] == 5 for r in out)
+    assert all(len(r["payload_md5"]) == 32 for r in out)
+    assert all(len(r["magic_hex"]) == 8 for r in out)
+
+
+def test_decode_stub_raises(spark, media):
+    with pytest.raises(Exception) as ei:
+        decode_image_meta(media).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_decode_fake_deterministic(spark, media):
+    a = {r["asset_id"]: (r["width"], r["height"], r["channels"])
+         for r in decode_image_meta(media, fake=True).collect()}
+    b = {r["asset_id"]: (r["width"], r["height"], r["channels"])
+         for r in decode_image_meta(media, fake=True).collect()}
+    assert a == b
+    assert all(64 <= w < 256 and c == 3 for (w, h, c) in a.values())
+
+
+def test_sample_frames_fanout(spark, media):
+    out = sample_frames(media.filter(F.col("media_type") == "video"),
+                        n_frames=4)
+    rows = out.collect()
+    assert len(rows) == 10 * 4
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2, 3}
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") < 10)
+             .select("vec_id", "embedding").collect()]
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_topk(emb, cents, q, k=10, nprobe=4).collect()]
+    # approximate search returns a valid top-k of its probed subset, with
+    # reasonable overlap against exact on this small corpus
+    assert len(approx) == 10
+    assert len(set(exact) & set(approx)) >= 3
