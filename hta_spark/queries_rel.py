@@ -413,7 +413,201 @@ FROM g GROUP BY 1, 2
 """
 
 
+# -- TPC-H Q4-ish: order priority with EXISTS -------------------------------
+
+def q4_order_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") >= "1996-01-01").select("l_orderkey").distinct()
+    return (orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority").agg(F.count("*").alias("order_count")))
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate >= TIMESTAMP '1996-01-01')
+GROUP BY 1
+"""
+
+
+# -- TPC-H Q6: forecast revenue (pure filter + agg) --------------------------
+
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & (F.col("l_discount") >= 0.02)
+                      & (F.col("l_discount") <= 0.08)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+SQL_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.08
+  AND l_quantity < 24
+"""
+
+
+# -- TPC-H Q10-ish: returned-item customers ---------------------------------
+
+def q10_returned_items(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey))
+    return (j.groupBy("c_custkey", "c_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey").limit(20))
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# -- TPC-H Q12-ish: shipping mode CASE aggregation --------------------------
+
+def q12_priority_case(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    hi = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (j.groupBy("l_linestatus")
+            .agg(F.sum(hi).cast("long").alias("high_line_count"),
+                 F.sum(1 - hi).cast("long").alias("low_line_count")))
+
+
+SQL_Q12 = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+# -- TPC-H Q14-ish: conditional revenue share -------------------------------
+
+def q14_promo_share(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+    return j.agg(
+        F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_pct"),
+        F.count("*").alias("n"))
+
+
+SQL_Q14 = """
+SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# -- TPC-H Q18-ish: large-volume orders (HAVING subquery) -------------------
+
+def q18_large_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+           .filter(F.col("qty") > 250))
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .select("o_orderkey", F.round("qty", 2).alias("total_qty"),
+                    "o_totalprice")
+            .orderBy(F.desc("total_qty"), "o_orderkey").limit(20))
+
+
+SQL_Q18 = """
+SELECT o_orderkey, round(qty, 2) AS total_qty, o_totalprice
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) t
+  ON o_orderkey = l_orderkey
+ORDER BY total_qty DESC, o_orderkey LIMIT 20
+"""
+
+
+# -- TPC-H Q19-ish: disjunctive predicates ----------------------------------
+
+def q19_disjunction(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 10))
+            | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 20))
+            | ((F.col("p_size") >= 40) & (F.col("l_quantity") >= 30)))
+    return (j.filter(cond)
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+SQL_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND l_quantity >= 20)
+   OR (p_size >= 40 AND l_quantity >= 30)
+"""
+
+
+# -- correlated-style aggregate comparison (Q17 flavor) ---------------------
+
+def q17_below_avg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = (li.groupBy("l_partkey")
+               .agg((F.avg("l_quantity") * 0.5).alias("half_avg")))
+    j = li.join(avg_qty, "l_partkey")
+    return (j.filter(F.col("l_quantity") < F.col("half_avg"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+                 F.count("*").alias("n")))
+
+
+SQL_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem l1
+JOIN (SELECT l_partkey, avg(l_quantity) * 0.5 AS half_avg
+      FROM lineitem GROUP BY 1) t USING (l_partkey)
+WHERE l1.l_quantity < t.half_avg
+"""
+
+
 REL_QUERIES: dict[str, tuple] = {
+    "q4_order_priority": (q4_order_priority, SQL_Q4),
+    "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
+    "q10_returned_items": (q10_returned_items, SQL_Q10),
+    "q12_priority_case": (q12_priority_case, SQL_Q12),
+    "q14_promo_share": (q14_promo_share, SQL_Q14),
+    "q17_below_avg": (q17_below_avg, SQL_Q17),
+    "q18_large_orders": (q18_large_orders, SQL_Q18),
+    "q19_disjunction": (q19_disjunction, SQL_Q19),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
     "q5_local_supplier": (q5_local_supplier, SQL_Q5),
