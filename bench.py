@@ -79,6 +79,11 @@ def main() -> None:
 
     spark = get_spark(app_name="hta_spark_bench")
     qs = entry_mod.queries()
+    # JVM/codegen warmup (excluded from timings): a small end-to-end pass
+    warm = qs.get("hta_level1_rollup")
+    if warm is not None:
+        warm(spark, "/root/testdata/sf0.001") \
+            .write.mode("overwrite").format("noop").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
