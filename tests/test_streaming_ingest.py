@@ -85,3 +85,38 @@ def test_structured_streaming_smoke(spark, tmp_path):
         inc = ing.level(iv)
         assert inc is not None
         assert _level_dict(inc) == _level_dict(continuous[iv])
+
+
+def test_stateful_stream_level1_matches_batch(spark, tmp_path):
+    """applyInPandasWithState closed-interval stream must equal the batch
+    level-1 build, across multiple micro-batches (state persistence)."""
+    from hta_spark import SECOND
+    from hta_spark.streaming.live import stream_level1
+
+    src = tmp_path / "live_src"
+    src.mkdir()
+    pts = f1_points()
+    # 4 files -> 4 micro-batches with maxFilesPerTrigger=1
+    n = len(pts)
+    for i in range(4):
+        chunk = pts[i * n // 4:(i + 1) * n // 4]
+        _as_df(spark, chunk).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (spark.readStream
+              .schema("metric string, time long, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "b*")))
+    out = stream_level1(stream, 10 * SECOND)
+    q = (out.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "live_ckpt"))
+         .format("memory").queryName("live_l1").start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r["metric"], r["interval_start"]):
+           (r["minimum"], r["maximum"], r["sum"], r["count"], r["integral"],
+            r["active_time"])
+           for r in spark.sql("SELECT * FROM live_l1").collect()}
+    expected = _level_dict(
+        build_levels(_as_df(spark, pts), F1_META)[10 * SECOND])
+    assert got == expected
