@@ -112,7 +112,13 @@ class HtaStore:
         path = f"{self.base}/levels/{interval}"
         if not os.path.exists(path):
             return None
-        return self.spark.read.parquet(path)
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            # a level with no closed buckets yet writes no schema files
+            # (empty dataframe); the reference likewise has an empty file
+            from ..schemas import AGG_SCHEMA
+            return self.spark.createDataFrame([], AGG_SCHEMA)
 
     def levels_for(self, meta: Meta) -> dict[int, DataFrame]:
         out = {}

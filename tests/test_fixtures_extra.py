@@ -190,3 +190,48 @@ def test_smooth_raw_matches_spec(spark, f1_raw, b_s, e_s, iv_s):
         assert r["minimum"] == mn and r["maximum"] == mx
         assert r["sum"] == sm and r["count"] == cnt
         assert r["integral"] == integral and r["active_time"] == active
+
+
+def test_store_build_heterogeneous_metas(spark, tmp_path):
+    """Full persistence round trip: two metrics with different hierarchy
+    params built in one store; facade queries read the right tables."""
+    from pyspark.sql import functions as F
+    from hta_spark.operators import build_levels
+    base = str(tmp_path / "hstore")
+    m_a = Meta(interval_min=10 * SECOND, interval_max=1000 * SECOND,
+               interval_factor=10)
+    m_b = Meta(interval_min=20 * SECOND, interval_max=2000 * SECOND,
+               interval_factor=10)
+    store = HtaStore(spark, base, configs={"a": m_a, "b": m_b})
+    t0 = 1_519_130_000 * SECOND
+    pts = ([("a", t0 + i * SECOND, float(i)) for i in range(1, 300)]
+           + [("b", t0 + 2 * i * SECOND, float(-i)) for i in range(1, 200)])
+    store.write_raw(spark.createDataFrame(
+        pts, "metric string, time long, value double"))
+    store.build()
+
+    # level tables exist for the union of both hierarchies
+    for iv in (10 * SECOND, 20 * SECOND, 100 * SECOND, 1000 * SECOND,
+               2000 * SECOND):
+        assert store.level(iv) is not None, iv
+
+    # per-metric rows match a direct in-memory build
+    raw = store.raw()
+    for name, meta in (("a", m_a), ("b", m_b)):
+        sub = raw.filter(F.col("metric") == name)
+        direct = build_levels(sub, meta)
+        for iv, df in direct.items():
+            got = {r["interval_start"]: r["count"]
+                   for r in store.level(iv).filter(
+                       F.col("metric") == name).collect()}
+            want = {r["interval_start"]: r["count"] for r in df.collect()}
+            assert got == want, (name, iv)
+
+    # facade: flex pick + exact aggregate through the store
+    m = store["a"]
+    kind, rows = m.retrieve_flex(t0, t0 + 300 * SECOND, 100 * SECOND)
+    assert kind == "rows"
+    assert rows.count() == 2  # two closed 100 s rows for metric a
+    agg = m.aggregate(t0 + 50 * SECOND, t0 + 250 * SECOND).collect()[0]
+    assert agg["active_time"] == 200 * SECOND
+    assert agg["count"] == 200
