@@ -48,10 +48,17 @@ class HtaStore:
     def __init__(self, spark: SparkSession, base_path: str,
                  configs: dict[str, Meta] | None = None,
                  prefix_configs: dict[str, Meta] | None = None,
-                 partition_by_metric: bool = True):
+                 partition_by_metric: bool = True,
+                 partition_time_days: bool = False):
+        """``partition_time_days``: additionally partition the raw table by
+        UTC day (derived from the ns timestamp).  At 100 TB this is the
+        difference between directory-level pruning of a time-range query and
+        relying on row-group stats alone; day bounds are injected by the
+        Metric facade where scope semantics allow (see ``_day_bounds``)."""
         self.spark = spark
         self.base = base_path.rstrip("/")
         self.partition_by_metric = partition_by_metric
+        self.partition_time_days = partition_time_days
         self._configs: dict[str, Meta] = dict(configs or {})
         self._prefix: dict[str, Meta] = dict(prefix_configs or {})
         if os.path.exists(self._meta_path()) and not configs:
@@ -106,7 +113,27 @@ class HtaStore:
         path = f"{self.base}/raw"
         if not os.path.exists(path):
             return None
-        return self.spark.read.parquet(path)
+        df = self.spark.read.parquet(path)
+        if "day" in df.columns:
+            df = df.select("metric", "time", "value", "day")
+        return df
+
+    @staticmethod
+    def day_pruned(raw: DataFrame, begin: int | None, end: int | None) -> DataFrame:
+        """Inject day-partition bounds for a time range where scope
+        semantics allow (closed/open endpoints only — extended endpoints may
+        need arbitrarily distant neighbour points).  Day = time div 86400e9."""
+        if "day" not in raw.columns:
+            return raw
+        d = 86_400_000_000_000
+        cond = None
+        if begin is not None:
+            c = F.col("day") >= F.lit(begin // d)
+            cond = c
+        if end is not None:
+            c = F.col("day") <= F.lit(end // d)
+            cond = c if cond is None else (cond & c)
+        return raw.filter(cond) if cond is not None else raw
 
     def level(self, interval: int) -> DataFrame | None:
         path = f"{self.base}/levels/{interval}"
@@ -137,10 +164,18 @@ class HtaStore:
         if validate:
             if df.filter(F.col("time") <= 0).limit(1).count() > 0:
                 raise InvalidTimestampError("cannot insert invalid (<= 0) time")
-        w = df.select("metric", "time", "value").sortWithinPartitions("metric", "time")
-        writer = w.write.mode(mode)
+        w = df.select("metric", "time", "value")
+        parts = []
         if self.partition_by_metric:
-            writer = writer.partitionBy("metric")
+            parts.append("metric")
+        if self.partition_time_days:
+            w = w.withColumn("day", F.call_function(
+                "div", F.col("time"), F.lit(86_400_000_000_000)))
+            parts.append("day")
+        w = w.sortWithinPartitions("metric", "time")
+        writer = w.write.mode(mode)
+        if parts:
+            writer = writer.partitionBy(*parts)
         writer.parquet(f"{self.base}/raw")
 
     def build(self, metas: dict[str, Meta] | None = None) -> None:
@@ -196,7 +231,11 @@ class Metric:
 
     def retrieve(self, begin: int, end: int,
                  scope: IntervalScope = RAW_DEFAULT) -> DataFrame:
-        return retrieve_raw(self._raw(), begin, end, scope)
+        from ..operators.scopes import Scope
+        raw = self._raw()
+        lo = begin if scope.begin in (Scope.closed, Scope.open) else None
+        hi = end if scope.end in (Scope.closed, Scope.open) else None
+        return retrieve_raw(HtaStore.day_pruned(raw, lo, hi), begin, end, scope)
 
     def retrieve_rows(self, begin: int, end: int, interval_upper: int,
                       scope: IntervalScope = ROW_DEFAULT) -> DataFrame:
@@ -220,7 +259,14 @@ class Metric:
             if levels:
                 return aggregate_telescope(self._raw(), levels, self.meta,
                                            begin, end)
-        return aggregate_exact(self._raw(), begin, end)
+        # lower day-bound is safe for the scan (only points >= clamped begin
+        # contribute) — but per-metric ranges must come from the *unpruned*
+        # table, or clamping would see a false t_first; the upper boundary
+        # point may be days later, so no upper bound.
+        from ..operators.rollup import raw_range
+        raw = self._raw()
+        return aggregate_exact(HtaStore.day_pruned(raw, begin, None),
+                               begin, end, ranges=raw_range(raw))
 
     def count(self, begin: int | None = None, end: int | None = None,
               scope: IntervalScope = RAW_DEFAULT) -> int:

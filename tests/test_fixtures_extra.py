@@ -235,3 +235,36 @@ def test_store_build_heterogeneous_metas(spark, tmp_path):
     agg = m.aggregate(t0 + 50 * SECOND, t0 + 250 * SECOND).collect()[0]
     assert agg["active_time"] == 200 * SECOND
     assert agg["count"] == 200
+
+
+def test_day_partitioned_store_prunes(spark, tmp_path):
+    """Time-day partition layout: results identical, and the day bounds
+    appear as partition filters in the scan."""
+    from pyspark.sql import functions as F
+    base = str(tmp_path / "daystore")
+    store = HtaStore(spark, base, configs={"m": Meta()},
+                     partition_time_days=True)
+    day = 86_400_000_000_000
+    pts = [("m", 3 * day + i * 3_600_000_000_000, float(i)) for i in range(1, 24)]
+    pts += [("m", 5 * day + i * 3_600_000_000_000, float(i)) for i in range(1, 24)]
+    store.write_raw(spark.createDataFrame(
+        pts, "metric string, time long, value double"))
+
+    m = store["m"]
+    b, e = 5 * day, 5 * day + 12 * 3_600_000_000_000
+    from hta_spark.operators import IntervalScope, Scope
+    got = sorted(r["time"] for r in
+                 m.retrieve(b, e, IntervalScope(Scope.closed, Scope.open)).collect())
+    assert got == [5 * day + i * 3_600_000_000_000 for i in range(1, 12)]
+    plan = m.retrieve(b, e, IntervalScope(Scope.closed, Scope.open)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "day" in plan and ("PartitionFilters: [isnotnull(day" in plan
+                              or "day#" in plan)
+
+    # aggregate through the pruned path still clamps against true ranges
+    agg = m.aggregate(4 * day, 6 * day, use_levels=False).collect()[0]
+    # active_time = clamped span: from first point of day5? no — begin=4*day
+    # clamps to max(begin, t_first=3d+1h) = 4*day; end clamps to t_last
+    t_first = 3 * day + 3_600_000_000_000
+    t_last = 5 * day + 23 * 3_600_000_000_000
+    assert agg["active_time"] == min(6 * day, t_last) - max(4 * day, t_first)
