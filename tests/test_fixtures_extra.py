@@ -268,3 +268,21 @@ def test_day_partitioned_store_prunes(spark, tmp_path):
     t_first = 3 * day + 3_600_000_000_000
     t_last = 5 * day + 23 * 3_600_000_000_000
     assert agg["active_time"] == min(6 * day, t_last) - max(4 * day, t_first)
+
+
+def test_sql_views(spark, f1_raw):
+    """The engine's tables are queryable via spark.sql with identical
+    results to the DataFrame API."""
+    from hta_spark.sql import register_views
+    names = register_views(spark, f1_raw, F1_META)
+    assert names["raw"] == "hta_raw"
+    n = spark.sql("SELECT count(*) AS n FROM hta_raw").collect()[0]["n"]
+    assert n == 110
+    rows = spark.sql(f"""
+        SELECT interval_start, `count`, `sum`,
+               integral / active_time AS mean_val
+        FROM {names[10 * SECOND]}
+        WHERE metric = 'foo' AND interval_start = {tp(30)}
+    """).collect()
+    assert len(rows) == 1
+    assert rows[0]["count"] == 0 and rows[0]["mean_val"] == -30.0
