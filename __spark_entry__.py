@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registry() -> dict[str, tuple]:
+    from hta_spark.queries_extra import EXTRA_QUERIES
     from hta_spark.queries_hta import HTA_QUERIES
     from hta_spark.queries_pipeline import PIPELINE_QUERIES
     from hta_spark.queries_rel import REL_QUERIES
@@ -46,6 +47,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(HTA_QUERIES)
     reg.update(REL_QUERIES)
     reg.update(PIPELINE_QUERIES)
+    reg.update(EXTRA_QUERIES)
     return reg
 
 

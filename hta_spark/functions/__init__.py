@@ -22,21 +22,29 @@ __all__ = [
 ]
 
 
-def mean_sum(sum_col: Column = F.col("sum"),
-             count_col: Column = F.col("count")) -> Column:
-    """sum/count; NaN when count == 0 (double 0/0)."""
+def mean_sum(sum_col: Column | None = None,
+             count_col: Column | None = None) -> Column:
+    """sum/count; NaN when count == 0 (double 0/0).
+
+    Defaults resolve lazily (F.col needs an active session; eager defaults
+    would break import before SparkSession creation)."""
+    sum_col = sum_col if sum_col is not None else F.col("sum")
+    count_col = count_col if count_col is not None else F.col("count")
     return sum_col / count_col.cast("double")
 
 
-def mean_integral(integral_col: Column = F.col("integral"),
-                  active_col: Column = F.col("active_time")) -> Column:
+def mean_integral(integral_col: Column | None = None,
+                  active_col: Column | None = None) -> Column:
+    integral_col = integral_col if integral_col is not None else F.col("integral")
+    active_col = active_col if active_col is not None else F.col("active_time")
     return integral_col / active_col.cast("double")
 
 
-def mean(sum_col: Column = F.col("sum"), count_col: Column = F.col("count"),
-         integral_col: Column = F.col("integral"),
-         active_col: Column = F.col("active_time")) -> Column:
+def mean(sum_col: Column | None = None, count_col: Column | None = None,
+         integral_col: Column | None = None,
+         active_col: Column | None = None) -> Column:
     """Prefer integral mean when active_time > 0 (types.hpp:81-88)."""
+    active_col = active_col if active_col is not None else F.col("active_time")
     return F.when(active_col > 0, mean_integral(integral_col, active_col)) \
             .otherwise(mean_sum(sum_col, count_col))
 
