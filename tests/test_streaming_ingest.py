@@ -120,3 +120,52 @@ def test_stateful_stream_level1_matches_batch(spark, tmp_path):
     expected = _level_dict(
         build_levels(_as_df(spark, pts), F1_META)[10 * SECOND])
     assert got == expected
+
+
+def test_stateful_stream_restart_from_checkpoint(spark, tmp_path):
+    """Kill the stateful query mid-stream, restart from the checkpoint with
+    new data arriving: closed rows across both runs must equal one
+    continuous batch build (restore_level contract, tests/restore.cpp)."""
+    from hta_spark import SECOND
+    from hta_spark.streaming.live import stream_level1
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "restart_ckpt")
+    pts = f1_points()
+    half = len(pts) // 2
+
+    def mk_stream():
+        return (spark.readStream
+                .schema("metric string, time long, value double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "b*")))
+
+    def sink(stream):
+        return (stream_level1(stream, 10 * SECOND)
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .format("parquet")
+                .option("path", str(tmp_path / "restart_out"))
+                .start())
+
+    # session 1: first half in two files
+    _as_df(spark, pts[:half // 2]).coalesce(1).write.parquet(str(src / "b0"))
+    _as_df(spark, pts[half // 2:half]).coalesce(1).write.parquet(str(src / "b1"))
+    q = sink(mk_stream())
+    q.processAllAvailable()
+    q.stop()            # "crash"
+
+    # session 2: rest arrives, new query resumes from the checkpoint
+    _as_df(spark, pts[half:]).coalesce(1).write.parquet(str(src / "b2"))
+    q = sink(mk_stream())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r["metric"], r["interval_start"]):
+           (r["minimum"], r["maximum"], r["sum"], r["count"], r["integral"],
+            r["active_time"])
+           for r in spark.read.parquet(str(tmp_path / "restart_out")).collect()}
+    expected = _level_dict(
+        build_levels(_as_df(spark, pts), F1_META)[10 * SECOND])
+    assert got == expected
