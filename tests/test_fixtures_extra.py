@@ -286,3 +286,38 @@ def test_sql_views(spark, f1_raw):
     """).collect()
     assert len(rows) == 1
     assert rows[0]["count"] == 0 and rows[0]["mean_val"] == -30.0
+
+
+def test_store_roundtrip_sf01_events(spark, tmp_path):
+    """Realistic store round trip at sf0.1: persist the events mapping,
+    build the hierarchy, answer a flex query and an exact aggregate through
+    the facade, cross-checked against in-memory results."""
+    from pyspark.sql import functions as F
+    from hta_spark.queries_hta import EVENTS_META, events_raw
+    from hta_spark.operators import aggregate_exact
+
+    raw = events_raw(spark, "/root/testdata/sf0.1")
+    base = str(tmp_path / "ev_store")
+    store = HtaStore(spark, base,
+                     configs={m: EVENTS_META for m in
+                              [r["metric"] for r in
+                               raw.select("metric").distinct().collect()]})
+    store.write_raw(raw)
+    store.build()
+
+    lo, hi = raw.agg(F.min("time"), F.max("time")).collect()[0]
+    mid, end = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    m = store["purchase"]
+    kind, rows = m.retrieve_flex(mid, end, 100 * 3600 * SECOND)
+    assert kind == "rows"
+    assert rows.count() > 0
+    got = m.aggregate(mid, end).collect()[0]
+    want = aggregate_exact(raw.filter(F.col("metric") == "purchase"),
+                           mid, end).collect()[0]
+    # min/max/count/active_time are order-independent -> exact; sum/integral
+    # accumulate in different orders between the telescoped and raw paths ->
+    # last-ulp tolerance (SURVEY.md §7.4)
+    for f in ["minimum", "maximum", "count", "active_time"]:
+        assert got[f] == want[f], f
+    assert math.isclose(got["sum"], want["sum"], rel_tol=1e-12)
+    assert math.isclose(got["integral"], want["integral"], rel_tol=1e-12)
