@@ -339,6 +339,82 @@ GROUP BY 1, 2
 """
 
 
+SMOOTH_IV = 1800 * SECOND  # 30-minute synthetic bins
+
+
+def q_hta_smooth_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retrieve_flex's raw-smoothing branch
+    (/root/reference/src/metric.cpp:259-311): scoped raw points re-binned
+    into begin-anchored synthetic intervals with LAST weighting, pre-begin
+    overhang folded into bucket 0."""
+    from .operators.retrieve import smooth_raw
+    from .operators.scopes import IntervalScope, Scope, filter_raw
+    raw = events_raw(spark, sf_dir)
+    pts = filter_raw(raw, RET_BEGIN, RET_END,
+                     IntervalScope(Scope.extended, Scope.open))
+    sm = smooth_raw(pts, RET_BEGIN, RET_END, SMOOTH_IV)
+    return sm.select(
+        "metric", "time",
+        F.col("minimum").alias("min_v"), F.col("maximum").alias("max_v"),
+        F.round(F.col("sum"), 3).alias("sum_v"), F.col("count").alias("cnt"),
+        F.round(F.col("integral") / F.lit(1e9), 3).alias("integral_s"),
+        F.col("active_time").alias("active_ns"))
+
+
+SQL_HTA_SMOOTH_RAW = f"""
+WITH pts AS ({EVT}),
+b AS (
+  SELECT metric, max(CASE WHEN time <= {RET_BEGIN} THEN time END) AS b_ext
+  FROM pts GROUP BY 1),
+scoped AS (
+  SELECT p.metric, p.time, p.value
+  FROM pts p JOIN b ON p.metric = b.metric
+  WHERE (b.b_ext IS NULL OR p.time >= b.b_ext) AND p.time < {RET_END}
+),
+lg AS (
+  SELECT metric, time, value,
+         lag(time) OVER (PARTITION BY metric ORDER BY time) AS prev
+  FROM scoped
+),
+seg AS (
+  SELECT metric, time, value,
+         coalesce(prev, least({RET_BEGIN}, time)) AS sb,
+         least(time, {RET_END}) AS se
+  FROM lg
+),
+apieces AS (
+  SELECT metric, (time - {RET_BEGIN}) // {SMOOTH_IV} AS k, value,
+         1 AS cnt, 0 AS dur
+  FROM seg WHERE time >= {RET_BEGIN} AND time < {RET_END}
+),
+braw AS (
+  SELECT metric, value, sb, se,
+         unnest(range(greatest((sb - {RET_BEGIN}) // {SMOOTH_IV}, 0),
+                      greatest((se - 1 - {RET_BEGIN}) // {SMOOTH_IV}, 0) + 1)) AS k
+  FROM seg
+  WHERE time >= {RET_BEGIN} AND sb <= se AND se >= {RET_BEGIN}
+),
+bpieces AS (
+  SELECT metric, k, value, 0 AS cnt,
+         least({RET_BEGIN} + (k + 1) * {SMOOTH_IV}, se)
+         - greatest(CASE WHEN k = 0 THEN least({RET_BEGIN}, sb)
+                         ELSE {RET_BEGIN} + k * {SMOOTH_IV} END, sb) AS dur
+  FROM braw
+),
+pieces AS (
+  SELECT metric, k, value, cnt, dur FROM apieces
+  UNION ALL SELECT metric, k, value, cnt, dur FROM bpieces
+)
+SELECT metric, {RET_BEGIN} + k * {SMOOTH_IV} AS time,
+       min(value) AS min_v, max(value) AS max_v,
+       round(sum(CASE WHEN cnt = 1 THEN value ELSE 0 END), 3) AS sum_v,
+       CAST(sum(cnt) AS BIGINT) AS cnt,
+       round(sum(value * (dur / 1e9)), 3) AS integral_s,
+       CAST(sum(dur) AS BIGINT) AS active_ns
+FROM pieces GROUP BY 1, 2
+"""
+
+
 HTA_QUERIES: dict[str, tuple] = {
     "hta_level1_rollup": (q_hta_level1, _rollup_sql(LEVEL1)),
     "hta_level2_rollup": (q_hta_level2, _rollup_sql(LEVEL1, 10 * LEVEL1)),
@@ -348,6 +424,7 @@ HTA_QUERIES: dict[str, tuple] = {
     "hta_range": (q_hta_range, SQL_HTA_RANGE),
     "hta_last": (q_hta_last, SQL_HTA_LAST),
     "hta_smooth3": (q_hta_smooth3, SQL_HTA_SMOOTH3),
+    "hta_smooth_raw": (q_hta_smooth_raw, SQL_HTA_SMOOTH_RAW),
     "hta_throttle": (q_hta_throttle, SQL_HTA_THROTTLE),
     "hta_check_dups": (q_hta_check_dups, SQL_HTA_CHECK_DUPS),
 }
