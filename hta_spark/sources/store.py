@@ -178,6 +178,38 @@ class HtaStore:
             writer = writer.partitionBy(*parts)
         writer.parquet(f"{self.base}/raw")
 
+    def compact(self, table: str = "raw", target_partitions: int = 1) -> int:
+        """Small-file compaction for streaming-appended tables: rewrite the
+        table coalesced and re-sorted by (metric, time).  Streaming ingest
+        appends a few files per micro-batch; at scale those small files
+        dominate scan planning cost — periodic compaction restores
+        row-group-stat pruning efficiency.  Returns the file count after.
+
+        (A Delta OPTIMIZE/Z-ORDER drops in here when the jars are present.)
+        """
+        path = (f"{self.base}/raw" if table == "raw"
+                else f"{self.base}/levels/{table}")
+        if not os.path.exists(path):
+            return 0
+        df = self.spark.read.parquet(path)
+        sort_cols = ["metric", "time"] if "time" in df.columns \
+            else ["metric", "interval_start"]
+        tmp = f"{path}.compact_tmp"
+        (df.repartition(max(target_partitions, 1), "metric")
+           .sortWithinPartitions(*sort_cols)
+           .write.mode("overwrite").parquet(tmp))
+        out = self.spark.read.parquet(tmp)
+        writer = out.write.mode("overwrite")
+        if self.partition_by_metric and table == "raw" and "day" not in df.columns:
+            writer = writer.partitionBy("metric")
+        writer.parquet(path)
+        self.spark.catalog.refreshByPath(path)
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        n = sum(1 for root, _d, files in os.walk(path)
+                for f in files if f.endswith(".parquet"))
+        return n
+
     def build(self, metas: dict[str, Meta] | None = None) -> None:
         """(Re)build all rollup levels for all metrics.
 

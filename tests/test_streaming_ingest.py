@@ -169,3 +169,30 @@ def test_stateful_stream_restart_from_checkpoint(spark, tmp_path):
     expected = _level_dict(
         build_levels(_as_df(spark, pts), F1_META)[10 * SECOND])
     assert got == expected
+
+
+def test_compaction_after_streaming(spark, tmp_path):
+    """Many-batch ingest leaves many small files; compaction rewrites them
+    without changing query results."""
+    import os
+    from hta_spark.sources import HtaStore
+    from hta_spark import Meta
+
+    base = str(tmp_path / "compact_store")
+    ing = IncrementalRollup(spark, base, F1_META)
+    pts = f1_points()
+    for i in range(0, len(pts), 10):    # 11 micro-batches
+        ing.ingest(_as_df(spark, pts[i:i + 10]))
+    raw_dir = f"{base}/raw"
+    files_before = sum(1 for _r, _d, fs in os.walk(raw_dir)
+                       for f in fs if f.endswith(".parquet"))
+    before = sorted((r["metric"], r["time"], r["value"])
+                    for r in spark.read.parquet(raw_dir).collect())
+
+    store = HtaStore(spark, base, configs={"foo": F1_META},
+                     partition_by_metric=False)
+    files_after = store.compact("raw", target_partitions=1)
+    assert files_after < files_before
+    after = sorted((r["metric"], r["time"], r["value"])
+                   for r in store.raw().collect())
+    assert after == before
