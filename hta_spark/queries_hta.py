@@ -339,6 +339,20 @@ GROUP BY 1, 2
 """
 
 
+def q_hta_level1_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-1 rollup with user_id as the metric key (15 concurrent series)
+    — stresses multi-metric bucketing/closing in one build."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("time")
+    raw = (ev.select(F.col("user_id").cast("string").alias("metric"), t, "value")
+           .groupBy("metric", "time").agg(F.max("value").alias("value")))
+    return _round_rollup(build_level1(raw, LEVEL1))
+
+
+_EVT_USER = ("SELECT CAST(user_id AS VARCHAR) AS metric, epoch_ns(ts) AS time, "
+             "max(value) AS value FROM events GROUP BY 1, 2")
+
+
 SMOOTH_IV = 1800 * SECOND  # 30-minute synthetic bins
 
 
@@ -418,6 +432,8 @@ FROM pieces GROUP BY 1, 2
 HTA_QUERIES: dict[str, tuple] = {
     "hta_level1_rollup": (q_hta_level1, _rollup_sql(LEVEL1)),
     "hta_level2_rollup": (q_hta_level2, _rollup_sql(LEVEL1, 10 * LEVEL1)),
+    "hta_level1_by_user": (q_hta_level1_by_user,
+                           _rollup_sql(LEVEL1).replace(EVT, _EVT_USER)),
     "hta_aggregate_range": (q_hta_aggregate, SQL_HTA_AGGREGATE),
     "hta_retrieve_extended": (q_hta_retrieve_extended, SQL_HTA_RETRIEVE_EXTENDED),
     "hta_count_scoped": (q_hta_count_scoped, SQL_HTA_COUNT_SCOPED),
