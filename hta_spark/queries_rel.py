@@ -599,7 +599,54 @@ WHERE l1.l_quantity < t.half_avg
 """
 
 
+# -- native session_window (Spark-native stateless sessionization) ----------
+
+def q_session_window(spark, sf_dir):
+    """Batch sessionization via Spark's native ``session_window`` — the
+    1-hour-gap sessions as (user, start, end, n).  Times compared as epoch
+    micros (DuckDB truncates parquet ns to µs)."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.timestamp_micros(F.call_function(
+        "div", F.col("ts"), F.lit(1000)))
+    sw = F.session_window(ts, "1 hour")
+    return (ev.withColumn("tsev", ts)
+            .groupBy("user_id", sw.alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("session_value"))
+            .select("user_id",
+                    F.unix_micros("w.start").alias("start_us"),
+                    F.unix_micros("w.end").alias("end_us"),
+                    "n_events", "session_value"))
+
+
+SQL_SESSION_WINDOW = """
+WITH l AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM l),
+g AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sid
+  FROM s)
+SELECT user_id,
+       min(epoch_us(ts)) AS start_us,
+       max(epoch_us(ts)) + 3600000000 AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM g GROUP BY user_id, sid
+"""
+
+
 REL_QUERIES: dict[str, tuple] = {
+    "q_session_window": (q_session_window, SQL_SESSION_WINDOW),
     "q4_order_priority": (q4_order_priority, SQL_Q4),
     "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
     "q10_returned_items": (q10_returned_items, SQL_Q10),

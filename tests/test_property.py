@@ -125,3 +125,64 @@ def test_salted_lag_property(spark, deltas, chunks):
     b = {r["time"]: r["prev_time"]
          for r in lagged_salted(df, chunks).collect()}
     assert a == b
+
+
+def _spec_find_range(times, begin, end, sb, se):
+    """find_index re-implemented from spec
+    (/root/reference/src/storage/file/metric.cpp:255-327): returns the
+    included [lo, hi) index range for sorted times."""
+    import bisect
+    sz = len(times)
+    if sz == 0:
+        return (0, 0)
+
+    def before_or_on(t):
+        i = bisect.bisect_right(times, t) - 1
+        return i  # -1 if none
+
+    def on_or_after(t):
+        return bisect.bisect_left(times, t)  # sz if none
+
+    if sb == "closed":
+        lo = on_or_after(begin)
+    elif sb == "open":
+        lo = before_or_on(begin)
+        if lo < sz:
+            lo += 1
+    elif sb == "extended":
+        lo = max(before_or_on(begin), 0)
+    else:
+        lo = 0
+
+    if se == "closed":
+        hi = before_or_on(end)
+    elif se == "open":
+        hi = on_or_after(end) - 1
+    elif se == "extended":
+        hi = on_or_after(end)
+    else:
+        hi = sz - 1
+    if hi < sz:
+        hi += 1
+    return (lo, hi)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(deltas=series_strategy,
+       b_off=st.integers(min_value=-50, max_value=2100),
+       span=st.integers(min_value=0, max_value=2200),
+       sb=st.sampled_from(["closed", "open", "extended", "infinity"]),
+       se=st.sampled_from(["closed", "open", "extended", "infinity"]))
+def test_scope_algebra_matches_spec(spark, deltas, b_off, span, sb, se):
+    from hta_spark.operators import IntervalScope, Scope, filter_raw
+    pts = _mk_points(deltas)
+    df = spark.createDataFrame(pts, "metric string, time long, value double")
+    b = T0 + b_off * SECOND
+    e = b + span * SECOND
+    times = [p[1] for p in pts]
+    lo, hi = _spec_find_range(times, b, e, sb, se)
+    expected = set(times[max(lo, 0):max(hi, 0)])
+    got = {r["time"] for r in filter_raw(
+        df, b, e, IntervalScope(Scope(sb), Scope(se))).collect()}
+    assert got == expected, (sb, se, b_off, span)

@@ -108,3 +108,19 @@ def test_count_via_levels_matches_raw(spark, f1_raw):
                for r in count_via_levels(f1_raw, levels, F1_META, b, e).collect()}
         direct = f1_raw.filter((F.col("time") >= b) & (F.col("time") < e)).count()
         assert via.get("foo", 0) == direct, (b_s, e_s)
+
+
+def test_approx_functions_sane(spark):
+    """The approximate surface (approx_count_distinct, percentile_approx)
+    — not oracle-gated (sketch results are engine-specific), sanity-bounded
+    against exact results."""
+    from pyspark.sql import functions as F
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    r = li.agg(
+        F.approx_count_distinct("l_partkey").alias("apx"),
+        F.countDistinct("l_partkey").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("apx_med"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+    ).collect()[0]
+    assert abs(r["apx"] - r["exact"]) <= 0.05 * r["exact"]
+    assert abs(r["apx_med"] - r["med"]) <= 0.05 * abs(r["med"])
