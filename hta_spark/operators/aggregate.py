@@ -175,6 +175,11 @@ def aggregate_telescope(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta
         for (iv, b, e) in chunks:
             lvl = levels.get(iv)
             if lvl is None:
+                # missing rollup level (not built / unreadable): fall back
+                # to an exact raw scan of the chunk rather than silently
+                # undercounting — the aligned [b, e) raw aggregate equals
+                # the level-row sum by the path-equivalence invariant
+                parts.append(_edge_aggregate(sub_raw, b, e))
                 continue
             sub = filter_level(lvl.filter(F.col("metric").isin(metrics)),
                                b, e, iv, IntervalScope(Scope.closed, Scope.open))

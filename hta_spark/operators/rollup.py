@@ -173,6 +173,10 @@ def segment_pieces(
             seg_end >= F.lit(origin)) & (t >= F.lit(clip_begin))
     else:
         seg_valid = seg_begin.isNotNull() & (seg_begin < seg_end)
+    # guard: never let F.sequence descend (a contract-violating duplicate
+    # timestamp on a bucket boundary would otherwise emit a [k, k-1] array
+    # whose spurious piece pollutes the previous bucket's min/max)
+    k_hi = F.greatest(k_hi, k_lo)
     seg_pieces = F.when(
         seg_valid,
         F.transform(

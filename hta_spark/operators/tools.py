@@ -26,19 +26,28 @@ _MAX_MAGNITUDE = 1e20
 _MIN_TS = 946_684_800 * SECOND  # 2000-01-01 (check.cpp:94-99)
 
 
-def check_raw(raw: DataFrame, now_ns: int | None = None) -> DataFrame:
+def check_raw(raw: DataFrame, now_ns: int | None = None,
+              order_col: str | None = None) -> DataFrame:
     """Consistency scan of the raw table — one row per offending point with
     an ``issues`` array (mirrors hta_check's raw checks,
     /root/reference/src/tools/check.cpp:43-115,190-254: non-finite values,
     implausible magnitude, timestamps outside [2000-01-01, now],
     non-monotonic, duplicates).
 
+    The reference checks *file order*; a parquet table has no inherent
+    order, so the non-monotonic check needs an explicit insertion-order
+    column (``order_col``, e.g. an event id) — without one, ordering by
+    time can only surface duplicate timestamps.
+
     Fully declarative: one window pass; Catalyst pushes nothing here because
     every row is inspected — exactly what the reference does, chunked.
     """
-    w = Window.partitionBy("metric").orderBy("time")
+    order = order_col if order_col is not None else "time"
+    w = Window.partitionBy("metric").orderBy(order)
     prev = F.lag("time").over(w)
     v, t = F.col("value"), F.col("time")
+    non_mono = (F.when(prev.isNotNull() & (t < prev), F.lit("non_monotonic"))
+                if order_col is not None else F.lit(None).cast("string"))
     issues = F.array_compact(F.array(
         F.when(F.isnan(v), F.lit("nan")),
         F.when(v == float("inf"), F.lit("inf")),
@@ -47,10 +56,11 @@ def check_raw(raw: DataFrame, now_ns: int | None = None) -> DataFrame:
         F.when(t < F.lit(_MIN_TS), F.lit("timestamp_too_old")),
         F.when(now_ns is not None and t > F.lit(now_ns), F.lit("timestamp_in_future"))
          if now_ns is not None else F.lit(None).cast("string"),
-        F.when(prev.isNotNull() & (t < prev), F.lit("non_monotonic")),
+        non_mono,
         F.when(prev.isNotNull() & (t == prev), F.lit("duplicate_timestamp")),
     ))
-    return (raw.select("metric", "time", "value", issues.alias("issues"))
+    cols = ["metric", "time", "value"]
+    return (raw.select(*cols, issues.alias("issues"))
             .filter(F.size("issues") > 0))
 
 
@@ -115,17 +125,13 @@ def repair(raw: DataFrame,
         df = df.filter(~((t >= F.lit(b)) & (t < F.lit(e))))
     if take_absolute:
         df = df.withColumn("value", F.abs(v))
-    # drop non-monotonic: keep first occurrence per timestamp, then points
-    # that strictly advance the running max (order-dependent, window-based)
-    w = Window.partitionBy("metric").orderBy("time", "value")
+    # duplicate-timestamp collapse: keep the first occurrence per (metric,
+    # time).  (The reference additionally drops file-order regressions; a
+    # parquet table is unordered, so after this dedup time order IS the
+    # canonical order — there is nothing further to drop.)
     df = df.withColumn("_rn", F.row_number().over(
         Window.partitionBy("metric", "time").orderBy("value"))).filter(
         F.col("_rn") == 1).drop("_rn")
-    wmax = Window.partitionBy("metric").orderBy("time").rowsBetween(
-        Window.unboundedPreceding, -1)
-    df = (df.withColumn("_prev_max", F.max("time").over(wmax))
-          .filter(F.col("_prev_max").isNull() | (t > F.col("_prev_max")))
-          .drop("_prev_max"))
     return df
 
 

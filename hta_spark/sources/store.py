@@ -59,11 +59,16 @@ class HtaStore:
         self.base = base_path.rstrip("/")
         self.partition_by_metric = partition_by_metric
         self.partition_time_days = partition_time_days
-        self._configs: dict[str, Meta] = dict(configs or {})
-        self._prefix: dict[str, Meta] = dict(prefix_configs or {})
-        if os.path.exists(self._meta_path()) and not configs:
+        # merge semantics: persisted configs load first, caller-supplied
+        # entries overlay them (never clobber the persisted catalog), and
+        # the merged result is re-persisted when anything new was supplied
+        self._configs: dict[str, Meta] = {}
+        self._prefix: dict[str, Meta] = {}
+        if os.path.exists(self._meta_path()):
             self._load_meta()
-        elif configs or prefix_configs:
+        self._configs.update(configs or {})
+        self._prefix.update(prefix_configs or {})
+        if configs or prefix_configs:
             self._save_meta()
 
     # -- config / catalog --------------------------------------------------
@@ -194,14 +199,20 @@ class HtaStore:
         df = self.spark.read.parquet(path)
         sort_cols = ["metric", "time"] if "time" in df.columns \
             else ["metric", "interval_start"]
+        # preserve the existing partition layout exactly — a rewrite that
+        # drops (or adds) partition columns leaves a mixed directory the
+        # next append makes unreadable
+        parts = [c for c in ("metric", "day") if c in df.columns
+                 and ((c == "metric" and self.partition_by_metric)
+                      or (c == "day" and self.partition_time_days))]
         tmp = f"{path}.compact_tmp"
         (df.repartition(max(target_partitions, 1), "metric")
            .sortWithinPartitions(*sort_cols)
            .write.mode("overwrite").parquet(tmp))
         out = self.spark.read.parquet(tmp)
         writer = out.write.mode("overwrite")
-        if self.partition_by_metric and table == "raw" and "day" not in df.columns:
-            writer = writer.partitionBy("metric")
+        if parts:
+            writer = writer.partitionBy(*parts)
         writer.parquet(path)
         self.spark.catalog.refreshByPath(path)
         import shutil

@@ -89,36 +89,66 @@ class IncrementalRollup:
     # -- ingest ------------------------------------------------------------
     def ingest(self, batch: DataFrame) -> None:
         batch = batch.select("metric", "time", "value")
+        # which metrics/time-range this batch *attempts* — needed even when
+        # every point turns out to be a duplicate (crash-replay: a previous
+        # run may have appended raw but died before level maintenance, so
+        # the replayed epoch must still repair the levels idempotently)
+        attempted = {r["metric"]: r["b_min"] for r in
+                     batch.filter(F.col("time") > 0).groupBy("metric")
+                     .agg(F.min("time").alias("b_min")).collect()}
+        if not attempted:
+            return
+        batch_metrics = list(attempted)
         existing = self.raw()
         if existing is not None:
-            prev_max = existing.groupBy("metric").agg(
+            existing_b = existing.filter(F.col("metric").isin(batch_metrics))
+            prev_max = existing_b.groupBy("metric").agg(
                 F.max("time").alias("_prev_max_t"))
             batch = enforce_monotonic(batch, prev_max)
         else:
+            existing_b = None
             batch = enforce_monotonic(batch)
         # cut lineage: the enforced batch's plan reads base/raw (monotonic
         # join), which is about to be appended to and refreshed — a plain
         # cache would be invalidated by the refresh and re-evaluate against
         # the new files, dropping the whole batch as duplicates.
         batch = batch.localCheckpoint(eager=True)
-        if batch.isEmpty():
+        empty = batch.isEmpty()
+        if empty and existing is None:
             return
         # driver-side planning stats (metric-count-sized), computed pre-append
-        spans = {r["metric"]: r["b_min"] for r in
-                 batch.groupBy("metric").agg(F.min("time").alias("b_min"))
-                 .collect()}
+        if empty:
+            # replayed/duplicate batch: repair levels over the attempted
+            # range (idempotent rewrite; no raw append)
+            spans = {m: b for m, b in attempted.items()}
+        else:
+            spans = {r["metric"]: r["b_min"] for r in
+                     batch.groupBy("metric").agg(F.min("time").alias("b_min"))
+                     .collect()}
         prev_t: dict[str, int] = {}
-        if existing is not None:
-            # monotonic enforcement guarantees old per-metric max < batch min
-            rows = (existing.filter(F.col("metric").isin(list(spans)))
-                    .groupBy("metric").agg(F.max("time").alias("pt"))
+        if existing_b is not None:
+            spans_df = self.spark.createDataFrame(
+                list(spans.items()), "metric string, b_min long")
+            rows = (existing_b.join(F.broadcast(spans_df), "metric")
+                    .groupBy("metric")
+                    .agg(F.max(F.when(F.col("time") < F.col("b_min"),
+                                      F.col("time"))).alias("pt"))
                     .collect())
             prev_t = {r["metric"]: r["pt"] for r in rows
-                      if r["pt"] is not None and r["pt"] < spans[r["metric"]]}
-        batch.write.mode("append").parquet(f"{self.base}/raw")
-        # invalidate the session's cached file listing for the path —
-        # otherwise the post-append read may still see the old file set
-        self.spark.catalog.refreshByPath(f"{self.base}/raw")
+                      if r["pt"] is not None}
+        if empty:
+            # drop attempted metrics with no raw data at all
+            present = {r["metric"] for r in
+                       (existing.filter(F.col("metric").isin(batch_metrics))
+                        .select("metric").distinct().collect())}
+            spans = {m: b for m, b in spans.items() if m in present}
+            if not spans:
+                return
+        else:
+            batch.write.mode("append").parquet(f"{self.base}/raw")
+            # invalidate the session's cached file listing for the path —
+            # otherwise the post-append read may still see the old file set
+            self.spark.catalog.refreshByPath(f"{self.base}/raw")
         self._update_levels(spans, prev_t)
 
     def _update_levels(self, spans: dict[str, int],
@@ -135,7 +165,9 @@ class IncrementalRollup:
         recompute input so the entering segment (and its count=0 gap
         buckets) is reproduced exactly.
         """
-        raw = self.raw()
+        # every scan below is restricted to the batch's metrics — per-batch
+        # cost must not scale with the number of metrics in the store
+        raw = self.raw().filter(F.col("metric").isin(list(spans)))
         top = self.meta.level_intervals()[-1]
         rewrite_from: dict[str, int] = {}
         for m, b_min in spans.items():

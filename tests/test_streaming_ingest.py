@@ -196,3 +196,67 @@ def test_compaction_after_streaming(spark, tmp_path):
     after = sorted((r["metric"], r["time"], r["value"])
                    for r in store.raw().collect())
     assert after == before
+
+
+def test_crash_replay_repairs_levels(spark, tmp_path):
+    """Simulated crash between raw append and level maintenance: the
+    replayed (all-duplicate) batch must still repair the level tables."""
+    from pyspark.sql import functions as F
+    base = str(tmp_path / "crash_store")
+    ing = IncrementalRollup(spark, base, F1_META)
+    pts = f1_points()
+    half = len(pts) // 2
+    ing.ingest(_as_df(spark, pts[:half]))
+
+    # crash simulation: second batch reaches raw but dies before levels
+    batch2 = _as_df(spark, pts[half:])
+    batch2.write.mode("append").parquet(f"{base}/raw")
+    spark.catalog.refreshByPath(f"{base}/raw")
+    before = ing.level(10_000_000_000).count()
+
+    # streaming replays the same epoch -> every point is now a duplicate
+    ing.ingest(batch2)
+    continuous = build_levels(_as_df(spark, pts), F1_META)
+    for iv in F1_META.level_intervals():
+        inc = ing.level(iv)
+        inc_d = _level_dict(inc) if inc is not None else {}
+        assert inc_d == _level_dict(continuous[iv]), f"level {iv}"
+    assert ing.level(10_000_000_000).count() > before
+
+
+def test_compact_day_partitioned_store(spark, tmp_path):
+    """Compaction of a day-partitioned table must preserve the partition
+    layout so later appends stay readable."""
+    from pyspark.sql import functions as F
+    from hta_spark.sources import HtaStore
+    from hta_spark import Meta, SECOND
+    base = str(tmp_path / "daycompact")
+    store = HtaStore(spark, base, configs={"m": Meta()},
+                     partition_time_days=True)
+    day = 86_400_000_000_000
+    store.write_raw(spark.createDataFrame(
+        [("m", 3 * day + i * 3600 * SECOND, float(i)) for i in range(1, 10)],
+        "metric string, time long, value double"))
+    store.compact("raw")
+    # post-compaction append must still be readable
+    store.write_raw(spark.createDataFrame(
+        [("m", 4 * day + i * 3600 * SECOND, float(i)) for i in range(1, 10)],
+        "metric string, time long, value double"))
+    spark.catalog.refreshByPath(f"{base}/raw")
+    assert store.raw().count() == 18
+
+
+def test_store_config_merge(spark, tmp_path):
+    """Re-opening a store with extra configs merges instead of clobbering."""
+    from hta_spark.sources import HtaStore
+    from hta_spark import Meta
+    base = str(tmp_path / "mergestore")
+    HtaStore(spark, base, configs={"a": Meta()})
+    s2 = HtaStore(spark, base, configs={"b": Meta()})
+    assert s2.meta_for("a") is not None and s2.meta_for("b") is not None
+    s3 = HtaStore(spark, base, prefix_configs={"p": Meta()})
+    assert s3.meta_for("a") is not None
+    assert s3.meta_for("p.x").interval_min == Meta().interval_min
+    # persisted merge survives a fresh open
+    s4 = HtaStore(spark, base)
+    assert s4.meta_for("b") is not None and s4.meta_for("p.x") is not None
