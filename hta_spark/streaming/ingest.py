@@ -72,10 +72,26 @@ class IncrementalRollup:
         stream.writeStream.foreachBatch(lambda df, _eid: ing.ingest(df)).start()
     """
 
-    def __init__(self, spark: SparkSession, base: str, meta: Meta):
+    def __init__(self, spark: SparkSession, base: str, meta: Meta,
+                 policy: str = "strict"):
+        """``policy``:
+
+        - ``"strict"`` — the reference's semantics: late (non-monotonic)
+          points are rejected per batch (src/metric.cpp:519-524).
+        - ``"upsert"`` — documented relaxation for distributed sources that
+          deliver out of order: late points with *new* timestamps are
+          accepted and the affected historical buckets are recomputed (the
+          idempotent rewrite already anchors at the predecessor of the
+          earliest batch point, so correctness is the same equivalence-to-
+          continuous-build invariant); duplicate (metric, time) keys are
+          still dropped (first write wins).
+        """
+        if policy not in ("strict", "upsert"):
+            raise ValueError(f"unknown policy {policy!r}")
         self.spark = spark
         self.base = base.rstrip("/")
         self.meta = meta
+        self.policy = policy
 
     # -- table access ------------------------------------------------------
     def raw(self) -> DataFrame | None:
@@ -102,9 +118,16 @@ class IncrementalRollup:
         existing = self.raw()
         if existing is not None:
             existing_b = existing.filter(F.col("metric").isin(batch_metrics))
-            prev_max = existing_b.groupBy("metric").agg(
-                F.max("time").alias("_prev_max_t"))
-            batch = enforce_monotonic(batch, prev_max)
+            if self.policy == "strict":
+                prev_max = existing_b.groupBy("metric").agg(
+                    F.max("time").alias("_prev_max_t"))
+                batch = enforce_monotonic(batch, prev_max)
+            else:
+                # upsert: accept out-of-order points; drop only exact
+                # (metric, time) duplicates vs the store and within batch
+                batch = enforce_monotonic(batch)  # in-batch dedup/sort rules
+                batch = batch.join(existing_b.select("metric", "time"),
+                                   ["metric", "time"], "left_anti")
         else:
             existing_b = None
             batch = enforce_monotonic(batch)

@@ -260,3 +260,33 @@ def test_store_config_merge(spark, tmp_path):
     # persisted merge survives a fresh open
     s4 = HtaStore(spark, base)
     assert s4.meta_for("b") is not None and s4.meta_for("p.x") is not None
+
+
+def test_upsert_policy_accepts_out_of_order(spark, tmp_path):
+    """policy='upsert': out-of-order batch arrival converges to the same
+    level tables as a continuous in-order build (the strict policy would
+    drop the late batches entirely)."""
+    base = str(tmp_path / "upsert_store")
+    ing = IncrementalRollup(spark, base, F1_META, policy="upsert")
+    pts = f1_points()
+    q = len(pts) // 4
+    # arrival order: 3rd quarter, 1st, 4th, 2nd
+    for chunk in (pts[2*q:3*q], pts[:q], pts[3*q:], pts[q:2*q]):
+        ing.ingest(_as_df(spark, chunk))
+    assert ing.raw().count() == len(pts)
+    continuous = build_levels(_as_df(spark, pts), F1_META)
+    for iv in F1_META.level_intervals():
+        inc = ing.level(iv)
+        inc_d = _level_dict(inc) if inc is not None else {}
+        assert inc_d == _level_dict(continuous[iv]), f"level {iv}"
+
+
+def test_upsert_policy_drops_exact_duplicates(spark, tmp_path):
+    base = str(tmp_path / "upsert_dups")
+    ing = IncrementalRollup(spark, base, F1_META, policy="upsert")
+    t0 = 1_519_130_000 * SECOND
+    ing.ingest(_as_df(spark, [("m", t0 + 10 * SECOND, 1.0)]))
+    ing.ingest(_as_df(spark, [("m", t0 + 10 * SECOND, 99.0),   # dup -> drop
+                              ("m", t0 + 5 * SECOND, 0.5)]))   # late -> keep
+    rows = sorted((r["time"], r["value"]) for r in ing.raw().collect())
+    assert rows == [(t0 + 5 * SECOND, 0.5), (t0 + 10 * SECOND, 1.0)]
