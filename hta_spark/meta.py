@@ -7,7 +7,7 @@ Reference: /root/reference/include/hta/meta.hpp:41-54 (defaults),
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .chrono import SECOND, YEAR
 from .errors import MetaValidationError, ModeError

@@ -9,8 +9,6 @@ fan-out of ``helpers/check_db_directory.sh`` is native task parallelism.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F

@@ -5,7 +5,7 @@ Each paired with DuckDB oracle SQL (same conventions as queries_rel).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .functions import mean, mean_integral, mean_sum

@@ -10,7 +10,6 @@ Engine-parity conventions:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline.ann import cosine_topk, ivf_assign

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..meta import Meta
-from ..operators.rollup import build_levels, lagged, raw_range, segment_pieces, _merge_pieces
+from ..operators.rollup import build_levels
 
 __all__ = ["IncrementalRollup", "enforce_monotonic"]
 
