@@ -49,9 +49,17 @@ def check_range(begin: int, end: int, scope: IntervalScope) -> None:
 
 
 def filter_raw(raw: DataFrame, begin: int, end: int,
-               scope: IntervalScope = RAW_DEFAULT) -> DataFrame:
+               scope: IntervalScope = RAW_DEFAULT,
+               two_phase: bool = False) -> DataFrame:
     """Scope-filtered raw point scan — ``storage::Metric::get(begin, end, scope)``
     (/root/reference/src/storage/file/metric.cpp:329-345 + find_index:255-327).
+
+    ``two_phase``: for extended scopes, first collect the per-metric
+    boundary times (a metric-count-sized action — the Spark analog of the
+    reference's index binary search), then add *static* global time bounds
+    so the main scan gets parquet pushdown even though the exact per-metric
+    predicate is join-dependent.  Results are identical; worth it when the
+    scan is large and the extended neighbours are near the range.
     """
     check_range(begin, end, scope)
     t = F.col("time")
@@ -63,7 +71,35 @@ def filter_raw(raw: DataFrame, begin: int, end: int,
             F.max(F.when(t <= F.lit(begin), t)).alias("_b_ext"),
             F.min(F.when(t >= F.lit(end), t)).alias("_e_ext"),
         )
-        df = raw.join(F.broadcast(bounds), "metric", "left")
+        if two_phase:
+            rows = bounds.collect()
+            lo: int | None = None
+            hi: int | None = None
+            if scope.begin == Scope.extended:
+                b_vals = [r["_b_ext"] for r in rows]
+                # a metric with no point <= begin starts from its first
+                # point -> no safe global lower bound
+                lo = min(b_vals) if b_vals and all(
+                    v is not None for v in b_vals) else None
+            elif scope.begin in (Scope.closed, Scope.open):
+                lo = begin
+            if scope.end == Scope.extended:
+                e_vals = [r["_e_ext"] for r in rows]
+                hi = max(e_vals) if e_vals and all(
+                    v is not None for v in e_vals) else None
+            elif scope.end in (Scope.closed, Scope.open):
+                hi = end
+            pre = raw
+            if lo is not None:
+                pre = pre.filter(t >= F.lit(lo))
+            if hi is not None:
+                pre = pre.filter(t <= F.lit(hi))
+            bounds_df = raw.sparkSession.createDataFrame(
+                [(r["metric"], r["_b_ext"], r["_e_ext"]) for r in rows],
+                "metric string, _b_ext long, _e_ext long")
+            df = pre.join(F.broadcast(bounds_df), "metric", "left")
+        else:
+            df = raw.join(F.broadcast(bounds), "metric", "left")
 
     cond = F.lit(True)
     if scope.begin == Scope.closed:

@@ -54,3 +54,33 @@ def test_scopes_between_raw_values(f1_raw, sb, se, expected):
                  retrieve_raw(f1_raw, tp(40), tp(50),
                               IntervalScope(sb, se)).collect())
     assert got == [tp(t) for t in expected], (sb, se)
+
+
+@pytest.mark.parametrize("sb,se,expected", ON_VALUES)
+def test_two_phase_equivalence_on_values(f1_raw, sb, se, expected):
+    from hta_spark.operators.scopes import filter_raw
+    got = sorted(r["time"] for r in filter_raw(
+        f1_raw, tp(42), tp(67), IntervalScope(sb, se),
+        two_phase=True).collect())
+    assert got == [tp(t) for t in expected], (sb, se)
+
+
+@pytest.mark.parametrize("sb,se,expected", BETWEEN_VALUES)
+def test_two_phase_equivalence_between(f1_raw, sb, se, expected):
+    from hta_spark.operators.scopes import filter_raw
+    got = sorted(r["time"] for r in filter_raw(
+        f1_raw, tp(40), tp(50), IntervalScope(sb, se),
+        two_phase=True).collect())
+    assert got == [tp(t) for t in expected], (sb, se)
+
+
+def test_two_phase_pushdown_visible(spark, f1_raw):
+    """With two_phase, the static bounds must reach the scan as a plain
+    time filter (visible pre-join), not only via the broadcast join."""
+    import re
+    from hta_spark.operators.scopes import filter_raw
+    df = filter_raw(f1_raw, tp(42), tp(67),
+                    IntervalScope(Scope.extended, Scope.extended),
+                    two_phase=True)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"time#\d+L >= 15191300", plan), plan
