@@ -187,3 +187,23 @@ def test_f5_active_time_invariant(spark, f5_raw, b_s, e_s):
     assert r2["active_time"] == expected
     for f in ["minimum", "maximum", "sum", "count", "integral", "active_time"]:
         assert r1[f] == r2[f]
+
+
+@pytest.mark.parametrize("b,e,exp", [
+    # (begin, end, (active, count, sum, min, max, integral))
+    (tp(225), tp(504), (0, 0, 0.0, 35.0, 35.0, 0.0)),
+    (tp(225) - 1, tp(504), (1, 0, 0.0, 35.0, 35.0, 35.0)),
+    (tp(1), tp(10), (0, 0, 0.0, math.inf, -math.inf, 0.0)),
+    (tp(1), tp(11), (0, 0, 0.0, math.inf, -math.inf, 0.0)),
+    (tp(1), tp(11) + 1, (1, 1, -37.0, -37.0, -36.0, -36.0)),
+])
+def test_edge_boundaries(f1_raw, f1_levels, b, e, exp):
+    """Edge placements around the first/last timestamps
+    (tests/aggregate.cpp:330-393), both paths."""
+    r = both_paths(f1_raw, f1_levels, b, e)
+    active, count, s, mn, mx, integral = exp
+    assert r["active_time"] == active
+    assert r["count"] == count
+    assert r["sum"] == s
+    assert r["minimum"] == mn and r["maximum"] == mx
+    assert r["integral"] == integral
