@@ -1,0 +1,63 @@
+"""Iterative k-means (Lloyd's) over an embedding column — the
+"genuinely non-SQL-expressible" operator class (iterative algorithms) from
+the driver contract; exposed as a rows-only query entry.
+
+Spark-first shape: each iteration is one map-side assignment pass against
+broadcast centroid literals (no shuffle of the vectors) + one tiny groupBy
+to recompute centroids (k rows out).  Driver-side loop over iterations —
+the classic Spark iterative-algorithm pattern (centroids are
+metric-k-sized state, never the data).
+
+Deterministic: seeded by the first k vec_ids, cosine ties break to the
+smaller centroid id, fixed iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ann import _as_double, cosine_sim
+
+__all__ = ["kmeans_lite"]
+
+
+def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
+            id_col: str, vec_col: str) -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    best = None
+    for cid, vec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in vec])
+        sim = F.round(cosine_sim(v, c), 9)
+        cand = F.struct(sim.alias("s"), F.lit(cid).alias("c"))
+        best = cand if best is None else \
+            F.when(cand["s"] > best["s"], cand).otherwise(best)
+    return emb.select(F.col(id_col), F.col(vec_col),
+                      best["c"].alias("cluster"), best["s"].alias("sim"))
+
+
+def kmeans_lite(emb: DataFrame, k: int = 8, iterations: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Returns (id, cluster, sim) after ``iterations`` Lloyd rounds with
+    cosine assignment and mean-vector centroid updates."""
+    dim = len(emb.select(vec_col).first()[0])
+    seeds = (emb.orderBy(id_col).limit(k)
+             .select(id_col, vec_col).collect())
+    centroids = [(i, [float(x) for x in r[vec_col]])
+                 for i, r in enumerate(seeds)]
+
+    assigned = _assign(emb, centroids, id_col, vec_col)
+    for _ in range(iterations):
+        # centroid update: element-wise mean per cluster — k rows collected
+        sums = (assigned
+                .select("cluster", F.posexplode(_as_double(F.col(vec_col)))
+                        .alias("d", "x"))
+                .groupBy("cluster", "d").agg(F.avg("x").alias("m"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+                .collect())
+        centroids = [(int(r["cluster"]),
+                      [float(p["m"]) for p in r["dm"]]) for r in sums]
+        centroids.sort(key=lambda cv: cv[0])
+        assigned = _assign(emb, centroids, id_col, vec_col)
+    return assigned.select(id_col, "cluster", F.round("sim", 4).alias("sim"))

@@ -403,7 +403,16 @@ ORDER BY jaccard DESC, a, b LIMIT 100
 """
 
 
+def q_kmeans_lite(spark, sf_dir):
+    """Iterative Lloyd's k-means (3 rounds, seeded, cosine assignment) —
+    rows-only check: iterative algorithms are non-SQL-expressible per the
+    driver contract."""
+    from .pipeline.kmeans import kmeans_lite
+    return kmeans_lite(_emb(spark, sf_dir), k=8, iterations=3)
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "ann_kmeans_lite": (q_kmeans_lite, None),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_prefix": (q_dedup_prefix, SQL_DEDUP_PREFIX),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

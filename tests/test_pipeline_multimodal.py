@@ -65,3 +65,24 @@ def test_ivf_topk_recall(spark):
     # reasonable overlap against exact on this small corpus
     assert len(approx) == 10
     assert len(set(exact) & set(approx)) >= 3
+
+
+def test_kmeans_lite_converges(spark):
+    from pyspark.sql import functions as F
+    from hta_spark.pipeline.kmeans import kmeans_lite
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = kmeans_lite(emb, k=8, iterations=3).cache()
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    clusters = {r["cluster"] for r in rows}
+    assert len(clusters) > 1 and clusters <= set(range(8))
+    # determinism: a second run is identical
+    again = {(r["vec_id"], r["cluster"]) for r in
+             kmeans_lite(emb, k=8, iterations=3).collect()}
+    assert {(r["vec_id"], r["cluster"]) for r in rows} == again
+    # mean similarity improves (or holds) vs 0-iteration seeding
+    base = kmeans_lite(emb, k=8, iterations=0)
+    m0 = base.agg(F.avg("sim")).collect()[0][0]
+    m3 = out.agg(F.avg("sim")).collect()[0][0]
+    assert m3 >= m0 - 1e-9
+    out.unpersist()
