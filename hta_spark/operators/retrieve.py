@@ -124,18 +124,24 @@ def _per_metric_level_choice(levels: dict[int, DataFrame], candidates: list[int]
                              scope: IntervalScope) -> dict[str, int]:
     """For each metric, the largest candidate level (ordered as given) with
     data in the scoped range — the reference's empty-level step-down loop
-    (/root/reference/src/metric.cpp:394-409) as a stats-only planner query."""
-    chosen: dict[str, int] = {}
+    (/root/reference/src/metric.cpp:394-409) as a stats-only planner query.
+
+    All candidate levels are probed in ONE union job (max interval with
+    data per metric), not one action per level."""
+    parts = []
     for iv in candidates:
         if iv not in levels:
             continue
-        present = (
-            filter_level(levels[iv], begin, end, iv, scope)
-            .select("metric").distinct().collect()
-        )
-        for r in present:
-            chosen.setdefault(r["metric"], iv)
-    return chosen
+        parts.append(filter_level(levels[iv], begin, end, iv, scope)
+                     .select("metric",
+                             F.lit(iv).cast("long").alias("_iv")))
+    if not parts:
+        return {}
+    probe = parts[0]
+    for p in parts[1:]:
+        probe = probe.unionByName(p)
+    rows = probe.groupBy("metric").agg(F.max("_iv").alias("_iv")).collect()
+    return {r["metric"]: r["_iv"] for r in rows}
 
 
 def retrieve_flex(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
