@@ -36,29 +36,34 @@ _AGG_OUT = ["metric", "minimum", "maximum", "sum", "count", "integral",
             "active_time"]
 
 
-def _identity_fill(joined: DataFrame) -> DataFrame:
+def _identity_fill(joined: DataFrame, exact: bool = False) -> DataFrame:
     """Fill metrics with no in-range contributions with the identity
     aggregate (min=+inf, max=-inf, rest 0) — ``return {}`` at
     /root/reference/src/metric.cpp:174-178."""
+    sum_zero = F.lit(0).cast("long") if exact else F.lit(0.0)
+    int_zero = F.lit(0).cast("decimal(38,0)") if exact else F.lit(0.0)
     return joined.select(
         "metric",
         F.coalesce(F.col("minimum"), F.lit(_INF)).alias("minimum"),
         F.coalesce(F.col("maximum"), F.lit(-_INF)).alias("maximum"),
-        F.coalesce(F.col("sum"), F.lit(0.0)).alias("sum"),
+        F.coalesce(F.col("sum"), sum_zero).alias("sum"),
         F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("count"),
-        F.coalesce(F.col("integral"), F.lit(0.0)).alias("integral"),
+        F.coalesce(F.col("integral"), int_zero).alias("integral"),
         F.coalesce(F.col("active_time"), F.lit(0)).cast("long").alias("active_time"),
     )
 
 
 def aggregate_exact(raw: DataFrame, begin: int, end: int,
-                    ranges: DataFrame | None = None) -> DataFrame:
+                    ranges: DataFrame | None = None,
+                    exact: bool = False) -> DataFrame:
     """One row per metric: exact Aggregate over [begin, end) with LAST
     semantics, per-metric clamping and identity fill.
 
     Fully declarative: filter (pushed to parquet) -> one window lag ->
     one grouped aggregation.  The pre-window filter is safe because every
     predecessor timestamp below the clamped begin is clamped to it anyway.
+    ``exact``: order-free integer sum/integral in micro-value units — see
+    rollup._merge_pieces.
     """
     if begin >= end:
         raise InvalidRangeError(
@@ -95,15 +100,27 @@ def aggregate_exact(raw: DataFrame, begin: int, end: int,
         F.when(inside, F.lit(1)).otherwise(F.lit(0)).alias("cnt"),
         F.when(inside, (t - prev)).otherwise(F.col("_em") - prev).alias("dur"),
     )
+    if exact:
+        from .rollup import micro_value
+        sum_expr = F.coalesce(F.sum(micro_value(F.col("sv"))),
+                              F.lit(0)).cast("long").alias("sum")
+        integral_expr = F.sum(
+            micro_value(F.col("mv")).cast("decimal(38,0)")
+            * F.col("dur")).alias("integral")
+    else:
+        sum_expr = F.coalesce(F.sum("sv"), F.lit(0.0)).alias("sum")
+        integral_expr = F.sum(
+            F.col("mv") * F.col("dur").cast("double")).alias("integral")
     agg = contrib.groupBy("metric").agg(
         F.min("mv").alias("minimum"),
         F.max("mv").alias("maximum"),
-        F.coalesce(F.sum("sv"), F.lit(0.0)).alias("sum"),
+        sum_expr,
         F.sum("cnt").cast("long").alias("count"),
-        F.sum(F.col("mv") * F.col("dur").cast("double")).alias("integral"),
+        integral_expr,
         F.sum("dur").cast("long").alias("active_time"),
     )
-    return _identity_fill(ranges.select("metric").join(agg, "metric", "left"))
+    return _identity_fill(ranges.select("metric").join(agg, "metric", "left"),
+                          exact=exact)
 
 
 def _telescope_plan(begin: int, end: int, meta: Meta) -> tuple[
@@ -138,33 +155,38 @@ def aggregate_telescope(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta
                         ranges: DataFrame | None = None) -> DataFrame:
     """Telescoping exact aggregate via materialized rollups.
 
-    Per-metric clamping makes the decomposition metric-dependent; metrics are
-    grouped by identical clamped bounds (a metrics-count-sized driver
-    decision), one union plan per group.  Typically every metric's data span
-    covers the query range, so there is a single group.
+    Per-metric clamping makes the decomposition metric-dependent; metrics
+    are grouped by identical clamped bounds.  The driver sees only the
+    DISTINCT clamped-bound pairs (group-count-sized — it must, since each
+    pair yields a different telescope decomposition, i.e. a different
+    plan); per-metric membership stays in a broadcastable frame applied via
+    semi-joins, so 10^5 metrics cost the same planning as 5.  Typically
+    every metric's data span covers the query range, so there is a single
+    group.
     """
     if begin >= end:
         raise InvalidRangeError(
             f"invalid request: begin timestamp {begin} >= end timestamp {end}")
     ranges = ranges if ranges is not None else raw_range(raw)
-    rows = ranges.collect()
-
-    groups: dict[tuple[int, int], list[str]] = {}
-    identity_metrics: list[str] = []
-    for r in rows:
-        m, t_first, t_last = r["metric"], r["t_first"], r["t_last"]
-        if end <= t_first or begin > t_last:
-            identity_metrics.append(m)
-            continue
-        bm = min(max(begin, t_first), t_last)
-        em = min(max(end, t_first), t_last)
-        groups.setdefault((bm, em), []).append(m)
+    b_lit, e_lit = F.lit(begin), F.lit(end)
+    clamped = (ranges
+               .filter((e_lit > F.col("t_first")) & (b_lit <= F.col("t_last")))
+               .select(
+                   "metric",
+                   F.least(F.greatest(b_lit, F.col("t_first")),
+                           F.col("t_last")).alias("_bm"),
+                   F.least(F.greatest(e_lit, F.col("t_first")),
+                           F.col("t_last")).alias("_em"))
+               .localCheckpoint(eager=True))
+    bound_pairs = [(r["_bm"], r["_em"]) for r in
+                   clamped.select("_bm", "_em").distinct().collect()]
 
     spark = raw.sparkSession
     parts: list[DataFrame] = []
-    for (bm, em), metrics in groups.items():
-        sub_raw = raw.filter(F.col("metric").isin(metrics))
-        sub_ranges = ranges.filter(F.col("metric").isin(metrics))
+    for (bm, em) in bound_pairs:
+        members = clamped.filter((F.col("_bm") == F.lit(bm))
+                                 & (F.col("_em") == F.lit(em))).select("metric")
+        sub_raw = raw.join(F.broadcast(members), "metric", "left_semi")
         if bm >= em:
             # degenerate clamp (begin at/after last point): raw path handles
             parts.append(_edge_aggregate(sub_raw, bm, em))
@@ -181,8 +203,9 @@ def aggregate_telescope(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta
                 # the level-row sum by the path-equivalence invariant
                 parts.append(_edge_aggregate(sub_raw, b, e))
                 continue
-            sub = filter_level(lvl.filter(F.col("metric").isin(metrics)),
-                               b, e, iv, IntervalScope(Scope.closed, Scope.open))
+            sub = filter_level(
+                lvl.join(F.broadcast(members), "metric", "left_semi"),
+                b, e, iv, IntervalScope(Scope.closed, Scope.open))
             parts.append(sub.select(
                 "metric", "minimum", "maximum", "sum", "count", "integral",
                 "active_time"))

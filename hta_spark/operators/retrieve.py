@@ -102,7 +102,8 @@ def _smooth_rows(level_rows: DataFrame, interval: int, smooth_factor: int) -> Da
     )
 
 
-def smooth_raw(points: DataFrame, begin: int, end: int, interval: int) -> DataFrame:
+def smooth_raw(points: DataFrame, begin: int, end: int, interval: int,
+               exact: bool = False) -> DataFrame:
     """``convert_timevalues_smooth`` (/root/reference/src/metric.cpp:259-311):
     re-bin scoped raw points into synthetic intervals anchored at ``begin``
     with LAST-semantics weighting.  Vectorized via the same segment-split
@@ -110,7 +111,7 @@ def smooth_raw(points: DataFrame, begin: int, end: int, interval: int) -> DataFr
     overhang folded into bucket 0)."""
     pieces = segment_pieces(lagged(points), interval, origin=begin,
                             clip_begin=begin, clip_end=end)
-    agg = _merge_pieces(pieces, interval, origin=begin)
+    agg = _merge_pieces(pieces, interval, origin=begin, exact=exact)
     return agg.select(
         "metric",
         F.lit(interval).cast("long").alias("interval"),
@@ -121,13 +122,16 @@ def smooth_raw(points: DataFrame, begin: int, end: int, interval: int) -> DataFr
 
 def _per_metric_level_choice(levels: dict[int, DataFrame], candidates: list[int],
                              begin: int, end: int,
-                             scope: IntervalScope) -> dict[str, int]:
+                             scope: IntervalScope) -> DataFrame | None:
     """For each metric, the largest candidate level (ordered as given) with
     data in the scoped range — the reference's empty-level step-down loop
     (/root/reference/src/metric.cpp:394-409) as a stats-only planner query.
 
-    All candidate levels are probed in ONE union job (max interval with
-    data per metric), not one action per level."""
+    All candidate levels are probed in ONE union job (max interval with data
+    per metric).  Returns a (metric, _iv) choices DataFrame (None when no
+    candidate level exists): planner state stays a broadcastable frame, so
+    10^5 metrics plan exactly like 5 — no driver dicts, no literal IN
+    lists."""
     parts = []
     for iv in candidates:
         if iv not in levels:
@@ -136,12 +140,11 @@ def _per_metric_level_choice(levels: dict[int, DataFrame], candidates: list[int]
                      .select("metric",
                              F.lit(iv).cast("long").alias("_iv")))
     if not parts:
-        return {}
+        return None
     probe = parts[0]
     for p in parts[1:]:
         probe = probe.unionByName(p)
-    rows = probe.groupBy("metric").agg(F.max("_iv").alias("_iv")).collect()
-    return {r["metric"]: r["_iv"] for r in rows}
+    return probe.groupBy("metric").agg(F.max("_iv").alias("_iv"))
 
 
 def retrieve_flex(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
@@ -170,27 +173,33 @@ def retrieve_flex(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
         pts = retrieve_raw(raw, begin, end, scope)
         if not smooth:
             return "timevalues", pts
-        # per-metric density decision: smooth iff (end-begin)/n < limit
-        counts = {r["metric"]: r["n"]
-                  for r in pts.groupBy("metric").agg(F.count("*").alias("n")).collect()}
-        if not counts:
+        # per-metric density decision: smooth iff (end-begin)/n < limit.
+        # Kept as a broadcastable (metric, _dense) frame; the only driver
+        # values are the two counts that pick the *return kind* (an
+        # inherently scalar decision), never per-metric lists.
+        span = end - begin
+        counts = (pts.groupBy("metric").agg(F.count("*").alias("_n"))
+                  .select("metric",
+                          (F.call_function("div", F.lit(span), F.col("_n"))
+                           < F.lit(interval_upper_limit)).alias("_dense"))
+                  .localCheckpoint(eager=True))
+        tot = counts.agg(F.count("*").alias("t"),
+                         F.count(F.when(F.col("_dense"), 1)).alias("d")
+                         ).collect()[0]
+        if tot["t"] == 0:
             return "timevalues", pts
-        dense = [m for m, n in counts.items()
-                 if n > 0 and (end - begin) // n < interval_upper_limit]
-        sparse = [m for m in counts if m not in dense]
-        parts = []
-        if dense:
-            parts.append(smooth_raw(pts.filter(F.col("metric").isin(dense)),
-                                    begin, end, interval_upper_limit))
-        if sparse:
-            parts.append(rows_from_timevalues(
-                pts.filter(F.col("metric").isin(sparse))))
-        if len(parts) == 1 and not dense:
+        if tot["d"] == 0:
             # all sparse -> reference returns raw TimeValues
             return "timevalues", pts
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        dense_pts = pts.join(F.broadcast(counts.filter(F.col("_dense"))
+                                         .select("metric")),
+                             "metric", "left_semi")
+        out = smooth_raw(dense_pts, begin, end, interval_upper_limit)
+        if tot["d"] < tot["t"]:
+            sparse_pts = pts.join(F.broadcast(counts.filter(~F.col("_dense"))
+                                              .select("metric")),
+                                  "metric", "left_semi")
+            out = out.unionByName(rows_from_timevalues(sparse_pts))
         return "rows", out
 
     # pick the largest level interval <= min(limit, interval_max); step down
@@ -205,18 +214,25 @@ def retrieve_flex(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
         candidates.append(iv)
         iv //= meta.interval_factor
     chosen = _per_metric_level_choice(levels, candidates, begin, end, scope)
-    if not chosen:
+    # the driver learns only WHICH levels were chosen (level-count-sized,
+    # needed to assemble the per-level union plan) — per-metric membership
+    # stays in the choices frame and is applied via broadcast semi-joins
+    chosen_levels: list[int] = []
+    if chosen is not None:
+        chosen = chosen.localCheckpoint(eager=True)
+        chosen_levels = sorted(
+            (r["_iv"] for r in chosen.select("_iv").distinct().collect()),
+            reverse=True)
+    if not chosen_levels:
         # no data at all -> empty TimeValues (metric.cpp:410-411)
         return "timevalues", raw.filter(F.lit(False)).select("metric", "time", "value")
 
-    by_level: dict[int, list[str]] = {}
-    for m, iv in chosen.items():
-        by_level.setdefault(iv, []).append(m)
     parts = []
-    for iv, metrics in sorted(by_level.items(), reverse=True):
+    for iv in chosen_levels:
+        members = chosen.filter(F.col("_iv") == F.lit(int(iv))).select("metric")
         rows = _rows_from_level(
             filter_level(levels[iv], begin, end, iv, scope)
-            .filter(F.col("metric").isin(metrics)), iv)
+            .join(F.broadcast(members), "metric", "left_semi"), iv)
         sf = (limit // iv) if smooth else 1
         parts.append(_smooth_rows(rows, iv, sf))
     out = parts[0]

@@ -209,18 +209,47 @@ def segment_pieces(
     )
 
 
-def _merge_pieces(pieces: DataFrame, interval: int, origin: int = 0) -> DataFrame:
+def micro_value(value: Column) -> Column:
+    """``round(value * 1e6)`` as BIGINT — the micro-unit quantization used by
+    the order-free ``exact=True`` accumulation.  For |value| << 2^53/1e6 the
+    double product is correctly rounded, so every engine (Spark, DuckDB, ...)
+    computes the identical integer; after that all arithmetic is exact."""
+    return F.round(value * F.lit(1e6), 0).cast("long")
+
+
+def _merge_pieces(pieces: DataFrame, interval: int, origin: int = 0,
+                  exact: bool = False) -> DataFrame:
     """groupBy (metric, bucket) with the Aggregate monoid
     (/root/reference/src/aggregate.cpp:50-59) — Spark's partial+final hash
-    aggregation IS ``Aggregate::operator+=``."""
+    aggregation IS ``Aggregate::operator+=``.
+
+    ``exact=True``: order-free integer accumulation for the oracle-gated
+    queries.  ``sum`` becomes BIGINT in micro-value units and ``integral``
+    DECIMAL(38,0) in micro-value*ns: values are quantized once via
+    :func:`micro_value` (deterministic across engines), then summed with
+    exact associative integer arithmetic — bit-reproducible regardless of
+    partition/summation order.  Assumes |value| <= ~1e9 (documented
+    convention; the double default path has no such bound and matches the
+    reference's engine-internal doubles).
+    """
+    if exact:
+        mv = micro_value(F.col("value"))
+        sum_expr = F.sum(F.when(F.col("cnt") == 1, mv)
+                         .otherwise(F.lit(0))).cast("long").alias("sum")
+        integral_expr = F.sum(
+            mv.cast("decimal(38,0)") * F.col("dur")).alias("integral")
+    else:
+        sum_expr = F.sum(F.when(F.col("cnt") == 1, F.col("value"))
+                         .otherwise(0.0)).alias("sum")
+        integral_expr = F.sum(F.col("value") * F.col("dur")).alias("integral")
     return (
         pieces.groupBy("metric", "k")
         .agg(
             F.min("value").alias("minimum"),
             F.max("value").alias("maximum"),
-            F.sum(F.when(F.col("cnt") == 1, F.col("value")).otherwise(0.0)).alias("sum"),
+            sum_expr,
             F.sum("cnt").cast("long").alias("count"),
-            F.sum(F.col("value") * F.col("dur")).alias("integral"),
+            integral_expr,
             F.sum("dur").cast("long").alias("active_time"),
         )
         .select(
@@ -233,19 +262,22 @@ def _merge_pieces(pieces: DataFrame, interval: int, origin: int = 0) -> DataFram
 
 def build_level1(raw: DataFrame, interval: int,
                  ranges: DataFrame | None = None,
-                 salt_chunks: int | None = None) -> DataFrame:
+                 salt_chunks: int | None = None,
+                 exact: bool = False) -> DataFrame:
     """Level-1 rollup (closed buckets only) from the raw table.
 
     Equivalent to replaying ``Metric::insert`` (/root/reference/src/metric.cpp:510-560)
     over the whole series, keeping only closed intervals.
     ``salt_chunks``: parallelize the per-metric window via
     :func:`lagged_salted` (use when few metrics carry most rows).
+    ``exact``: decimal sum/integral accumulation (see :func:`_merge_pieces`);
+    higher levels inherit the decimal type through their plain ``sum()``s.
     """
     ranges = ranges if ranges is not None else raw_range(raw)
     lg = (lagged_salted(raw, salt_chunks, ranges) if salt_chunks
           else lagged(raw))
     pieces = segment_pieces(lg, interval)
-    agg = _merge_pieces(pieces, interval)
+    agg = _merge_pieces(pieces, interval, exact=exact)
     return (
         agg.join(F.broadcast(ranges), "metric")
         .filter(F.col("interval_start") + F.lit(interval) <= F.col("t_last"))

@@ -54,21 +54,41 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
+def centroid_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """One-row frame holding all centroids as array<struct<c,v>> (ascending
+    centroid id).  Joined with ``F.broadcast`` this ships the codebook as
+    *data* (a BroadcastNestedLoopJoin with a single build row — map-only, no
+    shuffle), instead of folding k*dim literals into the expression tree,
+    which blows up codegen/task deserialization already at k~100 (the round-1
+    design's cap)."""
+    rows = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
+    cdf = spark.createDataFrame(rows, "c int, v array<double>")
+    return cdf.agg(F.array_sort(F.collect_list(F.struct("c", "v")))
+                   .alias("_cents"))
+
+
+def _best_centroid(vec: Column, precision: int) -> Column:
+    """argmax over the broadcast ``_cents`` column: struct (sim, -c) ordered
+    lexicographically, so ties break to the smaller centroid id."""
+    scored = F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(F.round(cosine_sim(vec, s["v"]), precision)
+                           .alias("s"), (-s["c"]).alias("negc")))
+    return F.array_max(scored)
+
+
 def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its max-cosine centroid (IVF coarse quantizer).
-    ``centroids`` are (centroid_id, vector) pairs — broadcast as literals;
-    ties break to the smaller centroid id."""
-    v = _as_double(F.col(vec_col))
-    best = None
-    for cid, vec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in vec])
-        sim = F.round(cosine_sim(v, c), 6)
-        cand = F.struct(sim.alias("s"), F.lit(cid).alias("c"))
-        best = cand if best is None else F.when(cand["s"] > best["s"], cand).otherwise(best)
-    return emb.select(F.col(id_col), F.col(vec_col),
-                      best["c"].alias("centroid_id"),
-                      best["s"].alias("centroid_sim"))
+    ``centroids`` are (centroid_id, vector) pairs, shipped via a broadcast
+    codebook row (see :func:`centroid_frame`); ties break to the smaller
+    centroid id.  Map-only at any k; for very wide vectors a pandas_udf
+    one-matmul-per-batch path can drop in behind the same API."""
+    best = _best_centroid(_as_double(F.col(vec_col)), 6)
+    return (emb.join(F.broadcast(centroid_frame(emb.sparkSession, centroids)))
+            .select(F.col(id_col), F.col(vec_col),
+                    (-best["negc"]).alias("centroid_id"),
+                    best["s"].alias("centroid_sim")))
 
 
 def ivf_topk(emb: DataFrame, centroids: list[tuple[int, list[float]]],

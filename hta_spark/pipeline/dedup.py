@@ -112,7 +112,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def lsh_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 8,
-              rows_per_band: int = 2) -> DataFrame:
+              rows_per_band: int = 2,
+              max_bucket: int | None = 4096) -> DataFrame:
     """Candidate pairs (a < b) sharing at least one LSH band.
 
     Single pass: the band hashes are one array column posexploded (not a
@@ -120,6 +121,16 @@ def lsh_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 8,
     once per band), and pairs are generated inside each (band, hash) bucket
     via sorted collect_list + a nested-transform combination expansion — no
     self-join, so the signature pipeline runs exactly once.
+
+    Hot-bucket guard (``max_bucket``): full i<j expansion is O(B^2) per
+    bucket — a boilerplate-heavy corpus putting 10^6 ids in one bucket
+    would OOM a single task.  Buckets larger than ``max_bucket`` switch to
+    a *star* expansion (every member paired with the bucket's smallest id,
+    O(B) pairs): the near-dup use of these candidates is connected-
+    component clustering, and a star keeps the component intact while
+    bounding the per-task blowup.  Results are identical to the exact
+    expansion whenever every bucket fits the cap (the oracle-parity
+    regime); ``max_bucket=None`` disables the guard.
     """
     bands = k // rows_per_band
     band_arr = F.array(*[
@@ -141,6 +152,13 @@ def lsh_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 8,
                         lambda b, j: F.when(j > i, F.struct(a.alias("a"),
                                                             b.alias("b")))),
             lambda s: s.isNotNull())))
+    if max_bucket is not None:
+        keeper = F.element_at(F.col("ids"), 1)     # sorted -> smallest id
+        star = F.transform(
+            F.slice(F.col("ids"), 2, F.size("ids") - 1),
+            lambda b: F.struct(keeper.alias("a"), b.alias("b")))
+        combos = F.when(F.size("ids") <= F.lit(max_bucket), combos) \
+                  .otherwise(star)
     return (grouped.select(F.explode(combos).alias("p"))
             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .distinct())

@@ -17,30 +17,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ann import _as_double, cosine_sim
+from .ann import _as_double, _best_centroid, centroid_frame
 
 __all__ = ["kmeans_lite"]
 
 
 def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
             id_col: str, vec_col: str) -> DataFrame:
-    v = _as_double(F.col(vec_col))
-    best = None
-    for cid, vec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in vec])
-        sim = F.round(cosine_sim(v, c), 9)
-        cand = F.struct(sim.alias("s"), F.lit(cid).alias("c"))
-        best = cand if best is None else \
-            F.when(cand["s"] > best["s"], cand).otherwise(best)
-    return emb.select(F.col(id_col), F.col(vec_col),
-                      best["c"].alias("cluster"), best["s"].alias("sim"))
+    """Map-only assignment against a broadcast codebook row (see
+    ann.centroid_frame) — no literal expression trees, works at any k."""
+    best = _best_centroid(_as_double(F.col(vec_col)), 9)
+    return (emb.join(F.broadcast(centroid_frame(emb.sparkSession, centroids)))
+            .select(F.col(id_col), F.col(vec_col),
+                    (-best["negc"]).alias("cluster"), best["s"].alias("sim")))
 
 
 def kmeans_lite(emb: DataFrame, k: int = 8, iterations: int = 3,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Returns (id, cluster, sim) after ``iterations`` Lloyd rounds with
     cosine assignment and mean-vector centroid updates."""
-    dim = len(emb.select(vec_col).first()[0])
     seeds = (emb.orderBy(id_col).limit(k)
              .select(id_col, vec_col).collect())
     centroids = [(i, [float(x) for x in r[vec_col]])

@@ -8,10 +8,20 @@ Spark side (which reads exact ns via ``nanosAsLong``) truncates to µs too:
 ``max(value)`` to honor the reference's strict-monotonicity requirement
 (/root/reference/src/metric.cpp:519-524) deterministically.
 
-Double-summation note: integrals are reported in value*seconds with each
-term divided by 1e9 *before* summing, then rounded — IEEE multiplication
-and division are order-free, and rounding absorbs the summation-order ulp
-difference between engines.
+Double-summation note: ``sum``/``integral`` are accumulated with EXACT
+integer arithmetic on BOTH engines (``exact=True`` operator mode here,
+mirrored in the oracle SQL): values are quantized once to micro-units
+(``round(value*1e6)::bigint`` — a correctly-rounded double product below
+2^53, hence identical everywhere), then ``sum(V)`` (BIGINT) and
+``sum(V*dur)`` (DECIMAL(38,0)/HUGEINT) are associative integer sums —
+bit-reproducible regardless of partition/summation order.  The 3-decimal
+output doubles come from :func:`_fix3`: one integer floor-division to exact
+milli-units (< 2^53) plus one correctly-rounded IEEE division by 1000.0 —
+no engine-specific double<->decimal conversion anywhere in the path.
+(Rounding a double *sum* — the r01 approach — is NOT order-robust: FP
+addition is order-dependent and a round() tie amplifies the ulp; DuckDB's
+double->DECIMAL cast is itself lossy, so decimal-casting doubles is not
+portable either.)
 """
 
 from __future__ import annotations
@@ -49,15 +59,38 @@ def events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("metric", "time").agg(F.max("value").alias("value")))
 
 
+#: pre-divisors from the exact micro-unit accumulations to milli-units:
+#: ``sum`` is micro-value (BIGINT), ``integral`` micro-value*ns (DECIMAL).
+SUM_PRE = 1000                       # micro-value -> milli-value
+INT_PRE = 1_000_000_000_000          # micro-value*ns -> milli-value*sec
+
+
+def _fix3(c, pre: int):
+    """3-decimal double from an exact micro-unit integer accumulation,
+    bit-identical on Spark and DuckDB: half-up integer floor-division to
+    milli-units (an exact BIGINT < 2^53), then one correctly-rounded IEEE
+    division by 1000.0.  Assumes non-negative accumulations (events values
+    are positive; for signed data the half-up bias flips below zero).
+    SQL twin: :func:`_fix3_sql`."""
+    milli = F.call_function("div", c + F.lit(pre // 2), F.lit(pre))
+    return milli / F.lit(1000.0)
+
+
+def _fix3_sql(expr: str, pre: int, huge: bool = False) -> str:
+    x = f"CAST({expr} AS HUGEINT)" if huge else f"({expr})"
+    return f"CAST(({x} + {pre // 2}) // {pre} AS BIGINT) / 1000.0"
+
+
 def _round_rollup(df: DataFrame) -> DataFrame:
-    """Common result shaping for rollup-shaped outputs."""
+    """Common result shaping for exact-mode rollup outputs (``sum`` in
+    micro-value BIGINT, ``integral`` in micro-value*ns DECIMAL(38,0))."""
     return df.select(
         "metric", "interval_start",
         F.col("minimum").alias("min_v"),
         F.col("maximum").alias("max_v"),
-        F.round(F.col("sum"), 3).alias("sum_v"),
+        _fix3(F.col("sum"), SUM_PRE).alias("sum_v"),
         F.col("count").alias("cnt"),
-        F.round(F.col("integral") / F.lit(1e9), 3).alias("integral_s"),
+        _fix3(F.col("integral"), INT_PRE).alias("integral_s"),
         F.col("active_time").alias("active_ns"),
     )
 
@@ -99,9 +132,9 @@ pieces AS (
 lvl AS (
   SELECT p.metric, p.k * {d} AS interval_start,
          min(p.value) AS minimum, max(p.value) AS maximum,
-         sum(CASE WHEN p.cnt = 1 THEN p.value ELSE 0 END) AS sum_val,
+         sum(CASE WHEN p.cnt = 1 THEN CAST(round(p.value * 1e6, 0) AS BIGINT) ELSE 0 END) AS sum_val,
          CAST(sum(p.cnt) AS BIGINT) AS cnt_val,
-         sum(p.value * (p.dur / 1e9)) AS integral_sec,
+         sum(CAST(CAST(round(p.value * 1e6, 0) AS BIGINT) AS HUGEINT) * p.dur) AS integral_q,
          CAST(sum(p.dur) AS BIGINT) AS active_time
   FROM pieces p JOIN rng r ON p.metric = r.metric
   WHERE (p.k + 1) * {d} <= r.t_last
@@ -110,10 +143,10 @@ lvl AS (
     if tail is not None:
         return base + tail
     if parent is None:
-        return base + """
+        return base + f"""
 SELECT metric, interval_start, minimum AS min_v, maximum AS max_v,
-       round(sum_val, 3) AS sum_v, cnt_val AS cnt,
-       round(integral_sec, 3) AS integral_s, active_time AS active_ns
+       {_fix3_sql('sum_val', SUM_PRE)} AS sum_v, cnt_val AS cnt,
+       {_fix3_sql('integral_q', INT_PRE, huge=True)} AS integral_s, active_time AS active_ns
 FROM lvl"""
     p = parent
     return base + f""",
@@ -121,43 +154,43 @@ plvl AS (
   SELECT l.metric, (l.interval_start // {p}) * {p} AS interval_start,
          min(l.minimum) AS minimum, max(l.maximum) AS maximum,
          sum(l.sum_val) AS sum_val, CAST(sum(l.cnt_val) AS BIGINT) AS cnt_val,
-         sum(l.integral_sec) AS integral_sec,
+         sum(l.integral_q) AS integral_q,
          CAST(sum(l.active_time) AS BIGINT) AS active_time
   FROM lvl l JOIN rng r ON l.metric = r.metric
   WHERE ((l.interval_start // {p}) + 1) * {p} <= r.t_last
   GROUP BY 1, 2
 )
 SELECT metric, interval_start, minimum AS min_v, maximum AS max_v,
-       round(sum_val, 3) AS sum_v, cnt_val AS cnt,
-       round(integral_sec, 3) AS integral_s, active_time AS active_ns
+       {_fix3_sql('sum_val', SUM_PRE)} AS sum_v, cnt_val AS cnt,
+       {_fix3_sql('integral_q', INT_PRE, huge=True)} AS integral_s, active_time AS active_ns
 FROM plvl"""
 
 
 def q_hta_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = events_raw(spark, sf_dir)
-    lvl = build_level1(raw, LEVEL1)
+    lvl = build_level1(raw, LEVEL1, exact=True)
     return _round_rollup(lvl)
 
 
 def q_hta_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = events_raw(spark, sf_dir)
     ranges = raw_range(raw)
-    l1 = build_level1(raw, LEVEL1, ranges)
+    l1 = build_level1(raw, LEVEL1, ranges, exact=True)
     l2 = build_next_level(l1, LEVEL1, 10, ranges)
     return _round_rollup(l2)
 
 
 def q_hta_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = events_raw(spark, sf_dir)
-    agg = aggregate_exact(raw, AGG_BEGIN, AGG_END)
+    agg = aggregate_exact(raw, AGG_BEGIN, AGG_END, exact=True)
     # drop identity rows (out-of-range metrics) to keep the hash finite
     return (agg.filter(F.col("active_time") > 0)
             .select("metric",
                     F.col("minimum").alias("min_v"),
                     F.col("maximum").alias("max_v"),
-                    F.round(F.col("sum"), 3).alias("sum_v"),
+                    _fix3(F.col("sum"), SUM_PRE).alias("sum_v"),
                     F.col("count").alias("cnt"),
-                    F.round(F.col("integral") / F.lit(1e9), 3).alias("integral_s"),
+                    _fix3(F.col("integral"), INT_PRE).alias("integral_s"),
                     F.col("active_time").alias("active_ns")))
 
 
@@ -185,9 +218,9 @@ g AS (
 h AS (SELECT * FROM g WHERE ept IS NULL OR time <= ept)
 SELECT metric,
        min(value) AS min_v, max(value) AS max_v,
-       round(sum(CASE WHEN time < em THEN value ELSE 0 END), 3) AS sum_v,
+       {_fix3_sql("sum(CASE WHEN time < em THEN CAST(round(value * 1e6, 0) AS BIGINT) ELSE 0 END)", SUM_PRE)} AS sum_v,
        CAST(sum(CASE WHEN time < em THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
-       round(sum(value * ((CASE WHEN time < em THEN time ELSE em END) - pv) / 1e9), 3) AS integral_s,
+       {_fix3_sql("sum(CAST(CAST(round(value * 1e6, 0) AS BIGINT) AS HUGEINT) * ((CASE WHEN time < em THEN time ELSE em END) - pv))", INT_PRE, huge=True)} AS integral_s,
        CAST(sum((CASE WHEN time < em THEN time ELSE em END) - pv) AS BIGINT) AS active_ns
 FROM h
 GROUP BY 1
@@ -263,26 +296,26 @@ def q_hta_smooth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged in threes anchored at each metric's first row."""
     from .operators.retrieve import _rows_from_level, _smooth_rows
     raw = events_raw(spark, sf_dir)
-    lvl = build_level1(raw, LEVEL1)
+    lvl = build_level1(raw, LEVEL1, exact=True)
     rows = _rows_from_level(lvl, LEVEL1)
     sm = _smooth_rows(rows, LEVEL1, 3)
     return sm.select(
         "metric", "time",
         F.col("minimum").alias("min_v"), F.col("maximum").alias("max_v"),
-        F.round(F.col("sum"), 3).alias("sum_v"), F.col("count").alias("cnt"),
-        F.round(F.col("integral") / F.lit(1e9), 3).alias("integral_s"),
+        _fix3(F.col("sum"), SUM_PRE).alias("sum_v"), F.col("count").alias("cnt"),
+        _fix3(F.col("integral"), INT_PRE).alias("integral_s"),
         F.col("active_time").alias("active_ns"))
 
 
-SQL_HTA_SMOOTH3 = _rollup_sql(LEVEL1, tail=""",
+SQL_HTA_SMOOTH3 = _rollup_sql(LEVEL1, tail=f""",
 numbered AS (
   SELECT *, (row_number() OVER (PARTITION BY metric ORDER BY interval_start) - 1) // 3 AS grp
   FROM lvl
 )
 SELECT metric, min(interval_start) AS time,
        min(minimum) AS min_v, max(maximum) AS max_v,
-       round(sum(sum_val), 3) AS sum_v, CAST(sum(cnt_val) AS BIGINT) AS cnt,
-       round(sum(integral_sec), 3) AS integral_s,
+       {_fix3_sql('sum(sum_val)', SUM_PRE)} AS sum_v, CAST(sum(cnt_val) AS BIGINT) AS cnt,
+       {_fix3_sql('sum(integral_q)', INT_PRE, huge=True)} AS integral_s,
        CAST(sum(active_time) AS BIGINT) AS active_ns
 FROM numbered GROUP BY metric, grp""")
 
@@ -346,7 +379,7 @@ def q_hta_level1_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("time")
     raw = (ev.select(F.col("user_id").cast("string").alias("metric"), t, "value")
            .groupBy("metric", "time").agg(F.max("value").alias("value")))
-    return _round_rollup(build_level1(raw, LEVEL1))
+    return _round_rollup(build_level1(raw, LEVEL1, exact=True))
 
 
 _EVT_USER = ("SELECT CAST(user_id AS VARCHAR) AS metric, epoch_ns(ts) AS time, "
@@ -366,12 +399,12 @@ def q_hta_smooth_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = events_raw(spark, sf_dir)
     pts = filter_raw(raw, RET_BEGIN, RET_END,
                      IntervalScope(Scope.extended, Scope.open))
-    sm = smooth_raw(pts, RET_BEGIN, RET_END, SMOOTH_IV)
+    sm = smooth_raw(pts, RET_BEGIN, RET_END, SMOOTH_IV, exact=True)
     return sm.select(
         "metric", "time",
         F.col("minimum").alias("min_v"), F.col("maximum").alias("max_v"),
-        F.round(F.col("sum"), 3).alias("sum_v"), F.col("count").alias("cnt"),
-        F.round(F.col("integral") / F.lit(1e9), 3).alias("integral_s"),
+        _fix3(F.col("sum"), SUM_PRE).alias("sum_v"), F.col("count").alias("cnt"),
+        _fix3(F.col("integral"), INT_PRE).alias("integral_s"),
         F.col("active_time").alias("active_ns"))
 
 
@@ -421,9 +454,9 @@ pieces AS (
 )
 SELECT metric, {RET_BEGIN} + k * {SMOOTH_IV} AS time,
        min(value) AS min_v, max(value) AS max_v,
-       round(sum(CASE WHEN cnt = 1 THEN value ELSE 0 END), 3) AS sum_v,
+       {_fix3_sql("sum(CASE WHEN cnt = 1 THEN CAST(round(value * 1e6, 0) AS BIGINT) ELSE 0 END)", SUM_PRE)} AS sum_v,
        CAST(sum(cnt) AS BIGINT) AS cnt,
-       round(sum(value * (dur / 1e9)), 3) AS integral_s,
+       {_fix3_sql("sum(CAST(CAST(round(value * 1e6, 0) AS BIGINT) AS HUGEINT) * dur)", INT_PRE, huge=True)} AS integral_s,
        CAST(sum(dur) AS BIGINT) AS active_ns
 FROM pieces GROUP BY 1, 2
 """

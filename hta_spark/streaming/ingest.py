@@ -14,17 +14,30 @@ Spark-first mapping:
   recomputes exactly the level buckets its time-range intersects, from raw
   (plus one predecessor point per metric for the segment boundary) — the
   batch analog of ``restore_level``;
-- exactly-once: bucket rewrites are deterministic upserts (dynamic partition
-  overwrite of affected buckets), so replaying a batch after a crash
-  converges to the same table — checkpoint + idempotent sink;
+- level tables are partitioned by ``(metric, tb)`` where ``tb`` is the
+  top-level interval index of ``interval_start``.  Because a monotonic
+  batch can only change buckets from the top level's open interval onward
+  (``rewrite_from``), and ``rewrite_from`` is top-aligned, the rewrite
+  region is an exact set of partitions — the upsert is a *dynamic partition
+  overwrite* that touches O(region) files and never reads or rewrites
+  table history (the O(table) full-rewrite this replaces was the round-1
+  scale-killer);
+- exactly-once: bucket rewrites are deterministic partition overwrites, so
+  replaying a batch after a crash converges to the same table — checkpoint
+  + idempotent sink;
 - late/duplicate data: the reference rejects non-monotonic inserts outright
   (src/metric.cpp:519-524).  ``enforce_monotonic`` drops violations per
   micro-batch (documented relaxation: cross-batch enforcement uses the
-  stored per-metric max time).
+  stored per-metric max time); non-positive timestamps are rejected
+  batch-wide (src/metric.cpp:515-518 throws on t == 0).
+
+All planning state (batch spans, predecessor anchors, rewrite bounds) stays
+in small DataFrames joined by broadcast — no per-metric literal predicates
+or driver-side dicts, so a batch carrying 10^5 metrics plans exactly like
+one carrying 5.
 
 Incremental cost per batch: O(points-in-batch + touched-buckets * levels),
-independent of table history size — the same property the reference's
-in-memory Level state gives it.
+independent of table history size.
 """
 
 from __future__ import annotations
@@ -99,25 +112,47 @@ class IncrementalRollup:
         return self.spark.read.parquet(p) if os.path.exists(p) else None
 
     def level(self, interval: int) -> DataFrame | None:
+        """Level table with the partition bookkeeping column stripped and
+        the partition-inferred ``metric`` normalized back to string."""
         p = f"{self.base}/levels/{interval}"
-        return self.spark.read.parquet(p) if os.path.exists(p) else None
+        if not os.path.exists(p):
+            return None
+        try:
+            df = self.spark.read.parquet(p)
+        except Exception:
+            # a level with no closed buckets yet has a directory but no
+            # data files (empty dynamic-overwrite write)
+            from ..schemas import AGG_SCHEMA
+            df = self.spark.createDataFrame([], AGG_SCHEMA)
+        if "tb" in df.columns:
+            df = df.drop("tb")
+        return df.withColumn("metric", F.col("metric").cast("string")).select(
+            "metric", "interval_start", "minimum", "maximum", "sum", "count",
+            "integral", "active_time")
+
+    def _top(self) -> int:
+        return self.meta.level_intervals()[-1]
 
     # -- ingest ------------------------------------------------------------
     def ingest(self, batch: DataFrame) -> None:
-        batch = batch.select("metric", "time", "value")
+        # reference insert guard: t <= 0 is invalid (src/metric.cpp:515-518);
+        # reject up front so bogus rows can neither reach raw nor be chosen
+        # as a predecessor anchor for segment integrals
+        batch = (batch.select("metric", "time", "value")
+                 .filter(F.col("time") > 0))
         # which metrics/time-range this batch *attempts* — needed even when
         # every point turns out to be a duplicate (crash-replay: a previous
         # run may have appended raw but died before level maintenance, so
         # the replayed epoch must still repair the levels idempotently)
-        attempted = {r["metric"]: r["b_min"] for r in
-                     batch.filter(F.col("time") > 0).groupBy("metric")
-                     .agg(F.min("time").alias("b_min")).collect()}
-        if not attempted:
+        attempted = (batch.groupBy("metric")
+                     .agg(F.min("time").alias("b_min"))
+                     .localCheckpoint(eager=True))
+        if attempted.isEmpty():
             return
-        batch_metrics = list(attempted)
         existing = self.raw()
         if existing is not None:
-            existing_b = existing.filter(F.col("metric").isin(batch_metrics))
+            existing_b = existing.join(
+                F.broadcast(attempted.select("metric")), "metric", "left_semi")
             if self.policy == "strict":
                 prev_max = existing_b.groupBy("metric").agg(
                     F.max("time").alias("_prev_max_t"))
@@ -139,103 +174,91 @@ class IncrementalRollup:
         empty = batch.isEmpty()
         if empty and existing is None:
             return
-        # driver-side planning stats (metric-count-sized), computed pre-append
         if empty:
             # replayed/duplicate batch: repair levels over the attempted
-            # range (idempotent rewrite; no raw append)
-            spans = {m: b for m, b in attempted.items()}
+            # range (idempotent rewrite; no raw append), for metrics that
+            # actually have raw data
+            spans = attempted.join(existing_b.select("metric").distinct(),
+                                   "metric", "left_semi")
         else:
-            spans = {r["metric"]: r["b_min"] for r in
-                     batch.groupBy("metric").agg(F.min("time").alias("b_min"))
-                     .collect()}
-        prev_t: dict[str, int] = {}
+            spans = batch.groupBy("metric").agg(F.min("time").alias("b_min"))
+        # rewrite bound per metric: the start of the top level's open
+        # interval at the batch's predecessor anchor — everything before it
+        # is closed at every level and therefore immutable.  Computed as a
+        # small (metric, _rb) frame, broadcast everywhere below; must be
+        # materialized BEFORE the raw append (it reads pre-append state).
         if existing_b is not None:
-            spans_df = self.spark.createDataFrame(
-                list(spans.items()), "metric string, b_min long")
-            rows = (existing_b.join(F.broadcast(spans_df), "metric")
-                    .groupBy("metric")
-                    .agg(F.max(F.when(F.col("time") < F.col("b_min"),
-                                      F.col("time"))).alias("pt"))
-                    .collect())
-            prev_t = {r["metric"]: r["pt"] for r in rows
-                      if r["pt"] is not None}
-        if empty:
-            # drop attempted metrics with no raw data at all
-            present = {r["metric"] for r in
-                       (existing.filter(F.col("metric").isin(batch_metrics))
-                        .select("metric").distinct().collect())}
-            spans = {m: b for m, b in spans.items() if m in present}
-            if not spans:
-                return
+            prevs = (existing_b.join(F.broadcast(spans), "metric")
+                     .groupBy("metric")
+                     .agg(F.max(F.when(F.col("time") < F.col("b_min"),
+                                       F.col("time"))).alias("_pt")))
+            spans = spans.join(F.broadcast(prevs), "metric", "left")
         else:
+            spans = spans.withColumn("_pt", F.lit(None).cast("long"))
+        anchor = F.coalesce(F.col("_pt"), F.col("b_min"))
+        top = self._top()
+        bounds = spans.select(
+            "metric",
+            F.greatest(anchor - F.pmod(anchor, F.lit(top)),
+                       F.lit(0).cast("long")).alias("_rb"),
+        ).localCheckpoint(eager=True)
+        if bounds.isEmpty():
+            return
+        if not empty:
             batch.write.mode("append").parquet(f"{self.base}/raw")
             # invalidate the session's cached file listing for the path —
             # otherwise the post-append read may still see the old file set
             self.spark.catalog.refreshByPath(f"{self.base}/raw")
-        self._update_levels(spans, prev_t)
+        self._update_levels(bounds)
 
-    def _update_levels(self, spans: dict[str, int],
-                       prev_t: dict[str, int]) -> None:
+    def _update_levels(self, bounds: DataFrame) -> None:
         """Recompute exactly the buckets the batch can change, at every level.
 
-        Because ingest is strictly monotonic per metric (enforce_monotonic),
-        a batch only changes buckets from ``rewrite_from =
-        interval_begin(old_t_last, top_interval)`` onward — the start of the
-        top level's *open* interval; every closed bucket at every level
-        before it is immutable (the same argument as the reference's
-        ``restore_level`` reading only the open tail, metric.cpp:451-497).
-        The single point before ``rewrite_from`` is included in the
-        recompute input so the entering segment (and its count=0 gap
-        buckets) is reproduced exactly.
+        ``bounds`` is the broadcastable (metric, _rb) rewrite-bound frame.
+        The single point before ``_rb`` is included in the recompute input so
+        the entering segment (and its count=0 gap buckets) is reproduced
+        exactly (the same argument as the reference's ``restore_level``
+        reading only the open tail, metric.cpp:451-497).
         """
-        # every scan below is restricted to the batch's metrics — per-batch
-        # cost must not scale with the number of metrics in the store
-        raw = self.raw().filter(F.col("metric").isin(list(spans)))
-        top = self.meta.level_intervals()[-1]
-        rewrite_from: dict[str, int] = {}
-        for m, b_min in spans.items():
-            anchor = prev_t.get(m, b_min)
-            rewrite_from[m] = max(anchor - (anchor % top), 0)
-        if not rewrite_from:
-            return
-        cond = None
-        for m, rb in rewrite_from.items():
-            c = (F.col("metric") == m) & (F.col("time") >= F.lit(rb))
-            cond = c if cond is None else (cond | c)
-        # fetch the one point per metric just before its region
-        p0_rows = (raw.filter(~cond if cond is not None else F.lit(False))
-                   .groupBy("metric").agg(F.max("time").alias("p0_t")))
-        p0_map = {r["metric"]: r["p0_t"] for r in p0_rows.collect()
-                  if r["p0_t"] is not None}
-        for m, t0 in p0_map.items():
-            cond = cond | ((F.col("metric") == m) & (F.col("time") == F.lit(t0)))
-        sub = raw.filter(cond)
+        # inner join restricts the scan to the batch's metrics and attaches
+        # each row's rewrite bound — column comparisons, no literal
+        # predicates, so planning cost is independent of the metric count
+        raw_b = self.raw().join(F.broadcast(bounds), "metric")
+        p0 = (raw_b.filter(F.col("time") < F.col("_rb"))
+              .groupBy("metric").agg(F.max("time").alias("_p0")))
+        sub = (raw_b.join(F.broadcast(p0), "metric", "left")
+               .filter((F.col("time") >= F.col("_rb"))
+                       | (F.col("time") == F.col("_p0")))
+               .select("metric", "time", "value"))
         levels = build_levels(sub, self.meta)
         for iv, df in levels.items():
-            self._upsert_level(iv, df, rewrite_from)
+            self._upsert_level(iv, df, bounds)
 
     def _upsert_level(self, interval: int, fresh: DataFrame,
-                      rewrite_from: dict[str, int]) -> None:
+                      bounds: DataFrame) -> None:
+        """Dynamic partition overwrite of the rewrite region.
+
+        The level table is partitioned by (metric, tb = interval_start div
+        top_interval).  ``_rb`` is top-aligned, so {buckets >= _rb} is an
+        exact partition set; writing the freshly recomputed region with
+        partitionOverwriteMode=dynamic replaces exactly those partitions and
+        leaves all history untouched — per-batch write cost is O(region),
+        not O(table).  Monotonic ingest guarantees the fresh region covers
+        every previously-closed bucket >= _rb, so no stale partition can
+        survive the overwrite.
+        """
         path = f"{self.base}/levels/{interval}"
-        existing = self.level(interval)
-        cond = None
-        for m, rb in rewrite_from.items():
-            c = (F.col("metric") == m) & (F.col("interval_start") >= F.lit(rb))
-            cond = c if cond is None else (cond | c)
-        fresh_region = fresh.filter(cond)
-        if existing is not None:
-            out = existing.filter(~cond).unionByName(fresh_region)
-        else:
-            out = fresh_region
-        # write-then-swap for idempotent overwrite (atomic enough for local
-        # fs; a Delta MERGE drops in where available)
-        tmp = f"{path}.tmp"
-        out.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(path)
+        top = self._top()
+        region = (fresh.join(F.broadcast(bounds), "metric")
+                  .filter(F.col("interval_start") >= F.col("_rb"))
+                  .drop("_rb")
+                  .withColumn("tb", F.call_function(
+                      "div", F.col("interval_start"), F.lit(top))))
+        (region.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("metric", "tb")
+         .parquet(path))
         self.spark.catalog.refreshByPath(path)
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
 
     # -- streaming entry ---------------------------------------------------
     def stream_from(self, stream_df: DataFrame, checkpoint: str,

@@ -86,3 +86,20 @@ def test_kmeans_lite_converges(spark):
     m3 = out.agg(F.avg("sim")).collect()[0][0]
     assert m3 >= m0 - 1e-9
     out.unpersist()
+
+
+def test_ivf_assign_large_codebook(spark):
+    """k=256 codebook must plan and run (the round-1 literal-expression
+    design failed task deserialization near k~100; centroids now travel as
+    broadcast data, so k is unbounded by plan size)."""
+    import random
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    rng = random.Random(7)
+    cents = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+             for i in range(256)]
+    out = ivf_assign(emb, cents)
+    n = out.count()
+    assert n == emb.count()
+    ids = out.select("centroid_id").distinct()
+    assert ids.count() > 1

@@ -64,3 +64,51 @@ def test_scoped_retrieve_pushdown(spark):
                             IntervalScope(Scope.closed, Scope.open)))
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(ts,1704844800", plan)
     assert re.search(r"PushedFilters:.*LessThan\(ts,1704931200", plan)
+
+def test_flex_plan_no_metric_in_lists(spark):
+    """The flex planner must carry per-metric choices as broadcast joins,
+    never literal IN lists over metric (round-1 design capped at ~15
+    metrics; IN-list plans explode at 10^5)."""
+    from hta_spark import Meta
+    from hta_spark.operators import build_levels
+    from hta_spark.operators.retrieve import retrieve_flex
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select(F.col("event_type").alias("metric"), F.col("ts").alias("time"),
+                "value")
+    meta = Meta(interval_min=3600 * SECOND, interval_max=36000 * SECOND,
+                interval_factor=10)
+    levels = build_levels(raw, meta)
+    kind, df = retrieve_flex(raw, levels, meta,
+                             1_704_412_800 * SECOND, 1_705_708_800 * SECOND,
+                             7200 * SECOND)
+    assert kind == "rows"
+    plan = _plan(df)
+    assert not re.search(r"metric#\d+ IN \(", plan), plan[:3000]
+    assert not re.search(r"metric#\d+ INSET", plan), plan[:3000]
+
+
+def test_flex_many_metrics_single_probe_job(spark, tmp_path):
+    """Step-down probe with 10^4 metrics: one union job for the choice
+    frame, plan-light execution end-to-end (VERDICT r1 item 3)."""
+    from hta_spark import Meta
+    from hta_spark.operators import build_levels
+    from hta_spark.operators.retrieve import retrieve_flex
+
+    n = 10_000
+    t0 = 1_519_130_000 * SECOND
+    # 4 points per metric, 10 s apart
+    base = spark.range(n).select(
+        F.concat(F.lit("m"), F.col("id")).alias("metric"))
+    pts = (base.crossJoin(spark.range(4).select(F.col("id").alias("i")))
+           .select("metric",
+                   (F.lit(t0) + F.col("i") * F.lit(10 * SECOND)).alias("time"),
+                   (F.col("i") * 1.0).alias("value")))
+    meta = Meta(interval_min=10 * SECOND, interval_max=100 * SECOND,
+                interval_factor=10)
+    levels = build_levels(pts, meta)
+    kind, df = retrieve_flex(pts, levels, meta, t0, t0 + 40 * SECOND,
+                             100 * SECOND)
+    assert kind == "rows"
+    assert df.count() == n   # one smoothed row per metric
+    plan = _plan(df)
+    assert not re.search(r"metric#\d+ IN \(", plan)

@@ -323,3 +323,71 @@ def test_watermarked_window_stream(spark, tmp_path):
     # watermark, two event types each
     assert len(out) >= 10
     assert all(r["n"] > 0 for r in out)
+
+
+def _level_files(base, interval):
+    """Map partition-relative dir -> sorted parquet file names."""
+    import os
+    root = f"{base}/levels/{interval}"
+    out = {}
+    for r, _d, fs in os.walk(root):
+        pq = sorted(f for f in fs if f.endswith(".parquet"))
+        if pq:
+            out[os.path.relpath(r, root)] = pq
+    return out
+
+
+def test_upsert_touches_only_intersecting_partitions(spark, tmp_path):
+    """A micro-batch must rewrite ONLY the level partitions intersecting its
+    rewrite region (the top level's open interval onward) — history files
+    stay byte-identical (the restore contract of
+    /root/reference/src/metric.cpp:451-497, now enforced at the file level
+    via dynamic partition overwrite)."""
+    from hta_spark import Meta
+    meta = Meta(interval_min=10 * SECOND, interval_max=100 * SECOND,
+                interval_factor=10)   # top=100s -> F1's 225s span = 3 parts
+    base = str(tmp_path / "partscope")
+    ing = IncrementalRollup(spark, base, meta)
+    pts = f1_points()
+    top = meta.level_intervals()[-1]
+    # batch 1: everything except the last few points
+    ing.ingest(_as_df(spark, pts[:-4]))
+    before = _level_files(base, 10_000_000_000)
+    t_last = max(t for _m, t, _v in pts[:-4])
+    open_tb = (t_last - t_last % top) // top
+    # batch 2: the tail points (inside the same top-level open interval)
+    ing.ingest(_as_df(spark, pts[-4:]))
+    after = _level_files(base, 10_000_000_000)
+    changed = {d for d in before
+               if d in after and before[d] != after[d]}
+    changed |= set(after) - set(before)
+    for d in changed:
+        assert f"tb={open_tb}" in d or int(d.split("tb=")[1].split("/")[0]) >= open_tb, \
+            f"partition {d} outside the open region was rewritten"
+    untouched = {d for d in before
+                 if int(d.split("tb=")[1].split("/")[0]) < open_tb}
+    for d in untouched:
+        assert before[d] == after[d], f"historic partition {d} was rewritten"
+    assert untouched, "test vacuous: no historic partitions existed"
+    # and the result is still the continuous build
+    continuous = build_levels(_as_df(spark, pts), meta)
+    for iv in meta.level_intervals():
+        assert _level_dict(ing.level(iv)) == _level_dict(continuous[iv])
+
+
+def test_nonpositive_timestamps_rejected(spark, tmp_path):
+    """t <= 0 never reaches raw nor corrupts level anchors
+    (/root/reference/src/metric.cpp:515-518 throws on t == 0)."""
+    base = str(tmp_path / "nonpos")
+    ing = IncrementalRollup(spark, base, F1_META)
+    t0 = 1_519_130_000 * SECOND
+    ing.ingest(_as_df(spark, [("m", -5, 7.0), ("m", 0, 8.0),
+                              ("m", t0, 1.0), ("m", t0 + 20 * SECOND, 2.0)]))
+    rows = sorted((r["time"], r["value"]) for r in ing.raw().collect())
+    assert rows == [(t0, 1.0), (t0 + 20 * SECOND, 2.0)]
+    # an all-invalid batch is a no-op (no raw table created)
+    import os
+    base2 = str(tmp_path / "nonpos2")
+    IncrementalRollup(spark, base2, F1_META).ingest(
+        _as_df(spark, [("m", 0, 1.0), ("m", -1, 2.0)]))
+    assert not os.path.exists(f"{base2}/raw")
