@@ -78,6 +78,97 @@ def _insert_throughput(spark, n: int = 2 ** 24) -> dict:
             "rows_per_sec": round(n / steady)}
 
 
+_DAY_NS = 86_400_000_000_000
+
+
+def _insert_matrix(spark) -> list[dict]:
+    """The reference's full insert-throughput matrix
+    (/root/reference/tests/bench.cpp:80-86): counts 2^10..2^26 in x4 steps,
+    spacings {826 ns (1.21 MHz), 50 ms (20 Hz), 1 s (1 Hz)}, each cell a
+    full hierarchy build with the reference's recommended params
+    (interval_min = 30 x spacing, factor 10, interval_max the largest
+    power-of-10 multiple below one day).  One timed run per cell (codegen
+    already warm from the identical-shape headline runs)."""
+    from hta_spark import Meta
+    from hta_spark.operators import build_levels
+    from hta_spark.operators.tools import dummy
+
+    cells = []
+    for spacing in (1_000_000_000 // 1_210_000, 50_000_000, 1_000_000_000):
+        imin = 30 * spacing
+        imax = imin
+        while imax * 10 < _DAY_NS:
+            imax *= 10
+        meta = Meta(interval_min=imin, interval_max=imax, interval_factor=10)
+        for exp in range(10, 27, 2):
+            n = 1 << exp
+            df = dummy(spark, count=n, time_delta_ns=spacing, value=None) \
+                .repartition(32)
+            t0 = time.perf_counter()
+            levels = build_levels(df, meta, salt_chunks=256)
+            ivs = sorted(levels)
+            # two actions per cell: level 1 first (populates its cache),
+            # then all higher levels in one union job — per-job scheduling
+            # overhead would otherwise dominate the small cells
+            levels[ivs[0]].write.mode("overwrite").format("noop").save()
+            if len(ivs) > 1:
+                rest = levels[ivs[1]]
+                for iv in ivs[2:]:
+                    rest = rest.unionByName(levels[iv])
+                rest.write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            levels[ivs[0]].unpersist()        # don't leak cache across cells
+            cells.append({"rows": n, "spacing_ns": spacing,
+                          "sec": round(dt, 3),
+                          "rows_per_sec": round(n / dt)})
+    return cells
+
+
+def _query_latency(spark) -> dict:
+    """BASELINE.md M5 items 2-3: retrieve_flex latency per level and exact
+    aggregate over 1/10/100 % of the data range, raw-exact vs telescoping,
+    on the sf events table with materialized (cached) rollups standing in
+    for the stored level tables."""
+    from pyspark.sql import functions as F
+    from hta_spark.operators import build_levels
+    from hta_spark.operators.aggregate import aggregate_exact, aggregate_telescope
+    from hta_spark.operators.retrieve import retrieve_flex
+    from hta_spark.operators.rollup import raw_range
+    from hta_spark.queries_hta import EVENTS_META, events_raw
+    from hta_spark.chrono import HOUR, MINUTE
+
+    raw = events_raw(spark, SF_DIR)
+    levels = build_levels(raw, EVENTS_META, salt_chunks=256)
+    for lvl in levels.values():            # materialize = stored rollups
+        lvl.cache().write.mode("overwrite").format("noop").save()
+    ranges = raw_range(raw).cache()
+    lo, hi = ranges.select(F.min("t_first"), F.max("t_last")).collect()[0]
+
+    def timed(df) -> float:
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+
+    flex = {}
+    for label, upper in (("raw_smooth", 30 * MINUTE), ("level_1h", HOUR),
+                         ("level_10h", 10 * HOUR), ("level_100h", 100 * HOUR)):
+        _kind, df = retrieve_flex(raw, levels, EVENTS_META, lo, hi, upper)
+        flex[label] = timed(df)
+
+    agg = {}
+    for pct in (1, 10, 100):
+        end = lo + (hi - lo) * pct // 100
+        agg[f"exact_{pct}pct"] = timed(
+            aggregate_exact(raw, lo, end, ranges=ranges))
+        agg[f"telescope_{pct}pct"] = timed(
+            aggregate_telescope(raw, levels, EVENTS_META, lo, end,
+                                ranges=ranges))
+    for lvl in levels.values():
+        lvl.unpersist()
+    ranges.unpersist()
+    return {"flex_latency_sec": flex, "aggregate_latency_sec": agg}
+
+
 def main() -> None:
     from hta_spark.session import get_spark
     import __spark_entry__ as entry_mod
@@ -101,6 +192,8 @@ def main() -> None:
     insert = _insert_throughput(spark)
     timings["rollup_build_16m"] = insert["sec"]
     total = round(sum(timings.values()), 3)
+    matrix = _insert_matrix(spark)
+    latency = _query_latency(spark)
     print(json.dumps({
         "metric": "headline_suite_sec",
         "value": total,
@@ -108,6 +201,8 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_label(SF_DIR),
         "insert_throughput": insert,
+        "insert_matrix": matrix,
+        **latency,
     }))
     spark.stop()
 

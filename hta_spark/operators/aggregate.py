@@ -206,9 +206,15 @@ def aggregate_telescope(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta
             sub = filter_level(
                 lvl.join(F.broadcast(members), "metric", "left_semi"),
                 b, e, iv, IntervalScope(Scope.closed, Scope.open))
+            # each chunk reads O(metrics * factor) rollup rows — tiny next
+            # to its 32-partition parent.  Without the coalesce the final
+            # union+agg schedules parts*shuffle_partitions map tasks (~800
+            # at sf0.1) and task overhead dominates; cap per-chunk
+            # parallelism proportionally to the cluster instead.
+            par = max(2, spark.sparkContext.defaultParallelism // 8)
             parts.append(sub.select(
                 "metric", "minimum", "maximum", "sum", "count", "integral",
-                "active_time"))
+                "active_time").coalesce(par))
 
     if parts:
         allc = parts[0]

@@ -9,17 +9,21 @@
   ``nprobe`` clusters.  At 100 TB the assignment is a map-only pass and the
   probe is a partition-pruned scan of the probed clusters only.
 
-No UDFs anywhere: 64-dim dot products in whole-stage codegen beat an Arrow
-round-trip at this width; for very wide vectors a pandas_udf BLAS path can
-drop in behind the same API.
+The default paths are UDF-free: 64-dim dot products in whole-stage codegen
+beat an Arrow round-trip at this width.  For very wide vectors
+:func:`cosine_topk_wide` swaps the fold for an Arrow-batched BLAS matvec
+(one matmul per batch) behind the same API/top-k contract.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_sim", "cosine_topk", "ivf_assign", "ivf_topk"]
+__all__ = ["cosine_sim", "cosine_topk", "cosine_topk_wide",
+           "centroid_frame", "ivf_assign", "ivf_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -50,6 +54,32 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         df = df.filter(~F.col(id_col).isin(exclude_ids))
     sim = cosine_sim(_as_double(F.col(vec_col)), q)
     return (df.select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), id_col)
+            .limit(k))
+
+
+def cosine_topk_wide(emb: DataFrame, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Arrow-batched variant of :func:`cosine_topk` for WIDE vectors: one
+    BLAS matvec per batch inside a pandas_udf instead of a per-element
+    higher-order fold.
+
+    At 64 dims whole-stage codegen wins (no Arrow round-trip); at 512+ dims
+    the vectorized matmul wins — same API, same top-k contract.  Scores can
+    differ from the HOF path in the last ulp (pairwise vs sequential
+    summation); both round to 4 decimals before ranking.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @F.pandas_udf("double")
+    def _sim(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series((m @ q) / (np.linalg.norm(m, axis=1) * qn))
+
+    return (emb.select(F.col(id_col),
+                       F.round(_sim(F.col(vec_col)), 4).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), id_col)
             .limit(k))
 

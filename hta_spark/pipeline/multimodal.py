@@ -2,11 +2,13 @@
 with typed metadata.
 
 The Spark-side plumbing (schemas, batch shapes, mapInPandas signatures,
-partitioning) is real and tested; the actual media decode is STUBBED —
-image/audio codecs are not available in this environment.  Decoders raise
+partitioning) is real and tested.  Image *header* decode (PNG/JPEG/GIF
+dimensions + channel count) is real too — pure byte parsing of the
+container headers, no codec needed.  Full pixel decode would require an
+image codec library (not in this environment): unrecognized formats raise
 ``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic fake (seeded by the payload hash) so the pipeline shape can be
-exercised end-to-end.
+deterministic fake (seeded by the payload hash) so the pipeline shape can
+be exercised end-to-end.
 
 Scale notes: binary payloads ride in parquet as BINARY columns; metadata
 extraction is a mapInPandas pass (Arrow-batched, bounded batch memory via
@@ -45,14 +47,64 @@ def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataF
     })
 
 
+#: PNG color type -> sample channels (PNG spec, IHDR color byte)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: JPEG SOFn markers carrying frame dimensions
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_header(b: bytes) -> tuple[str, int, int, int] | None:
+    """(format, width, height, channels) from container headers alone —
+    pure byte parsing, no codec library.
+
+    - PNG: 8-byte signature, then the IHDR chunk's big-endian width/height
+      and color-type byte;
+    - GIF87a/89a: little-endian logical-screen width/height;
+    - JPEG: walk the marker segments to the first SOFn frame header
+      (big-endian height/width + component count).
+
+    Returns None when the payload is not a recognizable image container.
+    """
+    if len(b) >= 26 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return ("png", w, h, _PNG_CHANNELS.get(b[25], 3))
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return ("gif", int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"), 3)
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2          # standalone markers have no length field
+                continue
+            if marker in _JPEG_SOF:
+                h = int.from_bytes(b[i + 5:i + 7], "big")
+                w = int.from_bytes(b[i + 7:i + 9], "big")
+                return ("jpeg", w, h, b[i + 9])
+            i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
+        return None
+    return None
+
+
 def decode_image_meta(df: DataFrame, payload_col: str = "payload",
                       fake: bool = False) -> DataFrame:
-    """Extract (width, height, channels) per image via mapInPandas.
+    """Extract (img_format, width, height, channels) per image via
+    mapInPandas.
 
-    Real decode requires an image codec (not in this container) — STUB:
-    raises unless ``fake=True``, which derives deterministic fake dimensions
-    from the payload hash (stable across runs/engines)."""
+    PNG/JPEG/GIF headers are parsed for real (see
+    :func:`parse_image_header`).  Payloads that are not a recognizable
+    image container raise ``NotImplementedError`` (full decode needs a
+    codec library, absent here) unless ``fake=True``, which derives
+    deterministic fake dimensions from the payload hash (stable across
+    runs/engines) with ``img_format='fake'``."""
     out_schema = T.StructType(df.schema.fields + [
+        T.StructField("img_format", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
@@ -60,18 +112,25 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload",
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires a codec library; pass fake=True "
-                    "for the deterministic stub")
             dims = []
             for payload in pdf[payload_col]:
-                h = hashlib.md5(bytes(payload or b"")).digest()
-                dims.append((64 + h[0] % 192, 64 + h[1] % 192, 3))
+                raw = bytes(payload or b"")
+                parsed = parse_image_header(raw)
+                if parsed is not None:
+                    dims.append(parsed)
+                elif fake:
+                    h = hashlib.md5(raw).digest()
+                    dims.append(("fake", 64 + h[0] % 192, 64 + h[1] % 192, 3))
+                else:
+                    raise NotImplementedError(
+                        "payload is not a PNG/JPEG/GIF container; full "
+                        "image decode requires a codec library — pass "
+                        "fake=True for the deterministic stub")
             pdf = pdf.copy()
-            pdf["width"] = [d[0] for d in dims]
-            pdf["height"] = [d[1] for d in dims]
-            pdf["channels"] = [d[2] for d in dims]
+            pdf["img_format"] = [d[0] for d in dims]
+            pdf["width"] = [d[1] for d in dims]
+            pdf["height"] = [d[2] for d in dims]
+            pdf["channels"] = [d[3] for d in dims]
             yield pdf
 
     return df.mapInPandas(_decode, schema=out_schema)

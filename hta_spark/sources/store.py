@@ -39,7 +39,67 @@ from ..operators.rollup import build_levels
 from ..operators.scopes import (RAW_DEFAULT, ROW_DEFAULT, IntervalScope)
 from ..operators.stats import count_scoped
 
-__all__ = ["HtaStore", "Metric"]
+__all__ = ["HtaStore", "Metric", "resolve_table_path", "publish_version"]
+
+
+def resolve_table_path(path: str) -> str:
+    """Current physical directory of a (possibly versioned) table.
+
+    A table that has been atomically republished (see
+    :func:`publish_version`) is reached through ``<path>.manifest``, a tiny
+    JSON pointer file; otherwise the plain path is the table.  Readers and
+    appenders both resolve through here, so they always land on the live
+    snapshot."""
+    mp = path + ".manifest"
+    if os.path.exists(mp):
+        with open(mp) as f:
+            doc = json.load(f)
+        return os.path.join(os.path.dirname(path), doc["current"])
+    return path
+
+
+def table_exists(path: str) -> bool:
+    return os.path.exists(path) or os.path.exists(path + ".manifest")
+
+
+def publish_version(path: str, write_fn, keep: int = 2) -> str:
+    """Atomic table republish: write a brand-new immutable snapshot under
+    ``<path>.versions/v_<n>``, then flip the ``<path>.manifest`` pointer
+    with one POSIX rename.
+
+    This is the swap-write discipline the plain overwrite lacked: a reader
+    racing the old write-tmp-then-overwrite saw a partially deleted
+    directory (the reference instead tolerates torn tails at the file
+    layer, /root/reference/src/storage/file/file.hpp:210-247).  Here a
+    concurrent reader either resolves the old manifest (old snapshot, kept
+    for ``keep``-1 more publishes) or the new one — never a half table; a
+    crash before the rename leaves the old pointer intact.
+
+    ``write_fn(target_dir)`` must fully write the snapshot.  Returns the
+    new snapshot directory.
+    """
+    import shutil
+    vroot = path + ".versions"
+    os.makedirs(vroot, exist_ok=True)
+    versions = sorted(int(d[2:]) for d in os.listdir(vroot)
+                      if d.startswith("v_") and d[2:].isdigit())
+    target = f"{vroot}/v_{(versions[-1] + 1) if versions else 1}"
+    write_fn(target)
+    mp = path + ".manifest"
+    tmp = f"{mp}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"current": os.path.relpath(target, os.path.dirname(path))},
+                  f)
+    os.replace(tmp, mp)                       # the atomic pointer flip
+    # GC: drop all but the latest keep-1 previous snapshots (in-flight
+    # readers of the immediately-previous version stay valid)
+    for v in versions[:len(versions) - (keep - 1)] if keep > 1 else versions:
+        shutil.rmtree(f"{vroot}/v_{v}", ignore_errors=True)
+    # the pre-versioning in-place directory is one generation behind once a
+    # second snapshot lands — same retirement rule as GC'd versions
+    if versions and os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    return target
 
 
 class HtaStore:
@@ -104,7 +164,21 @@ class HtaStore:
         raise MissingMetricConfigError(f"no metric config for {name!r}")
 
     def metric_names(self) -> list[str]:
-        """Sorted listing (src/storage/file/directory.cpp:74-86)."""
+        """Sorted listing (src/storage/file/directory.cpp:74-86).
+
+        With a metric-partitioned raw table the partition directories ARE
+        the catalog (the analog of the reference's one-dir-per-metric
+        layout): an O(#metrics) filesystem listing, no data scan.  Falls
+        back to a distinct scan for unpartitioned layouts."""
+        path = resolve_table_path(f"{self.base}/raw")
+        if not os.path.isdir(path):
+            return []
+        if self.partition_by_metric:
+            from urllib.parse import unquote
+            names = {unquote(d.split("=", 1)[1]) for d in os.listdir(path)
+                     if d.startswith("metric=")}
+            if names:
+                return sorted(names)
         raw = self.raw()
         if raw is None:
             return []
@@ -116,9 +190,9 @@ class HtaStore:
     # -- physical tables ---------------------------------------------------
     def raw(self) -> DataFrame | None:
         path = f"{self.base}/raw"
-        if not os.path.exists(path):
+        if not table_exists(path):
             return None
-        df = self.spark.read.parquet(path)
+        df = self.spark.read.parquet(resolve_table_path(path))
         if "day" in df.columns:
             df = df.select("metric", "time", "value", "day")
         return df
@@ -142,10 +216,10 @@ class HtaStore:
 
     def level(self, interval: int) -> DataFrame | None:
         path = f"{self.base}/levels/{interval}"
-        if not os.path.exists(path):
+        if not table_exists(path):
             return None
         try:
-            return self.spark.read.parquet(path)
+            return self.spark.read.parquet(resolve_table_path(path))
         except Exception:
             # a level with no closed buckets yet writes no schema files
             # (empty dataframe); the reference likewise has an empty file
@@ -181,7 +255,9 @@ class HtaStore:
         writer = w.write.mode(mode)
         if parts:
             writer = writer.partitionBy(*parts)
-        writer.parquet(f"{self.base}/raw")
+        # appends resolve to the live snapshot (file-level rename-atomic);
+        # only table REWRITES need the versioned publish path
+        writer.parquet(resolve_table_path(f"{self.base}/raw"))
 
     def compact(self, table: str = "raw", target_partitions: int = 1) -> int:
         """Small-file compaction for streaming-appended tables: rewrite the
@@ -194,9 +270,10 @@ class HtaStore:
         """
         path = (f"{self.base}/raw" if table == "raw"
                 else f"{self.base}/levels/{table}")
-        if not os.path.exists(path):
+        if not table_exists(path):
             return 0
-        df = self.spark.read.parquet(path)
+        live = resolve_table_path(path)
+        df = self.spark.read.parquet(live)
         sort_cols = ["metric", "time"] if "time" in df.columns \
             else ["metric", "interval_start"]
         # preserve the existing partition layout exactly — a rewrite that
@@ -205,19 +282,21 @@ class HtaStore:
         parts = [c for c in ("metric", "day") if c in df.columns
                  and ((c == "metric" and self.partition_by_metric)
                       or (c == "day" and self.partition_time_days))]
-        tmp = f"{path}.compact_tmp"
-        (df.repartition(max(target_partitions, 1), "metric")
-           .sortWithinPartitions(*sort_cols)
-           .write.mode("overwrite").parquet(tmp))
-        out = self.spark.read.parquet(tmp)
-        writer = out.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(path)
-        self.spark.catalog.refreshByPath(path)
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-        n = sum(1 for root, _d, files in os.walk(path)
+
+        def _write(target: str) -> None:
+            writer = (df.repartition(max(target_partitions, 1), "metric")
+                      .sortWithinPartitions(*sort_cols)
+                      .write.mode("overwrite"))
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(target)
+
+        # atomic republish: full new snapshot, then one manifest rename —
+        # a concurrent reader sees the old or the new table, never a
+        # half-deleted directory (the round-1 in-place overwrite's race)
+        new_dir = publish_version(path, _write)
+        self.spark.catalog.refreshByPath(new_dir)
+        n = sum(1 for root, _d, files in os.walk(new_dir)
                 for f in files if f.endswith(".parquet"))
         return n
 
@@ -236,18 +315,28 @@ class HtaStore:
         for m, meta in metas.items():
             key = (meta.interval_min, meta.interval_max, meta.interval_factor)
             by_params.setdefault(key, []).append(m)
-        written: set[int] = set()
+        per_level: dict[int, list[DataFrame]] = {}
         for (imin, imax, ifac), metrics in by_params.items():
             meta = Meta(interval_min=imin, interval_max=imax, interval_factor=ifac)
             sub = raw.filter(F.col("metric").isin(metrics))
             for iv, df in build_levels(sub, meta).items():
-                mode = "append" if iv in written else "overwrite"
-                out = df.sortWithinPartitions("metric", "interval_start")
-                writer = out.write.mode(mode)
+                per_level.setdefault(iv, []).append(df)
+        # one atomic republish per level table (param groups sharing an
+        # interval are unioned first) — a rebuild racing readers flips the
+        # manifest instead of overwriting in place
+        for iv, dfs in per_level.items():
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            out = out.sortWithinPartitions("metric", "interval_start")
+
+            def _write(target: str, _out=out) -> None:
+                writer = _out.write.mode("overwrite")
                 if self.partition_by_metric:
                     writer = writer.partitionBy("metric")
-                writer.parquet(f"{self.base}/levels/{iv}")
-                written.add(iv)
+                writer.parquet(target)
+
+            publish_version(f"{self.base}/levels/{iv}", _write)
 
 
 class Metric:

@@ -107,18 +107,24 @@ class IncrementalRollup:
         self.policy = policy
 
     # -- table access ------------------------------------------------------
+    # reads/appends resolve through the store's manifest indirection so a
+    # compacted (atomically republished) table keeps working mid-stream
     def raw(self) -> DataFrame | None:
+        from ..sources.store import resolve_table_path, table_exists
         p = f"{self.base}/raw"
-        return self.spark.read.parquet(p) if os.path.exists(p) else None
+        if not table_exists(p):
+            return None
+        return self.spark.read.parquet(resolve_table_path(p))
 
     def level(self, interval: int) -> DataFrame | None:
         """Level table with the partition bookkeeping column stripped and
         the partition-inferred ``metric`` normalized back to string."""
+        from ..sources.store import resolve_table_path, table_exists
         p = f"{self.base}/levels/{interval}"
-        if not os.path.exists(p):
+        if not table_exists(p):
             return None
         try:
-            df = self.spark.read.parquet(p)
+            df = self.spark.read.parquet(resolve_table_path(p))
         except Exception:
             # a level with no closed buckets yet has a directory but no
             # data files (empty dynamic-overwrite write)
@@ -205,10 +211,12 @@ class IncrementalRollup:
         if bounds.isEmpty():
             return
         if not empty:
-            batch.write.mode("append").parquet(f"{self.base}/raw")
+            from ..sources.store import resolve_table_path
+            raw_path = resolve_table_path(f"{self.base}/raw")
+            batch.write.mode("append").parquet(raw_path)
             # invalidate the session's cached file listing for the path —
             # otherwise the post-append read may still see the old file set
-            self.spark.catalog.refreshByPath(f"{self.base}/raw")
+            self.spark.catalog.refreshByPath(raw_path)
         self._update_levels(bounds)
 
     def _update_levels(self, bounds: DataFrame) -> None:
@@ -247,7 +255,8 @@ class IncrementalRollup:
         every previously-closed bucket >= _rb, so no stale partition can
         survive the overwrite.
         """
-        path = f"{self.base}/levels/{interval}"
+        from ..sources.store import resolve_table_path
+        path = resolve_table_path(f"{self.base}/levels/{interval}")
         top = self._top()
         region = (fresh.join(F.broadcast(bounds), "metric")
                   .filter(F.col("interval_start") >= F.col("_rb"))

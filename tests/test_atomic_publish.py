@@ -1,0 +1,107 @@
+"""Atomic-publish discipline for table rewrites (round-1 VERDICT item 8):
+compaction republises into an immutable versioned snapshot and flips a
+manifest pointer with one POSIX rename, so a concurrent reader NEVER
+observes a partially written/deleted table — the Spark-layout analog of the
+reference's torn-tail tolerance
+(/root/reference/src/storage/file/file.hpp:210-247).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+from hta_spark import SECOND
+from hta_spark.sources import HtaStore
+from hta_spark.sources.store import publish_version, resolve_table_path
+
+from .conftest import F1_META, f1_points
+
+
+def _as_df(spark, pts):
+    return spark.createDataFrame(pts, "metric string, time long, value double")
+
+
+def test_manifest_flip_resolves(tmp_path):
+    path = str(tmp_path / "t")
+
+    def w1(target):
+        os.makedirs(target)
+        open(f"{target}/a", "w").write("1")
+
+    v1 = publish_version(path, w1)
+    assert resolve_table_path(path) == v1
+    doc = json.load(open(path + ".manifest"))
+    assert doc["current"].startswith("t.versions/v_")
+
+    def w2(target):
+        os.makedirs(target)
+        open(f"{target}/b", "w").write("2")
+
+    v2 = publish_version(path, w2)
+    assert resolve_table_path(path) == v2
+    # previous snapshot retained for in-flight readers (keep=2)
+    assert os.path.exists(v1)
+    v3 = publish_version(path, w2)
+    assert resolve_table_path(path) == v3
+    assert not os.path.exists(v1)        # GC'd after falling 2 behind
+
+
+def test_concurrent_reader_never_sees_partial_table(spark, tmp_path):
+    """Reader loop racing repeated compactions: every read must return the
+    full row count (the round-1 in-place overwrite intermittently lost the
+    race and saw a half-deleted directory)."""
+    base = str(tmp_path / "race_store")
+    store = HtaStore(spark, base, configs={"foo": F1_META},
+                     partition_by_metric=False)
+    pts = f1_points()
+    store.write_raw(_as_df(spark, pts))
+    expected = len(pts)
+
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                n = store.raw().count()
+                if n != expected:
+                    errors.append(f"saw {n} rows, expected {expected}")
+                    return
+            except Exception as ex:          # torn read
+                errors.append(repr(ex)[:200])
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for _ in range(6):
+            store.compact("raw", target_partitions=2)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errors, errors[0]
+    # result is intact post-race
+    rows = sorted((r["metric"], r["time"], r["value"])
+                  for r in store.raw().collect())
+    assert rows == sorted(pts)
+
+
+def test_compact_then_append_then_compact(spark, tmp_path):
+    """Appends land in the live snapshot; a second compaction folds them in
+    and the old snapshot is retired without breaking reads."""
+    base = str(tmp_path / "cycle_store")
+    store = HtaStore(spark, base, configs={"foo": F1_META},
+                     partition_by_metric=False)
+    pts = f1_points()
+    half = len(pts) // 2
+    store.write_raw(_as_df(spark, pts[:half]))
+    store.compact("raw")
+    store.write_raw(_as_df(spark, pts[half:]))
+    assert store.raw().count() == len(pts)
+    store.compact("raw")
+    store.compact("raw")
+    rows = sorted((r["metric"], r["time"], r["value"])
+                  for r in store.raw().collect())
+    assert rows == sorted(pts)

@@ -103,3 +103,52 @@ def test_ivf_assign_large_codebook(spark):
     assert n == emb.count()
     ids = out.select("centroid_id").distinct()
     assert ids.count() > 1
+
+
+def test_decode_real_image_headers(spark):
+    """Real container headers parse without any codec: a genuine 1x1 PNG
+    (full file bytes), plus constructed PNG/JPEG/GIF headers with known
+    dimensions."""
+    import base64
+    import struct
+    from hta_spark.pipeline.multimodal import parse_image_header
+
+    real_png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    assert parse_image_header(real_png) == ("png", 1, 1, 4)
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 320, 200) + bytes([8, 2, 0, 0, 0])
+           + b"\x00" * 8)
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+            + struct.pack(">HH", 480, 640) + bytes([3]) + b"\x00" * 9)
+    gif = b"GIF89a" + struct.pack("<HH", 101, 55) + b"\x00" * 4
+
+    rows = [(1, "image", png, {}), (2, "image", jpeg, {}),
+            (3, "image", gif, {}), (4, "image", real_png, {})]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary, "
+              "meta map<string,string>")
+    got = {r["asset_id"]: (r["img_format"], r["width"], r["height"],
+                           r["channels"])
+           for r in decode_image_meta(df).collect()}
+    assert got == {1: ("png", 320, 200, 3), 2: ("jpeg", 640, 480, 3),
+                   3: ("gif", 101, 55, 3), 4: ("png", 1, 1, 4)}
+
+
+def test_cosine_topk_wide_matches_hof(spark):
+    """The Arrow/BLAS wide-vector path returns the same top-k as the
+    codegen HOF path (modulo last-ulp ties under the 4-decimal round)."""
+    from hta_spark.pipeline.ann import cosine_topk_wide
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]]
+    hof = [(r["vec_id"], r["cos_sim"]) for r in
+           cosine_topk(emb, q, k=10).collect()]
+    wide = [(r["vec_id"], r["cos_sim"]) for r in
+            cosine_topk_wide(emb, q, k=10).collect()]
+    assert len(set(a for a, _ in hof) & set(a for a, _ in wide)) >= 9
+    assert hof[0] == wide[0]          # the self-match (sim 1.0) leads both
