@@ -23,7 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["cosine_sim", "cosine_topk", "cosine_topk_wide",
-           "centroid_frame", "ivf_assign", "ivf_topk"]
+           "cosine_pairs", "hyperplane_lsh_pairs", "centroid_frame",
+           "ivf_assign", "ivf_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -82,6 +83,70 @@ def cosine_topk_wide(emb: DataFrame, query_vec: list[float], k: int = 10,
                        F.round(_sim(F.col(vec_col)), 4).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), id_col)
             .limit(k))
+
+
+def cosine_pairs(emb: DataFrame, threshold: float = 0.4,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold) —
+    exact all-pairs baseline.
+
+    O(n^2) dot products in whole-stage codegen (broadcast nested-loop on
+    the a < b condition): the oracle-checkable ground truth.  At corpus
+    scale use :func:`hyperplane_lsh_pairs`, which generates candidates from
+    banded random-hyperplane signatures instead of all pairs."""
+    a = emb.select(F.col(id_col).alias("a"),
+                   _as_double(F.col(vec_col)).alias("_va"))
+    b = emb.select(F.col(id_col).alias("b"),
+                   _as_double(F.col(vec_col)).alias("_vb"))
+    sim = F.round(cosine_sim(F.col("_va"), F.col("_vb")), 4)
+    return (a.join(F.broadcast(b), F.col("a") < F.col("b"))
+            .select("a", "b", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= F.lit(threshold)))
+
+
+def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
+                         n_planes: int = 16, rows_per_band: int = 2,
+                         seed: int = 7, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane (SRP) LSH.
+
+    Each vector gets an ``n_planes``-bit signature (bit i = sign of the dot
+    product with a seeded random hyperplane, shipped as one broadcast row —
+    no literal trees); candidate pairs come from the banded bucket join of
+    :func:`dedup.lsh_pairs` (incl. its hot-bucket cap), then exact cosine
+    verifies ``>= threshold``.  Output is a deterministic subset of
+    :func:`cosine_pairs` with SRP recall ``1-(1-(1-theta/pi)^r)^b`` per
+    pair; per-vector work is O(n_planes * dim) + the bucket join — no
+    all-pairs stage anywhere."""
+    import numpy as np
+
+    from .dedup import lsh_pairs
+
+    dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = [[float(x) for x in p] for p in rng.standard_normal((n_planes, dim))]
+    prow = emb.sparkSession.createDataFrame(
+        [(planes,)], "_planes array<array<double>>")
+
+    v = _as_double(F.col(vec_col))
+    bits = [
+        (F.when(_dot(v, F.element_at(F.col("_planes"), i + 1)) > 0, 1)
+         .otherwise(0)).alias(f"mh_{i}")
+        for i in range(n_planes)
+    ]
+    sig = (emb.join(F.broadcast(prow))
+           .select(F.col(id_col), *bits))
+    cand = lsh_pairs(sig, id_col=id_col, k=n_planes,
+                     rows_per_band=rows_per_band)
+    ea = emb.select(F.col(id_col).alias("a"),
+                    _as_double(F.col(vec_col)).alias("_va"))
+    eb = emb.select(F.col(id_col).alias("b"),
+                    _as_double(F.col(vec_col)).alias("_vb"))
+    sim = F.round(cosine_sim(F.col("_va"), F.col("_vb")), 4)
+    return (cand.join(ea, "a").join(eb, "b")
+            .select("a", "b", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= F.lit(threshold)))
 
 
 def centroid_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:

@@ -403,6 +403,25 @@ ORDER BY jaccard DESC, a, b LIMIT 100
 """
 
 
+def q_embedding_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the
+    banded hyperplane-LSH variant is the scale path, recall-tested in
+    pytest).  Threshold 0.4 suits this synthetic corpus (random vectors:
+    max pairwise cosine ~0.51)."""
+    from .pipeline.ann import cosine_pairs
+    return cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+SQL_EMBEDDING_COSINE_PAIRS = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 4) >= 0.4
+"""
+
+
 def q_kmeans_lite(spark, sf_dir):
     """Iterative Lloyd's k-means (3 rounds, seeded, cosine assignment) —
     rows-only check: iterative algorithms are non-SQL-expressible per the
@@ -426,4 +445,6 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "ann_ivf_assign": (q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "dedup_injected": (q_dedup_injected, SQL_DEDUP_INJECTED),
+    "dedup_embedding_cosine": (q_embedding_cosine_pairs,
+                               SQL_EMBEDDING_COSINE_PAIRS),
 }

@@ -53,3 +53,22 @@ def test_star_keeps_component_connected(spark):
     assert len(pairs) == 49
     ids = {r["b"] for r in pairs} | {r["a"] for r in pairs}
     assert ids == set(range(50))
+
+
+def test_hyperplane_lsh_subset_of_exact(spark):
+    """SRP-LSH near-dup candidates verify to a deterministic subset of the
+    exact all-pairs result, with usable recall at the corpus threshold."""
+    from hta_spark.pipeline.ann import cosine_pairs, hyperplane_lsh_pairs
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["a"], r["b"]) for r in
+             cosine_pairs(emb, threshold=0.4).collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           hyperplane_lsh_pairs(emb, threshold=0.4).collect()}
+    assert lsh <= exact
+    assert exact, "fixture produced no near-dup pairs"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+    # determinism (seeded planes)
+    again = {(r["a"], r["b"]) for r in
+             hyperplane_lsh_pairs(emb, threshold=0.4).collect()}
+    assert lsh == again
