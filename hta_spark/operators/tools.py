@@ -17,7 +17,8 @@ from ..chrono import SECOND
 from ..meta import Meta
 from .rollup import build_levels
 
-__all__ = ["check_raw", "check_levels", "repair", "throttle", "clone", "dummy"]
+__all__ = ["check_raw", "check_levels", "repair", "throttle",
+           "throttle_parallel", "clone", "dummy"]
 
 # plausibility bounds from check.cpp:76-101
 _MAX_MAGNITUDE = 1e20
@@ -158,6 +159,84 @@ def throttle(raw: DataFrame, cooldown_ns: int) -> DataFrame:
 
     return raw.groupBy("metric").applyInPandas(
         _throttle, schema="metric string, time long, value double")
+
+
+def throttle_parallel(raw: DataFrame, cooldown_ns: int,
+                      max_rounds: int = 48) -> DataFrame:
+    """Exact throttle without per-metric sequential state: pointer doubling
+    over the "next kept" successor function.
+
+    The kept-set recurrence (keep t iff ``last_kept + cooldown < t``) makes
+    :func:`throttle` one sequential pandas pass per metric — correct, but a
+    single dominant metric serializes the job.  This variant is
+    chain-parallel:
+
+    1. ``f(t) = min{u : u > t + cooldown}`` for every distinct time (one
+       merged-stream window: suffix-min over the time-sorted union of
+       points and their ``t + cooldown`` probes);
+    2. jump tables ``f^(2^k)`` by repeated self-join (log2 n rounds);
+    3. the kept set = orbit of each metric's first point, grown by frontier
+       doubling against the jump tables (log2 n joins).
+
+    Work O(n log n), depth O(log n) — every round is an all-parallel
+    equi-join shuffle, so a 10^9-point metric throttles at cluster width
+    instead of one core.  Exactly equivalent to :func:`throttle` on
+    duplicate-free timestamps (equivalence-tested; duplicate (metric,time)
+    rows are collapsed to the min value first, which is also what the
+    strict ingest contract guarantees).
+    """
+    pts = (raw.groupBy("metric", "time").agg(F.min("value").alias("value"))
+           .localCheckpoint(eager=True))
+
+    # 1. successor: suffix-min over the merged stream.  kind 0 (data) sorts
+    # before kind 1 (probe) at equal pos, so u == t + cooldown is excluded
+    # (the reference keeps only strictly later points).
+    data = pts.select("metric", F.col("time").alias("pos"),
+                      F.lit(0).alias("kind"), F.col("time").alias("t"),
+                      F.col("time").alias("u"))
+    probe = pts.select("metric",
+                       (F.col("time") + F.lit(cooldown_ns)).alias("pos"),
+                       F.lit(1).alias("kind"), F.col("time").alias("t"),
+                       F.lit(None).cast("long").alias("u"))
+    w = (Window.partitionBy("metric").orderBy("pos", "kind")
+         .rowsBetween(1, Window.unboundedFollowing))
+    jump = (data.unionByName(probe)
+            .withColumn("j", F.min("u").over(w))
+            .filter(F.col("kind") == 1)
+            .select("metric", "t", "j")
+            .localCheckpoint(eager=True))
+
+    # rounds needed: orbit length <= points of the largest metric
+    n_max = pts.groupBy("metric").count().agg(F.max("count")).collect()[0][0]
+    if n_max is None:
+        return raw.filter(F.lit(False)).select("metric", "time", "value")
+    rounds = min(max_rounds, max(1, (int(n_max) - 1).bit_length()))
+
+    # 2 + 3. doubling: after round k the frontier holds f^(<2^k) of the
+    # first point and `jump` maps t -> f^(2^k)(t)
+    kept = (pts.groupBy("metric").agg(F.min("time").alias("t"))
+            .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        nxt = (kept.join(jump, ["metric", "t"])
+               .filter(F.col("j").isNotNull())
+               .select("metric", F.col("j").alias("t")))
+        new_kept = kept.unionByName(nxt).distinct().localCheckpoint(eager=True)
+        if new_kept.count() == kept.count():
+            kept = new_kept
+            break
+        kept = new_kept
+        j2 = jump.alias("a").join(
+            jump.select(F.col("metric").alias("_m"), F.col("t").alias("_t"),
+                        F.col("j").alias("_j")).alias("b"),
+            (F.col("a.metric") == F.col("_m")) & (F.col("a.j") == F.col("_t")),
+            "left")
+        jump = (j2.select("a.metric", "a.t",
+                          F.when(F.col("a.j").isNotNull(), F.col("_j"))
+                          .alias("j"))
+                .localCheckpoint(eager=True))
+    return (pts.join(kept.withColumnRenamed("t", "time"),
+                     ["metric", "time"], "left_semi")
+            .select("metric", "time", "value"))
 
 
 def clone(raw: DataFrame, new_meta: Meta) -> dict[int, DataFrame]:

@@ -326,6 +326,16 @@ def q_hta_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("metric", "time", F.round("value", 3).alias("value")))
 
 
+def q_hta_throttle_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics via the pointer-doubling chain-parallel throttle
+    (operators/tools.py::throttle_parallel) — gated by the same recursive-
+    CTE oracle as hta_throttle."""
+    from .operators.tools import throttle_parallel
+    raw = events_raw(spark, sf_dir)
+    return (throttle_parallel(raw, COOLDOWN)
+            .select("metric", "time", F.round("value", 3).alias("value")))
+
+
 SQL_HTA_THROTTLE = f"""
 WITH RECURSIVE pts AS ({EVT}),
 o AS (
@@ -475,5 +485,6 @@ HTA_QUERIES: dict[str, tuple] = {
     "hta_smooth3": (q_hta_smooth3, SQL_HTA_SMOOTH3),
     "hta_smooth_raw": (q_hta_smooth_raw, SQL_HTA_SMOOTH_RAW),
     "hta_throttle": (q_hta_throttle, SQL_HTA_THROTTLE),
+    "hta_throttle_parallel": (q_hta_throttle_parallel, SQL_HTA_THROTTLE),
     "hta_check_dups": (q_hta_check_dups, SQL_HTA_CHECK_DUPS),
 }

@@ -124,3 +124,34 @@ def test_approx_functions_sane(spark):
     ).collect()[0]
     assert abs(r["apx"] - r["exact"]) <= 0.05 * r["exact"]
     assert abs(r["apx_med"] - r["med"]) <= 0.05 * abs(r["med"])
+
+
+def test_throttle_parallel_equivalence(spark):
+    """Pointer-doubling throttle == sequential pandas throttle, on the F1
+    fixture and on seeded random multi-metric series (incl. exact-cooldown
+    boundary spacing)."""
+    import random
+    from hta_spark.operators.tools import throttle, throttle_parallel
+    from .conftest import f1_points
+
+    def check(pts, cooldown):
+        df = spark.createDataFrame(
+            pts, "metric string, time long, value double")
+        seq = {(r["metric"], r["time"]) for r in
+               throttle(df, cooldown).collect()}
+        par = {(r["metric"], r["time"]) for r in
+               throttle_parallel(df, cooldown).collect()}
+        assert par == seq, (len(par), len(seq))
+
+    check(f1_points(), 25 * 1_000_000_000)
+    rng = random.Random(11)
+    pts = []
+    for m in ("a", "b", "c"):
+        t = 1_000
+        for _ in range(400):
+            # mix of sub-cooldown, exactly-cooldown and above-cooldown gaps
+            t += rng.choice([1, 5, 10, 10, 17, 40])
+            pts.append((m, t, rng.random()))
+    check(pts, 10)
+    check(pts, 0)          # cooldown 0: strict > keeps everything distinct
+    check([("x", 5, 1.0)], 100)   # single point
