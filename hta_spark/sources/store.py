@@ -219,12 +219,18 @@ class HtaStore:
         if not table_exists(path):
             return None
         try:
-            return self.spark.read.parquet(resolve_table_path(path))
+            df = self.spark.read.parquet(resolve_table_path(path))
         except Exception:
             # a level with no closed buckets yet writes no schema files
             # (empty dataframe); the reference likewise has an empty file
             from ..schemas import AGG_SCHEMA
             return self.spark.createDataFrame([], AGG_SCHEMA)
+        # normalize streaming-maintained layouts (partitioned by metric +
+        # time bucket): drop the bookkeeping column, undo partition-column
+        # type inference
+        if "tb" in df.columns:
+            df = df.drop("tb")
+        return df.withColumn("metric", F.col("metric").cast("string"))
 
     def levels_for(self, meta: Meta) -> dict[int, DataFrame]:
         out = {}

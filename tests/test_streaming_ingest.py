@@ -391,3 +391,28 @@ def test_nonpositive_timestamps_rejected(spark, tmp_path):
     IncrementalRollup(spark, base2, F1_META).ingest(
         _as_df(spark, [("m", 0, 1.0), ("m", -1, 2.0)]))
     assert not os.path.exists(f"{base2}/raw")
+
+
+def test_store_facade_reads_streaming_levels(spark, tmp_path):
+    """An HtaStore pointed at an IncrementalRollup-maintained base reads
+    the partitioned level tables transparently (bookkeeping column
+    stripped, metric type normalized)."""
+    from hta_spark.sources import HtaStore
+
+    base = str(tmp_path / "interop")
+    ing = IncrementalRollup(spark, base, F1_META)
+    pts = f1_points()
+    ing.ingest(_as_df(spark, pts))
+
+    store = HtaStore(spark, base, configs={"foo": F1_META},
+                     partition_by_metric=False)
+    continuous = build_levels(_as_df(spark, pts), F1_META)
+    for iv in F1_META.level_intervals():
+        got = store.level(iv)
+        assert got is not None
+        assert _level_dict(got) == _level_dict(continuous[iv])
+    # the metric facade works end-to-end over the same base (count excludes
+    # the point at the clamped end em == t_last — reference clamping,
+    # metric.cpp:160-231)
+    agg = store["foo"].aggregate(pts[0][1], pts[-1][1] + 1).collect()
+    assert len(agg) == 1 and agg[0]["count"] == len(pts) - 1
