@@ -44,6 +44,7 @@ HEADLINE = [
     "q_asof_signup",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "dedup_simhash",
     "text_quality",
     "ann_cosine_topk",
