@@ -142,3 +142,25 @@ def test_salted_build_equivalence(spark, f1_raw):
         pa = {r["interval_start"]: tuple(r) for r in plain[iv].collect()}
         pb = {r["interval_start"]: tuple(r) for r in salted[iv].collect()}
         assert pa == pb, f"interval {iv}"
+
+
+def test_exact_mode_consistent_with_double_mode(spark, f1_raw):
+    """The order-free exact accumulation (micro-unit integers) agrees with
+    the engine's double path up to the 1e-6 quantization."""
+    from hta_spark import SECOND
+    from hta_spark.operators.rollup import build_level1
+
+    d = {(r["metric"], r["interval_start"]): r
+         for r in build_level1(f1_raw, 10 * SECOND).collect()}
+    e = {(r["metric"], r["interval_start"]): r
+         for r in build_level1(f1_raw, 10 * SECOND, exact=True).collect()}
+    assert d.keys() == e.keys()
+    for k, dr in d.items():
+        er = e[k]
+        assert dr["minimum"] == er["minimum"]
+        assert dr["maximum"] == er["maximum"]
+        assert dr["count"] == er["count"]
+        assert dr["active_time"] == er["active_time"]
+        assert abs(dr["sum"] - er["sum"] / 1e6) <= 1e-6 * max(1, dr["count"])
+        assert abs(dr["integral"] - float(er["integral"]) / 1e6) \
+            <= 1e-6 * dr["active_time"] + 1e-3

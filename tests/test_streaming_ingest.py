@@ -416,3 +416,17 @@ def test_store_facade_reads_streaming_levels(spark, tmp_path):
     # metric.cpp:160-231)
     agg = store["foo"].aggregate(pts[0][1], pts[-1][1] + 1).collect()
     assert len(agg) == 1 and agg[0]["count"] == len(pts) - 1
+
+
+def test_numeric_metric_names_survive_partition_inference(spark, tmp_path):
+    """Partition directories like metric=42 would be inferred as ints;
+    level() must normalize them back to the raw table's string type."""
+    base = str(tmp_path / "numnames")
+    ing = IncrementalRollup(spark, base, F1_META)
+    t0 = 1_519_130_000 * SECOND
+    pts = [("42", t0 + i * 5 * SECOND, float(i)) for i in range(30)]
+    ing.ingest(_as_df(spark, pts))
+    lvl = ing.level(10 * SECOND)
+    rows = lvl.collect()
+    assert rows and all(r["metric"] == "42" for r in rows)
+    assert dict(lvl.dtypes)["metric"] == "string"
