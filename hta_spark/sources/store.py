@@ -284,10 +284,15 @@ class HtaStore:
             else ["metric", "interval_start"]
         # preserve the existing partition layout exactly — a rewrite that
         # drops (or adds) partition columns leaves a mixed directory the
-        # next append makes unreadable
-        parts = [c for c in ("metric", "day") if c in df.columns
-                 and ((c == "metric" and self.partition_by_metric)
-                      or (c == "day" and self.partition_time_days))]
+        # next writer makes unreadable.  A "tb" column marks the streaming
+        # level layout (always partitioned by metric AND time bucket —
+        # the ingest job's dynamic partition overwrites depend on it).
+        if "tb" in df.columns:
+            parts = ["metric", "tb"]
+        else:
+            parts = [c for c in ("metric", "day") if c in df.columns
+                     and ((c == "metric" and self.partition_by_metric)
+                          or (c == "day" and self.partition_time_days))]
 
         def _write(target: str) -> None:
             writer = (df.repartition(max(target_partitions, 1), "metric")

@@ -430,3 +430,26 @@ def test_numeric_metric_names_survive_partition_inference(spark, tmp_path):
     rows = lvl.collect()
     assert rows and all(r["metric"] == "42" for r in rows)
     assert dict(lvl.dtypes)["metric"] == "string"
+
+
+def test_level_compaction_preserves_streaming_layout(spark, tmp_path):
+    """Compacting a streaming level table must keep the (metric, tb)
+    partition layout (and versioned publish), so later micro-batches keep
+    upserting correctly."""
+    from hta_spark.sources import HtaStore
+
+    base = str(tmp_path / "lvlcompact")
+    ing = IncrementalRollup(spark, base, F1_META)
+    pts = f1_points()
+    half = len(pts) // 2
+    ing.ingest(_as_df(spark, pts[:half]))
+
+    store = HtaStore(spark, base, configs={"foo": F1_META},
+                     partition_by_metric=False)
+    n_files = store.compact(str(10 * SECOND), target_partitions=1)
+    assert n_files > 0
+
+    ing.ingest(_as_df(spark, pts[half:]))
+    continuous = build_levels(_as_df(spark, pts), F1_META)
+    for iv in F1_META.level_intervals():
+        assert _level_dict(ing.level(iv)) == _level_dict(continuous[iv]), iv
