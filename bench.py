@@ -108,17 +108,16 @@ def _insert_matrix(spark) -> list[dict]:
             t0 = time.perf_counter()
             levels = build_levels(df, meta, salt_chunks=256)
             ivs = sorted(levels)
-            # two actions per cell: level 1 first (populates its cache),
-            # then all higher levels in one union job — per-job scheduling
-            # overhead would otherwise dominate the small cells
-            levels[ivs[0]].write.mode("overwrite").format("noop").save()
-            if len(ivs) > 1:
-                rest = levels[ivs[1]]
-                for iv in ivs[2:]:
-                    rest = rest.unionByName(levels[iv])
-                rest.write.mode("overwrite").format("noop").save()
+            # force bottom-up with every level cached: each cascade step
+            # then reads its materialized parent, so the 10-level 826ns
+            # hierarchy costs O(levels) aggregations, not O(levels^2)
+            # (forcing levels independently re-derives every intermediate
+            # level from level 1 each time)
+            for iv in ivs:
+                levels[iv].cache().write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
-            levels[ivs[0]].unpersist()        # don't leak cache across cells
+            for iv in ivs:                    # don't leak cache across cells
+                levels[iv].unpersist()
             cells.append({"rows": n, "spacing_ns": spacing,
                           "sec": round(dt, 3),
                           "rows_per_sec": round(n / dt)})
