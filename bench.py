@@ -69,9 +69,12 @@ def _insert_throughput(spark, n: int = 2 ** 24) -> dict:
     def one_run() -> float:
         t0 = time.perf_counter()
         levels = build_levels(df, meta, salt_chunks=256)
+        for iv in sorted(levels):     # cascade reads its cached parent
+            levels[iv].cache().write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
         for lvl in levels.values():
-            lvl.write.mode("overwrite").format("noop").save()
-        return time.perf_counter() - t0
+            lvl.unpersist()
+        return dt
 
     cold = one_run()     # includes codegen compilation for this pipeline
     steady = one_run()   # the throughput figure

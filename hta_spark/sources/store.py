@@ -334,11 +334,19 @@ class HtaStore:
                 per_level.setdefault(iv, []).append(df)
         # one atomic republish per level table (param groups sharing an
         # interval are unioned first) — a rebuild racing readers flips the
-        # manifest instead of overwriting in place
-        for iv, dfs in per_level.items():
+        # manifest instead of overwriting in place.  Levels are written
+        # bottom-up with each level cached so every cascade step reads its
+        # materialized parent (forcing independently would re-derive all
+        # intermediate levels from level 1: O(levels^2) aggregations).
+        cached = []
+        for iv in sorted(per_level):
+            dfs = per_level[iv]
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d)
+            for d in dfs:
+                d.cache()
+                cached.append(d)
             out = out.sortWithinPartitions("metric", "interval_start")
 
             def _write(target: str, _out=out) -> None:
@@ -348,6 +356,8 @@ class HtaStore:
                 writer.parquet(target)
 
             publish_version(f"{self.base}/levels/{iv}", _write)
+        for d in cached:
+            d.unpersist()
 
 
 class Metric:
