@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["cosine_sim", "cosine_topk", "cosine_topk_wide",
            "cosine_pairs", "hyperplane_lsh_pairs", "centroid_frame",
-           "ivf_assign", "ivf_topk"]
+           "ivf_assign", "ivf_topk", "probe_set", "ivf_index_write",
+           "ivf_index_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -197,12 +198,12 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
                     best["s"].alias("centroid_sim")))
 
 
-def ivf_topk(emb: DataFrame, centroids: list[tuple[int, list[float]]],
-             query_vec: list[float], k: int = 10, nprobe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: probe only the ``nprobe`` clusters whose centroid
-    is nearest the query, then exact cosine within them."""
+def probe_set(centroids: list[tuple[int, list[float]]],
+              query_vec: list[float], nprobe: int) -> list[int]:
+    """The ``nprobe`` max-cosine centroid ids for a query (driver-side,
+    k-sized)."""
     import math
+
     def py_cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
         na = math.sqrt(sum(x * x for x in a))
@@ -210,11 +211,48 @@ def ivf_topk(emb: DataFrame, centroids: list[tuple[int, list[float]]],
         return round(d / (na * nb), 6)   # rounded like ivf_assign, so an
         # external oracle ranks probes identically
     probed = sorted(centroids, key=lambda cv: (-py_cos(cv[1], query_vec), cv[0]))
-    probe_ids = [cid for cid, _ in probed[:nprobe]]
+    return [cid for cid, _ in probed[:nprobe]]
+
+
+def ivf_topk(emb: DataFrame, centroids: list[tuple[int, list[float]]],
+             query_vec: list[float], k: int = 10, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` clusters whose centroid
+    is nearest the query, then exact cosine within them."""
+    probe_ids = probe_set(centroids, query_vec, nprobe)
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_sim(_as_double(F.col(vec_col)), q)
     return (assigned.filter(F.col("centroid_id").isin(probe_ids))
+            .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), id_col)
+            .limit(k))
+
+
+def ivf_index_write(emb: DataFrame, centroids: list[tuple[int, list[float]]],
+                    path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF index: assignments written as parquet partitioned
+    by ``centroid_id``.  This is the 100 TB probe path — a query then scans
+    only its ``nprobe`` partition directories (true partition pruning)
+    instead of re-assigning the whole corpus per query."""
+    (ivf_assign(emb, centroids, id_col, vec_col)
+     .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
+
+
+def ivf_index_topk(spark, path: str,
+                   centroids: list[tuple[int, list[float]]],
+                   query_vec: list[float], k: int = 10, nprobe: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Top-k over a materialized IVF index (see :func:`ivf_index_write`):
+    the centroid filter prunes to the probed partitions at scan time —
+    identical results to :func:`ivf_topk` on the same centroids."""
+    probe_ids = probe_set(centroids, query_vec, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim(_as_double(F.col(vec_col)), q)
+    return (spark.read.parquet(path)
+            .filter(F.col("centroid_id").isin(probe_ids))
             .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), id_col)
             .limit(k))

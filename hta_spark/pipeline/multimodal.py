@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "attach_binary_metadata", "decode_image_meta",
+__all__ = ["MEDIA_SCHEMA", "attach_binary_metadata", "parse_image_header",
+           "decode_image_meta", "parse_wav_header", "decode_audio_meta",
            "sample_frames"]
 
 MEDIA_SCHEMA = T.StructType([
@@ -90,6 +91,70 @@ def parse_image_header(b: bytes) -> tuple[str, int, int, int] | None:
             i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
         return None
     return None
+
+
+def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample, n_frames) from a RIFF/WAVE
+    header — pure byte parsing (fmt chunk walk), no codec.  ``n_frames`` is
+    derived from the data chunk size; -1 when no data chunk is present in
+    the provided bytes.  Returns None for non-WAV payloads."""
+    if len(b) < 36 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = ch = bits = None
+    frames = -1
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            ch = int.from_bytes(b[i + 10:i + 12], "little")
+            rate = int.from_bytes(b[i + 12:i + 16], "little")
+            bits = int.from_bytes(b[i + 22:i + 24], "little")
+        elif cid == b"data" and ch and bits:
+            frames = size // max(1, ch * bits // 8)
+        i += 8 + size + (size % 2)          # chunks are word-aligned
+    if rate is None:
+        return None
+    return (rate, ch or 0, bits or 0, frames)
+
+
+def decode_audio_meta(df: DataFrame, payload_col: str = "payload",
+                      fake: bool = False) -> DataFrame:
+    """Extract (sample_rate, channels, bits_per_sample, n_frames) per audio
+    asset via mapInPandas.  WAV (RIFF) headers parse for real; other
+    containers raise unless ``fake=True`` (deterministic stub)."""
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+    ])
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload or b"")
+                parsed = parse_wav_header(raw)
+                if parsed is not None:
+                    rows.append(parsed)
+                elif fake:
+                    h = hashlib.md5(raw).digest()
+                    rows.append((8000 * (1 + h[0] % 6), 1 + h[1] % 2, 16,
+                                 len(raw)))
+                else:
+                    raise NotImplementedError(
+                        "payload is not a RIFF/WAVE container; compressed "
+                        "audio decode requires a codec library — pass "
+                        "fake=True for the deterministic stub")
+            pdf = pdf.copy()
+            pdf["sample_rate"] = [r[0] for r in rows]
+            pdf["channels"] = [r[1] for r in rows]
+            pdf["bits_per_sample"] = [r[2] for r in rows]
+            pdf["n_frames"] = [r[3] for r in rows]
+            yield pdf
+
+    return df.mapInPandas(_decode, schema=out_schema)
 
 
 def decode_image_meta(df: DataFrame, payload_col: str = "payload",

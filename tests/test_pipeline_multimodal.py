@@ -152,3 +152,63 @@ def test_cosine_topk_wide_matches_hof(spark):
             cosine_topk_wide(emb, q, k=10).collect()]
     assert len(set(a for a, _ in hof) & set(a for a, _ in wide)) >= 9
     assert hof[0] == wide[0]          # the self-match (sim 1.0) leads both
+
+
+def test_decode_real_wav_header(spark):
+    """A constructed RIFF/WAVE file (44-byte canonical header + PCM data)
+    parses sample rate, channels, bit depth and frame count with no codec."""
+    import struct
+    from hta_spark.pipeline.multimodal import decode_audio_meta, parse_wav_header
+
+    n_frames, rate, ch, bits = 480, 16000, 2, 16
+    data = b"\x00" * (n_frames * ch * bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                      ch * bits // 8, bits)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    assert parse_wav_header(wav) == (rate, ch, bits, n_frames)
+
+    df = spark.createDataFrame(
+        [(1, "audio", wav, {})],
+        "asset_id long, media_type string, payload binary, "
+        "meta map<string,string>")
+    r = decode_audio_meta(df).collect()[0]
+    assert (r["sample_rate"], r["channels"], r["bits_per_sample"],
+            r["n_frames"]) == (rate, ch, bits, n_frames)
+    # non-WAV payload raises without fake=
+    bad = spark.createDataFrame(
+        [(2, "audio", b"\x01\x02\x03", {})],
+        "asset_id long, media_type string, payload binary, "
+        "meta map<string,string>")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        decode_audio_meta(bad).collect()
+    assert decode_audio_meta(bad, fake=True).collect()[0]["sample_rate"] > 0
+
+
+def test_ivf_index_partition_pruned(spark, tmp_path):
+    """A materialized IVF index serves top-k from only the probed centroid
+    partitions (PartitionFilters in the scan), matching the on-the-fly
+    probe results."""
+    import re
+    from hta_spark.pipeline.ann import ivf_index_topk, ivf_index_write
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") < 10)
+             .select("vec_id", "embedding").collect()]
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]]
+    path = str(tmp_path / "ivf_index")
+    ivf_index_write(emb, cents, path)
+
+    from_index = ivf_index_topk(spark, path, cents, q, k=10, nprobe=4)
+    on_the_fly = [(r["vec_id"], r["cos_sim"]) for r in
+                  ivf_topk(emb, cents, q, k=10, nprobe=4).collect()]
+    assert [(r["vec_id"], r["cos_sim"]) for r in from_index.collect()] \
+        == on_the_fly
+    plan = from_index._sc._jvm.PythonSQLUtils.explainString(
+        from_index._jdf.queryExecution(), "formatted")
+    m = re.search(r"PartitionFilters: \[.*centroid_id.*\]", plan)
+    assert m, plan[:2000]
