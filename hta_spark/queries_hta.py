@@ -67,18 +67,21 @@ INT_PRE = 1_000_000_000_000          # micro-value*ns -> milli-value*sec
 
 def _fix3(c, pre: int):
     """3-decimal double from an exact micro-unit integer accumulation,
-    bit-identical on Spark and DuckDB: half-up integer floor-division to
+    bit-identical on Spark and DuckDB: round-half-away integer division to
     milli-units (an exact BIGINT < 2^53), then one correctly-rounded IEEE
-    division by 1000.0.  Assumes non-negative accumulations (events values
-    are positive; for signed data the half-up bias flips below zero).
-    SQL twin: :func:`_fix3_sql`."""
-    milli = F.call_function("div", c + F.lit(pre // 2), F.lit(pre))
-    return milli / F.lit(1000.0)
+    division by 1000.0.  Sign-symmetric (negative accumulations mirror the
+    positive rounding).  SQL twin: :func:`_fix3_sql`."""
+    h, p = F.lit(pre // 2), F.lit(pre)
+    pos = F.call_function("div", c + h, p)
+    neg = -F.call_function("div", -c + h, p)
+    return F.when(c < 0, neg).otherwise(pos) / F.lit(1000.0)
 
 
 def _fix3_sql(expr: str, pre: int, huge: bool = False) -> str:
     x = f"CAST({expr} AS HUGEINT)" if huge else f"({expr})"
-    return f"CAST(({x} + {pre // 2}) // {pre} AS BIGINT) / 1000.0"
+    h = pre // 2
+    return (f"CAST(CASE WHEN {x} < 0 THEN -((-{x} + {h}) // {pre}) "
+            f"ELSE ({x} + {h}) // {pre} END AS BIGINT) / 1000.0")
 
 
 def _round_rollup(df: DataFrame) -> DataFrame:

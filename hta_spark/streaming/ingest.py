@@ -86,7 +86,7 @@ class IncrementalRollup:
     """
 
     def __init__(self, spark: SparkSession, base: str, meta: Meta,
-                 policy: str = "strict"):
+                 policy: str = "strict", salt_chunks: int | None = None):
         """``policy``:
 
         - ``"strict"`` — the reference's semantics: late (non-monotonic)
@@ -98,6 +98,10 @@ class IncrementalRollup:
           earliest batch point, so correctness is the same equivalence-to-
           continuous-build invariant); duplicate (metric, time) keys are
           still dropped (first write wins).
+
+        ``salt_chunks``: parallelize the per-metric window of each batch's
+        level recompute via the salted path (rollup.lagged_salted) — use
+        when one metric dominates the stream.
         """
         if policy not in ("strict", "upsert"):
             raise ValueError(f"unknown policy {policy!r}")
@@ -105,6 +109,7 @@ class IncrementalRollup:
         self.base = base.rstrip("/")
         self.meta = meta
         self.policy = policy
+        self.salt_chunks = salt_chunks
 
     # -- table access ------------------------------------------------------
     # reads/appends resolve through the store's manifest indirection so a
@@ -238,7 +243,7 @@ class IncrementalRollup:
                .filter((F.col("time") >= F.col("_rb"))
                        | (F.col("time") == F.col("_p0")))
                .select("metric", "time", "value"))
-        levels = build_levels(sub, self.meta)
+        levels = build_levels(sub, self.meta, salt_chunks=self.salt_chunks)
         for iv, df in levels.items():
             self._upsert_level(iv, df, bounds)
 
