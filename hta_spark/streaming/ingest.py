@@ -24,7 +24,12 @@ Spark-first mapping:
   scale-killer);
 - exactly-once: bucket rewrites are deterministic partition overwrites, so
   replaying a batch after a crash converges to the same table — checkpoint
-  + idempotent sink;
+  + idempotent sink.  Consistency note: a reader racing a micro-batch can
+  see an open-region partition mid-swap (history partitions are never
+  touched); full snapshot isolation for the open region needs an ACID
+  table format — a Delta MERGE drops in at _upsert_level when the jars
+  exist.  Whole-table rewrites elsewhere use the manifest publish
+  discipline (sources/store.py::publish_version);
 - late/duplicate data: the reference rejects non-monotonic inserts outright
   (src/metric.cpp:519-524).  ``enforce_monotonic`` drops violations per
   micro-batch (documented relaxation: cross-batch enforcement uses the
