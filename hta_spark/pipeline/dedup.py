@@ -89,6 +89,13 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     hashes per shingle as columns, take per-doc mins — one shuffle, k longs
     per doc out.
     """
+    # a small-file corpus (1-2 parquet partitions) would run the whole
+    # shingle explode + k hashes in one task; spread it when the input has
+    # less parallelism than the cluster (no-op at real corpus scale, where
+    # input partitions already exceed cores)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     sh = (docs
           .select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
           .select(F.col(id_col),
