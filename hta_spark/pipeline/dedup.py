@@ -51,6 +51,17 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens_col(text), n)
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """A small-file corpus (1-2 parquet partitions) would run a whole
+    explode-and-hash pipeline in one task; spread it when the input has
+    less parallelism than the cluster (no-op at real corpus scale, where
+    input partitions already exceed cores)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
 def md5_long(c: Column, seed: str = "") -> Column:
     """Deterministic 60-bit positive hash reproducible in any engine with
     md5: first 15 hex chars of md5(seed || '|' || value) as a long."""
@@ -89,14 +100,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     hashes per shingle as columns, take per-doc mins — one shuffle, k longs
     per doc out.
     """
-    # a small-file corpus (1-2 parquet partitions) would run the whole
-    # shingle explode + k hashes in one task; spread it when the input has
-    # less parallelism than the cluster (no-op at real corpus scale, where
-    # input partitions already exceed cores)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
-    sh = (docs
+    sh = (_spread(docs)
           .select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
           .select(F.col(id_col),
                   F.explode(shingles_from_tokens(F.col("_toks"), shingle_n))
@@ -206,8 +210,9 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash fingerprint over token hashes: bit i is the sign of
     sum(+1/-1 per token's i-th hash bit).  Returns (id, simhash)."""
-    toks = (docs.select(F.col(id_col).alias("id"),
-                        F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    toks = (_spread(docs)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(tokens_col(F.col(text_col))).alias("tok"))
             .select("id", md5_long(F.col("tok"), "sim").alias("h")))
     per_bit = toks.select(
         "id",
