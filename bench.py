@@ -66,20 +66,29 @@ def _insert_throughput(spark, n: int = 2 ** 24) -> dict:
     meta = Meta(interval_min=1_500_000_000, interval_max=1_500_000_000_000,
                 interval_factor=10)
 
-    def one_run() -> float:
+    def one_run(clear_after: bool) -> float:
         t0 = time.perf_counter()
         levels = build_levels(df, meta, salt_chunks=256)
         for iv in sorted(levels):     # cascade reads its cached parent
             levels[iv].cache().write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
-        for lvl in levels.values():
-            lvl.unpersist()
+        if clear_after:
+            for lvl in levels.values():
+                lvl.unpersist()
         return dt
 
-    cold = one_run()     # includes codegen compilation for this pipeline
-    steady = one_run()   # the throughput figure
-    return {"rows": n, "sec": round(steady, 3), "cold_sec": round(cold, 3),
-            "rows_per_sec": round(n / steady)}
+    cold = one_run(False)    # includes codegen compilation; caches stay
+    # r1's "steady" accidentally reused the cached level 1 across runs, so
+    # it measured the cascade, not a full build — keep that figure under an
+    # honest name and report the true full-rebuild throughput as "sec"
+    warm = one_run(True)     # level 1 cached from the cold run
+    full = one_run(True)     # nothing cached: the real insert throughput
+    return {"rows": n, "sec": round(full, 3), "cold_sec": round(cold, 3),
+            "warm_cascade_sec": round(warm, 3),
+            "rows_per_sec": round(n / full),
+            "note": ("sec = full rebuild from raw (r1's steady figure "
+                     "reused a cached level 1; that number is now "
+                     "warm_cascade_sec)")}
 
 
 _DAY_NS = 86_400_000_000_000
