@@ -61,8 +61,8 @@ def _insert_throughput(spark, n: int = 2 ** 24) -> dict:
     from hta_spark.operators import build_levels
     from hta_spark.operators.tools import dummy
 
-    df = dummy(spark, count=n, time_delta_ns=50_000_000, value=None) \
-        .repartition(32)
+    # dummy() is spark.range-backed: already defaultParallelism partitions
+    df = dummy(spark, count=n, time_delta_ns=50_000_000, value=None)
     meta = Meta(interval_min=1_500_000_000, interval_max=1_500_000_000_000,
                 interval_factor=10)
 
@@ -115,8 +115,7 @@ def _insert_matrix(spark) -> list[dict]:
         meta = Meta(interval_min=imin, interval_max=imax, interval_factor=10)
         for exp in range(10, 27, 2):
             n = 1 << exp
-            df = dummy(spark, count=n, time_delta_ns=spacing, value=None) \
-                .repartition(32)
+            df = dummy(spark, count=n, time_delta_ns=spacing, value=None)
             t0 = time.perf_counter()
             levels = build_levels(df, meta, salt_chunks=256)
             ivs = sorted(levels)
