@@ -162,7 +162,8 @@ def throttle(raw: DataFrame, cooldown_ns: int) -> DataFrame:
 
 
 def throttle_parallel(raw: DataFrame, cooldown_ns: int,
-                      max_rounds: int = 48) -> DataFrame:
+                      max_rounds: int = 48,
+                      salt_chunks: int | None = None) -> DataFrame:
     """Exact throttle without per-metric sequential state: pointer doubling
     over the "next kept" successor function.
 
@@ -184,6 +185,12 @@ def throttle_parallel(raw: DataFrame, cooldown_ns: int,
     duplicate-free timestamps (equivalence-tested; duplicate (metric,time)
     rows are collapsed to the min value first, which is also what the
     strict ingest contract guarantees).
+
+    ``salt_chunks``: also parallelize the successor computation's
+    per-metric suffix-min window (the one remaining per-metric-sequential
+    stage) — suffix-min is associative, so each chunk's window is repaired
+    with the later chunks' minima (same trick as rollup.lagged_salted);
+    equivalence-tested against the plain window.
     """
     pts = (raw.groupBy("metric", "time").agg(F.min("value").alias("value"))
            .localCheckpoint(eager=True))
@@ -198,10 +205,31 @@ def throttle_parallel(raw: DataFrame, cooldown_ns: int,
                        (F.col("time") + F.lit(cooldown_ns)).alias("pos"),
                        F.lit(1).alias("kind"), F.col("time").alias("t"),
                        F.lit(None).cast("long").alias("u"))
-    w = (Window.partitionBy("metric").orderBy("pos", "kind")
-         .rowsBetween(1, Window.unboundedFollowing))
-    jump = (data.unionByName(probe)
-            .withColumn("j", F.min("u").over(w))
+    merged = data.unionByName(probe)
+    if salt_chunks:
+        rngs = merged.groupBy("metric").agg(F.min("pos").alias("_a"),
+                                            F.max("pos").alias("_b"))
+        j = merged.join(F.broadcast(rngs), "metric")
+        width = F.greatest(F.call_function(
+            "div", F.col("_b") - F.col("_a"), F.lit(salt_chunks)), F.lit(1))
+        c = F.least(F.call_function("div", F.col("pos") - F.col("_a"), width),
+                    F.lit(salt_chunks - 1).cast("long"))
+        j = j.withColumn("_c", c).drop("_a", "_b")
+        w_in = (Window.partitionBy("metric", "_c").orderBy("pos", "kind")
+                .rowsBetween(1, Window.unboundedFollowing))
+        j = j.withColumn("_in", F.min("u").over(w_in))
+        chunk_min = j.groupBy("metric", "_c").agg(F.min("u").alias("_cm"))
+        w_c = (Window.partitionBy("metric").orderBy("_c")
+               .rowsBetween(1, Window.unboundedFollowing))
+        later = chunk_min.select("metric", "_c",
+                                 F.min("_cm").over(w_c).alias("_later"))
+        merged = (j.join(F.broadcast(later), ["metric", "_c"])
+                  .withColumn("j", F.least("_in", "_later")))
+    else:
+        w = (Window.partitionBy("metric").orderBy("pos", "kind")
+             .rowsBetween(1, Window.unboundedFollowing))
+        merged = merged.withColumn("j", F.min("u").over(w))
+    jump = (merged
             .filter(F.col("kind") == 1)
             .select("metric", "t", "j")
             .localCheckpoint(eager=True))

@@ -155,3 +155,25 @@ def test_throttle_parallel_equivalence(spark):
     check(pts, 10)
     check(pts, 0)          # cooldown 0: strict > keeps everything distinct
     check([("x", 5, 1.0)], 100)   # single point
+
+
+def test_throttle_parallel_salted_equivalence(spark):
+    """Salted successor window == plain window == sequential throttle."""
+    import random
+    from hta_spark.operators.tools import throttle, throttle_parallel
+
+    rng = random.Random(23)
+    pts = []
+    for m in ("big", "tiny"):
+        t = 500
+        n = 600 if m == "big" else 7
+        for _ in range(n):
+            t += rng.choice([1, 5, 10, 10, 17, 40])
+            pts.append((m, t, rng.random()))
+    df = spark.createDataFrame(pts, "metric string, time long, value double")
+    seq = {(r["metric"], r["time"]) for r in throttle(df, 12).collect()}
+    plain = {(r["metric"], r["time"]) for r in
+             throttle_parallel(df, 12).collect()}
+    salted = {(r["metric"], r["time"]) for r in
+              throttle_parallel(df, 12, salt_chunks=16).collect()}
+    assert salted == plain == seq
