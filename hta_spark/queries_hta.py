@@ -2,9 +2,13 @@
 SQL (the driver's correctness gate — see __spark_entry__.py).
 
 Canonical events -> raw mapping (both engines MUST agree bit-for-bit):
-DuckDB truncates parquet TIMESTAMP(NANOS) to microseconds on read, so the
-Spark side (which reads exact ns via ``nanosAsLong``) truncates to µs too:
-``time = ts - ts % 1000``.  Duplicate (metric, time) pairs collapse to
+the engine-native time axis is int64 nanoseconds at µs precision, whatever
+the parquet physical type of ``events.ts`` happens to be (the driver has
+shipped both TIMESTAMP(NANOS) — read as long via ``nanosAsLong``, truncated
+``time = ts - ts % 1000`` to match DuckDB's ns->µs parquet read — and plain
+``timestamp[us]`` — converted exactly via ``unix_micros`` under the UTC
+session timezone, matching DuckDB's ``epoch_ns``).  :func:`ns_time` adapts
+per schema.  Duplicate (metric, time) pairs collapse to
 ``max(value)`` to honor the reference's strict-monotonicity requirement
 (/root/reference/src/metric.cpp:519-524) deterministically.
 
@@ -52,9 +56,21 @@ EVENTS_META = Meta(interval_min=LEVEL1, interval_max=100 * HOUR,
                    interval_factor=10)
 
 
+def ns_time(ev: DataFrame, col: str = "ts"):
+    """µs-precision ns-long time from an events timestamp column,
+    schema-adaptive (see module docstring): long ns -> truncate to µs;
+    timestamp[us]/timestamp_ntz -> exact ``unix_micros`` (session tz UTC,
+    so naive timestamps are epoch-UTC exactly like DuckDB ``epoch_ns``)."""
+    dt = dict(ev.dtypes).get(col)
+    if dt in ("bigint", "long"):
+        return F.col(col) - F.pmod(F.col(col), F.lit(1000))
+    return (F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)
+            ).cast("long")
+
+
 def events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    t = (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("time")
+    t = ns_time(ev).alias("time")
     return (ev.select(F.col("event_type").alias("metric"), t, "value")
             .groupBy("metric", "time").agg(F.max("value").alias("value")))
 
@@ -362,8 +378,7 @@ def q_hta_check_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     events mapping (check.cpp:190-254) — counts offending points."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw = ev.select(F.col("event_type").alias("metric"),
-                    (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("time"),
-                    "value")
+                    ns_time(ev).alias("time"), "value")
     from .operators.tools import check_raw
     issues = check_raw(raw)
     return (issues.select("metric", F.explode("issues").alias("issue"))
@@ -389,7 +404,7 @@ def q_hta_level1_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Level-1 rollup with user_id as the metric key (15 concurrent series)
     — stresses multi-metric bucketing/closing in one build."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    t = (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("time")
+    t = ns_time(ev).alias("time")
     raw = (ev.select(F.col("user_id").cast("string").alias("metric"), t, "value")
            .groupBy("metric", "time").agg(F.max("value").alias("value")))
     return _round_rollup(build_level1(raw, LEVEL1, exact=True))

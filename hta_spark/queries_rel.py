@@ -328,9 +328,11 @@ def q_running_sum(spark, sf_dir):
                     .alias("seq")))
 
 
-def _tus(col: str = "ts"):
-    """events ts to µs-truncated ns — matches DuckDB's parquet ns->µs read."""
-    return F.col(col) - F.pmod(F.col(col), F.lit(1000))
+def _tus(ev: DataFrame, col: str = "ts"):
+    """events ts to µs-precision ns-long — schema-adaptive, matches DuckDB's
+    epoch_ns on either parquet representation (see queries_hta.ns_time)."""
+    from .queries_hta import ns_time
+    return ns_time(ev, col)
 
 
 SQL_RUNNING = """
@@ -349,7 +351,8 @@ def q_asof_signup(spark, sf_dir):
     """As-of join expressed as a single ordered window (no join at all):
     the Spark-first formulation for same-table as-of; for two tables, union
     the sides and apply the same window (SNIPPETS-style pattern)."""
-    ev = _t(spark, sf_dir, "events").withColumn("tus", _tus())
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("tus", _tus(ev))
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     prior_signup = F.max(F.when(F.col("event_type") == "signup",
@@ -377,7 +380,8 @@ FROM w WHERE event_type = 'purchase' AND prior_signup_ts IS NOT NULL
 # -- sessionization ---------------------------------------------------------
 
 def q_sessionize(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").withColumn("tus", _tus())
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("tus", _tus(ev))
     gap = 3600 * 1_000_000_000  # 1 h in ns
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("tus").over(w)
@@ -606,8 +610,11 @@ def q_session_window(spark, sf_dir):
     1-hour-gap sessions as (user, start, end, n).  Times compared as epoch
     micros (DuckDB truncates parquet ns to µs)."""
     ev = _t(spark, sf_dir, "events")
-    ts = F.timestamp_micros(F.call_function(
-        "div", F.col("ts"), F.lit(1000)))
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ts = F.timestamp_micros(F.call_function(
+            "div", F.col("ts"), F.lit(1000)))
+    else:
+        ts = F.col("ts").cast("timestamp")
     sw = F.session_window(ts, "1 hour")
     return (ev.withColumn("tsev", ts)
             .groupBy("user_id", sw.alias("w"))

@@ -24,22 +24,32 @@ def _plan(df) -> str:
         df._jdf.queryExecution(), "formatted")
 
 
-def test_aggregate_exact_pushdown(spark):
-    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
-        .select(F.col("event_type").alias("metric"), F.col("ts").alias("time"),
-                "value")
-    plan = _plan(aggregate_exact(raw, 1_704_412_800 * SECOND,
+@pytest.fixture(scope="module")
+def events_native(spark, tmp_path_factory):
+    """events rewritten to the ENGINE-NATIVE raw layout (long ns `time`) —
+    the surface whose scan pruning these plan tests pin.  Foreign
+    timestamp[us] parquet needs a conversion at the scan (ns_time), which
+    no engine can push filters through; native tables keep `time` as the
+    physical column so time-range predicates reach parquet intact."""
+    from hta_spark.queries_hta import ns_time
+    path = str(tmp_path_factory.mktemp("native") / "events_native")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    (ev.select(F.col("event_type").alias("metric"),
+               ns_time(ev).alias("time"), "value")
+     .write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
+
+
+def test_aggregate_exact_pushdown(events_native):
+    plan = _plan(aggregate_exact(events_native, 1_704_412_800 * SECOND,
                                  1_705_708_800 * SECOND))
     # the static begin bound must be pushed into the scan
-    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(ts,1704412800",
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(time,1704412800",
                      plan), plan[:2000]
 
 
-def test_rollup_exchange_budget(spark):
-    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
-        .select(F.col("event_type").alias("metric"), F.col("ts").alias("time"),
-                "value")
-    plan = _plan(build_level1(raw, 3600 * SECOND))
+def test_rollup_exchange_budget(events_native):
+    plan = _plan(build_level1(events_native, 3600 * SECOND))
     # exactly two hash exchanges: the per-metric window, and the tiny
     # raw_range aggregate feeding the broadcast.  The exploded piece merge
     # must NOT introduce a third (hash-partitioning by metric already
@@ -55,26 +65,22 @@ def test_q5_broadcasts_dimensions(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_scoped_retrieve_pushdown(spark):
+def test_scoped_retrieve_pushdown(events_native):
     from hta_spark.operators import IntervalScope, Scope, filter_raw
-    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
-        .select(F.col("event_type").alias("metric"), F.col("ts").alias("time"),
-                "value")
-    plan = _plan(filter_raw(raw, 1_704_844_800 * SECOND, 1_704_931_200 * SECOND,
+    plan = _plan(filter_raw(events_native, 1_704_844_800 * SECOND,
+                            1_704_931_200 * SECOND,
                             IntervalScope(Scope.closed, Scope.open)))
-    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(ts,1704844800", plan)
-    assert re.search(r"PushedFilters:.*LessThan\(ts,1704931200", plan)
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(time,1704844800", plan)
+    assert re.search(r"PushedFilters:.*LessThan\(time,1704931200", plan)
 
-def test_flex_plan_no_metric_in_lists(spark):
+def test_flex_plan_no_metric_in_lists(events_native):
     """The flex planner must carry per-metric choices as broadcast joins,
     never literal IN lists over metric (round-1 design capped at ~15
     metrics; IN-list plans explode at 10^5)."""
     from hta_spark import Meta
     from hta_spark.operators import build_levels
     from hta_spark.operators.retrieve import retrieve_flex
-    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
-        .select(F.col("event_type").alias("metric"), F.col("ts").alias("time"),
-                "value")
+    raw = events_native
     meta = Meta(interval_min=3600 * SECOND, interval_max=36000 * SECOND,
                 interval_factor=10)
     levels = build_levels(raw, meta)
