@@ -68,11 +68,53 @@ def ns_time(ev: DataFrame, col: str = "ts"):
             ).cast("long")
 
 
-def events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ts_literal(ev: DataFrame, us: int):
+    """A literal comparable to the native ``ts`` column: long ns for the
+    nanosAsLong representation, µs timestamp (cast to the column's exact
+    type — constant-folded, so it still pushes down) otherwise."""
+    dt = dict(ev.dtypes).get("ts")
+    if dt in ("bigint", "long"):
+        return F.lit(us * 1000)
+    lit = F.timestamp_micros(F.lit(us))
+    return lit if dt == "timestamp" else lit.cast(dt)
+
+
+def events_raw(spark: SparkSession, sf_dir: str,
+               begin_ns: int | None = None,
+               end_ns: int | None = None) -> DataFrame:
+    """Canonical events -> raw frame (metric, ns-long time, value).
+
+    Optional conservative ``[begin_ns, end_ns)`` bounds are applied to the
+    NATIVE ``ts`` column before any conversion, so they reach the parquet
+    scan as PushedFilters (Catalyst cannot invert the ns_time arithmetic
+    for pushdown — at 100 TB this is the difference between a row-group-
+    pruned scan and reading the whole table).  Bounds round outward to µs
+    boundaries; since dedup groups are keyed by µs-truncated time, groups
+    are kept or dropped ATOMICALLY and the result equals post-hoc
+    ``time >= begin_ns`` / ``time < end_ns`` filters on the unbounded
+    frame.  Callers keep their exact time predicates downstream; scopes
+    that need points outside the window (extended begin/end) must not
+    pass that side's bound."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if begin_ns is not None:
+        ev = ev.filter(F.col("ts") >= _ts_literal(ev, begin_ns // 1000))
+    if end_ns is not None:
+        ev = ev.filter(F.col("ts") < _ts_literal(ev, -(-end_ns // 1000)))
     t = ns_time(ev).alias("time")
     return (ev.select(F.col("event_type").alias("metric"), t, "value")
             .groupBy("metric", "time").agg(F.max("value").alias("value")))
+
+
+def events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded per-metric (t_first, t_last) — the clamping frame for
+    window-bounded queries.  Dedup-free (min/max of time are unaffected by
+    the max-value collapse), a two-column scan; the native store keeps
+    this in its meta catalog instead (sources/store.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.select(F.col("event_type").alias("metric"),
+                      ns_time(ev).alias("time"))
+            .groupBy("metric").agg(F.min("time").alias("t_first"),
+                                   F.max("time").alias("t_last")))
 
 
 #: pre-divisors from the exact micro-unit accumulations to milli-units:
@@ -200,8 +242,11 @@ def q_hta_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hta_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = events_raw(spark, sf_dir)
-    agg = aggregate_exact(raw, AGG_BEGIN, AGG_END, exact=True)
+    # begin-bounded scan (aggregate semantics never look below the clamped
+    # begin); clamping ranges must come from the UNBOUNDED frame.
+    raw = events_raw(spark, sf_dir, begin_ns=AGG_BEGIN)
+    agg = aggregate_exact(raw, AGG_BEGIN, AGG_END,
+                          ranges=events_range(spark, sf_dir), exact=True)
     # drop identity rows (out-of-range metrics) to keep the hash finite
     return (agg.filter(F.col("active_time") > 0)
             .select("metric",
@@ -269,7 +314,9 @@ WHERE (b.b_ext IS NULL OR p.time >= b.b_ext)
 
 
 def q_hta_count_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = events_raw(spark, sf_dir)
+    # closed begin never looks below RET_BEGIN -> scan-bounded; the
+    # extended end needs the first point past RET_END, so no end bound.
+    raw = events_raw(spark, sf_dir, begin_ns=RET_BEGIN)
     return count_scoped(raw, RET_BEGIN, RET_END,
                         IntervalScope(Scope.closed, Scope.extended))
 

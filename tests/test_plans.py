@@ -73,6 +73,31 @@ def test_scoped_retrieve_pushdown(events_native):
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(time,1704844800", plan)
     assert re.search(r"PushedFilters:.*LessThan\(time,1704931200", plan)
 
+def test_events_raw_bound_pushdown(spark):
+    """Foreign timestamp[us] events table: Catalyst cannot push a filter
+    through the ns_time conversion, so events_raw applies conservative
+    window bounds to the NATIVE ts column — those must reach the scan."""
+    from hta_spark.queries_hta import events_raw
+    df = events_raw(spark, "/root/testdata/sf0.001",
+                    begin_ns=1_704_412_800 * SECOND)
+    plan = _plan(df)
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(ts,", plan), \
+        plan[:2000]
+
+
+def test_events_raw_bounds_equal_post_filters(spark):
+    """Bounds are exactly post-hoc time filters on the unbounded frame
+    (µs-outward rounding keeps dedup groups atomic)."""
+    from hta_spark.queries_hta import events_raw
+    b, e = 1_704_412_801 * SECOND + 1, 1_704_931_200 * SECOND + 999
+    full = events_raw(spark, "/root/testdata/sf0.001")
+    want = full.filter((F.col("time") >= b) & (F.col("time") < e))
+    got = events_raw(spark, "/root/testdata/sf0.001", begin_ns=b, end_ns=e) \
+        .filter((F.col("time") >= b) & (F.col("time") < e))
+    assert want.exceptAll(got).count() == 0
+    assert got.exceptAll(want).count() == 0
+
+
 def test_flex_plan_no_metric_in_lists(events_native):
     """The flex planner must carry per-metric choices as broadcast joins,
     never literal IN lists over metric (round-1 design capped at ~15
