@@ -93,14 +93,19 @@ def lagged_salted(raw: DataFrame, chunks: int = 256,
                 F.lit(chunks - 1).cast("long"))
     df = j.withColumn("_c", c).drop("t_first", "t_last")
 
-    w_in = Window.partitionBy("metric", "_c").orderBy("time")
-    df = df.withColumn("_lag_in", F.lag("time").over(w_in))
-
+    # boundary frame from the PRE-window frame: chunk_last only needs
+    # max(time) per slice, so deriving it before the window keeps the
+    # sorted/windowed subtree single-consumer (computing it from the
+    # windowed frame makes Spark sort the entire input twice — measured
+    # 2x on the 16.7M-point single-metric build)
     chunk_last = df.groupBy("metric", "_c").agg(F.max("time").alias("_cl"))
     w_c = Window.partitionBy("metric").orderBy("_c")
     boundary = chunk_last.select(
         "metric", "_c", F.lag("_cl").over(w_c).alias("_prev_last"))
-    return (df.join(F.broadcast(boundary), ["metric", "_c"], "left")
+
+    w_in = Window.partitionBy("metric", "_c").orderBy("time")
+    return (df.withColumn("_lag_in", F.lag("time").over(w_in))
+            .join(F.broadcast(boundary), ["metric", "_c"], "left")
             .withColumn("prev_time", F.coalesce("_lag_in", "_prev_last"))
             .drop("_c", "_lag_in", "_prev_last"))
 
@@ -150,6 +155,41 @@ def segment_pieces(
         # can truncate the quotient off-by-one at 1e18 ns magnitudes)
         off = x - o
         return F.call_function("div", off - F.pmod(off, d), d)
+
+    if clip_begin is None and clip_end is None:
+        # Hot path (the level build): the point's bucket ``kp`` is always
+        # the last bucket of its segment's sequence (the segment ends AT
+        # the point), so one ``sequence(k_start, kp)`` covers both the
+        # count piece (k == kp) and every overlap piece — no
+        # array-of-struct assembly and ~half the exploded rows of the
+        # general two-array form.  Piece-for-piece the grouped sums are
+        # identical: the bucket that used to get a (cnt=1, dur=0) point
+        # piece plus a (cnt=0, dur=x) segment piece now gets one
+        # (cnt=1, dur=x) piece.  A contract-violating non-monotonic pair
+        # (prev >= t) degenerates to the point piece alone, exactly like
+        # the general path's seg_valid guard.
+        kp = bucket(t)
+        valid_seg = prev.isNotNull() & (prev < t)
+        rows = lagged_df.select(
+            "metric",
+            t.alias("time"),
+            v.alias("value"),
+            F.when(valid_seg, prev).alias("sb"),
+            kp.alias("kp"),
+            F.explode(F.sequence(F.when(valid_seg, bucket(prev))
+                                 .otherwise(kp), kp)).alias("k"),
+        )
+        k = F.col("k")
+        dur = F.when(F.col("sb").isNull(), F.lit(0).cast("long")).otherwise(
+            F.least(o + (k + 1) * d, F.col("time"))
+            - F.greatest(o + k * d, F.col("sb")))
+        return rows.select(
+            "metric",
+            k.alias("k"),
+            "value",
+            F.when(k == F.col("kp"), 1).otherwise(0).alias("cnt"),
+            dur.alias("dur"),
+        )
 
     # count/sum piece: only for points inside [clip_begin, clip_end)
     in_range = F.lit(True)
