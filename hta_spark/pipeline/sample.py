@@ -1,0 +1,62 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+``df.sample()`` draws from a per-partition RNG, so its output changes with
+partitioning, task retries, and cluster size — useless for reproducible
+100 TB pipelines.  These operators make the keep/drop decision a PURE
+FUNCTION OF THE ROW KEY (md5 bits, engine-portable): reruns, backfills and
+train/eval splits stay consistent forever, and the filter is map-side only
+(no shuffle, no state, no driver participation — every task decides its
+own rows).  The same construction gives consistent cross-table splits:
+sampling two tables by the same join key keeps them aligned.
+
+Reference has no sampling surface; this is part of the beyond-reference
+pipeline surface (BASELINE.json) alongside dedup/ANN/text analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+
+__all__ = ["BP", "hash_bucket", "hash_sample", "stratified_sample"]
+
+BP = 10_000  # rate unit: basis points (1 bp = 0.01 %)
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in ``[0, 10000)`` from md5 of the salted key.
+
+    DuckDB twin (bit-identical):
+    ``('0x' || substr(md5(salt || '|' || key), 1, 15))::BIGINT % 10000``.
+    Changing ``salt`` draws an independent sample (e.g. disjoint train /
+    eval salts); the same salt+key always lands in the same bucket.
+    """
+    return F.pmod(md5_long(key.cast("string"), salt), F.lit(BP))
+
+
+def hash_sample(df: DataFrame, key_col: str = "doc_id",
+                rate_bp: int = 1000, salt: str = "") -> DataFrame:
+    """Keep ~``rate_bp``/10000 of rows, deterministically by key."""
+    return df.filter(hash_bucket(F.col(key_col), salt) < F.lit(int(rate_bp)))
+
+
+def stratified_sample(df: DataFrame, rates: DataFrame | dict,
+                      strata_col: str = "source", key_col: str = "doc_id",
+                      default_bp: int = 0, salt: str = "") -> DataFrame:
+    """Per-stratum deterministic rates (e.g. per-source mixing weights).
+
+    ``rates``: dict ``{stratum: rate_bp}`` or a ``(strata_col, rate_bp)``
+    DataFrame.  Rates ship as a broadcast frame, NOT a literal CASE chain —
+    10^6 strata cost a broadcast join, not a plan-tree explosion; strata
+    missing from the frame fall back to ``default_bp``.
+    """
+    spark = df.sparkSession
+    if isinstance(rates, dict):
+        rates = spark.createDataFrame(
+            sorted((str(k), int(v)) for k, v in rates.items()),
+            f"{strata_col} string, rate_bp int")
+    j = df.join(F.broadcast(rates), strata_col, "left")
+    rate = F.coalesce(F.col("rate_bp"), F.lit(int(default_bp)))
+    return j.filter(hash_bucket(F.col(key_col), salt) < rate).drop("rate_bp")

@@ -11,10 +11,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text, tokens_col
+from .dedup import normalize_text, shingles_from_tokens, tokens_col
 
 __all__ = ["LANG_MARKERS", "language_id", "quality_score", "token_stats",
-           "fingerprint"]
+           "fingerprint", "repetition_stats"]
 
 # tiny deterministic stopword marker lists (order = tie-break priority)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -85,6 +85,42 @@ def quality_score(docs: DataFrame, text_col: str = "text",
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(score, 4).alias("quality"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Repetition quality signals (the boilerplate/spam filters of
+    large-corpus curation): duplicate-token fraction, most-common-token
+    dominance, duplicate word-3-gram fraction.
+
+    Token dominance runs as explode + two grouped aggregations — linear
+    work at any document length and partial-aggregated map-side (a per-row
+    ``transform(distinct, count-equal)`` array scan would be
+    O(distinct x len) per document: quadratic on long documents).
+    """
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_t")) \
+        .withColumn("_s", shingles_from_tokens(F.col("_t"), 3))
+    per_tok = (base.select(id_col, F.explode("_t").alias("tok"))
+               .groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+               .groupBy(id_col).agg(
+                   F.sum("c").cast("long").alias("n_tokens"),
+                   F.count("*").cast("long").alias("n_distinct"),
+                   F.max("c").cast("long").alias("_top")))
+    sh = base.select(
+        F.col(id_col),
+        F.size("_s").alias("_ns"),
+        F.size(F.array_distinct("_s")).alias("_nds"))
+    n_tok = F.col("n_tokens").cast("double")
+    dup_sh = F.when(F.col("_ns") > 0,
+                    1 - F.col("_nds").cast("double") / F.col("_ns")) \
+        .otherwise(F.lit(0.0))
+    return (per_tok.join(sh, id_col)
+            .select(F.col(id_col), "n_tokens",
+                    F.round(1 - F.col("n_distinct") / n_tok, 4)
+                    .alias("dup_token_frac"),
+                    F.round(F.col("_top") / n_tok, 4).alias("top_token_frac"),
+                    F.round(dup_sh, 4).alias("dup_shingle_frac")))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",

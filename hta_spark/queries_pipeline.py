@@ -15,8 +15,9 @@ from pyspark.sql import functions as F
 from .pipeline.ann import cosine_topk, ivf_assign
 from .pipeline.dedup import (exact_dedup, lsh_pairs, minhash_signatures,
                              ngram_jaccard_pairs, prefix_dedup, simhash)
+from .pipeline.sample import stratified_sample
 from .pipeline.text import (LANG_MARKERS, fingerprint, language_id,
-                            quality_score, token_stats)
+                            quality_score, repetition_stats, token_stats)
 
 
 def _docs(spark, sf_dir):
@@ -430,7 +431,67 @@ def q_kmeans_lite(spark, sf_dir):
     return kmeans_lite(_emb(spark, sf_dir), k=8, iterations=3)
 
 
+# -- deterministic stratified sampling --------------------------------------
+
+SAMPLE_RATES = {"src0": 7500, "src1": 500, "src2": 0}
+SAMPLE_DEFAULT_BP = 2500
+SAMPLE_SALT = "s42"
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-source sampling of documents: keep/drop is a pure
+    md5 function of (salt, doc_id), so reruns/backfills/cluster-size
+    changes reproduce the exact sample; per-stratum rates broadcast."""
+    return stratified_sample(_docs(spark, sf_dir), SAMPLE_RATES,
+                             strata_col="source", key_col="doc_id",
+                             default_bp=SAMPLE_DEFAULT_BP,
+                             salt=SAMPLE_SALT) \
+        .select("doc_id", "source", "lang", "n_chars")
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+WITH rates(source, rate_bp) AS (VALUES {", ".join(
+    f"('{k}', {v})" for k, v in sorted(SAMPLE_RATES.items()))})
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d LEFT JOIN rates r USING (source)
+WHERE ('0x' || substr(md5('{SAMPLE_SALT}|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 10000 < coalesce(r.rate_bp, {SAMPLE_DEFAULT_BP})
+"""
+
+
+# -- repetition quality signals ---------------------------------------------
+
+def q_text_repetition(spark, sf_dir):
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+SQL_TEXT_REPETITION = f"""
+WITH {SQL_SHINGLES},
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+pt AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS top
+  FROM cnt GROUP BY 1
+),
+shc AS (
+  SELECT t.doc_id,
+         coalesce(len(s.shs), 0) AS ns,
+         coalesce(len(list_distinct(s.shs)), 0) AS nds
+  FROM toks t LEFT JOIN sh s USING (doc_id)
+)
+SELECT p.doc_id, p.n_tokens,
+       round(1 - p.n_distinct / CAST(p.n_tokens AS DOUBLE), 4) AS dup_token_frac,
+       round(p.top / CAST(p.n_tokens AS DOUBLE), 4) AS top_token_frac,
+       round(CASE WHEN c.ns > 0 THEN 1 - c.nds / CAST(c.ns AS DOUBLE)
+                  ELSE 0.0 END, 4) AS dup_shingle_frac
+FROM pt p JOIN shc c USING (doc_id)
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "ann_kmeans_lite": (q_kmeans_lite, None),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_prefix": (q_dedup_prefix, SQL_DEDUP_PREFIX),

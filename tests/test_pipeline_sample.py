@@ -1,0 +1,78 @@
+"""Deterministic sampling + repetition-stats operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hta_spark.pipeline.sample import BP, hash_bucket, hash_sample, \
+    stratified_sample
+from hta_spark.pipeline.text import repetition_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 4}", f"word{i} " * 3) for i in range(2000)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string") \
+        .repartition(4).cache()
+
+
+def test_hash_sample_deterministic_and_partition_invariant(docs):
+    a = sorted(r.doc_id for r in hash_sample(docs, rate_bp=2000,
+                                             salt="t").collect())
+    b = sorted(r.doc_id for r in
+               hash_sample(docs.repartition(13), rate_bp=2000,
+                           salt="t").collect())
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_rate_accuracy(docs):
+    n = hash_sample(docs, rate_bp=2500, salt="t").count()
+    assert abs(n / 2000 - 0.25) < 0.05   # md5 uniformity at n=2000
+
+
+def test_hash_sample_nested_rates(docs):
+    """A lower-rate sample with the same salt is a SUBSET of a higher-rate
+    one (bucket < r1 implies bucket < r2) — lets pipelines grow a sample
+    without resampling everything."""
+    small = {r.doc_id for r in hash_sample(docs, rate_bp=500,
+                                           salt="t").collect()}
+    big = {r.doc_id for r in hash_sample(docs, rate_bp=3000,
+                                         salt="t").collect()}
+    assert small <= big
+
+
+def test_distinct_salts_independent(docs):
+    a = {r.doc_id for r in hash_sample(docs, rate_bp=2000,
+                                       salt="train").collect()}
+    b = {r.doc_id for r in hash_sample(docs, rate_bp=2000,
+                                       salt="eval").collect()}
+    # independent draws: overlap near rate^2, far below either set's size
+    assert 0 < len(a & b) < min(len(a), len(b)) * 0.5
+
+
+def test_stratified_rates_respected(docs):
+    out = stratified_sample(docs, {"src0": BP, "src1": 0},
+                            strata_col="source", default_bp=5000, salt="t")
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("src0") == 500          # rate 100% keeps all
+    assert "src1" not in by_src               # rate 0 drops all
+    for s in ("src2", "src3"):                # default ~50%
+        assert 150 < by_src.get(s, 0) < 350
+
+
+def test_repetition_stats_values(spark):
+    rows = [
+        (1, "a a a a"),          # one token repeated: dup 0.75, top 1.0
+        (2, "a b c d"),          # all distinct
+        (3, "a b a b a b"),      # alternating: 3-grams 'a b a'/'b a b' x2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].dup_token_frac == 0.75 and out[1].top_token_frac == 1.0
+    assert out[1].dup_shingle_frac == 0.5    # 2 shingles, 1 distinct
+    assert out[2].dup_token_frac == 0.0 and out[2].top_token_frac == 0.25
+    assert out[2].dup_shingle_frac == 0.0
+    assert out[3].n_tokens == 6 and out[3].dup_token_frac == round(4 / 6, 4)
+    assert out[3].dup_shingle_frac == 0.5    # 4 shingles, 2 distinct
