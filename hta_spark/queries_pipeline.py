@@ -459,6 +459,37 @@ WHERE ('0x' || substr(md5('{SAMPLE_SALT}|' || CAST(d.doc_id AS VARCHAR)), 1, 15)
 """
 
 
+# -- contiguous packing ------------------------------------------------------
+
+PACK_BUDGET = 4096
+PACK_SHARDS = 8
+
+
+def q_pack_contiguous(spark, sf_dir):
+    """Concatenate-and-slice packing of documents into 4096-char windows,
+    sharded 8 ways by doc_id (each shard packs independently — the
+    distributed-training data-stream shape)."""
+    from .pipeline.pack import pack_contiguous
+    docs = _docs(spark, sf_dir).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)))
+    return pack_contiguous(docs, PACK_BUDGET, size_col="n_chars",
+                           key_col="doc_id", shard_col="shard")
+
+
+SQL_PACK_CONTIGUOUS = f"""
+WITH s AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard, n_chars,
+         CAST(coalesce(sum(n_chars) OVER (
+             PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_offset
+  FROM documents)
+SELECT doc_id, shard, n_chars, start_offset,
+       start_offset // {PACK_BUDGET} AS bin_id
+FROM s
+"""
+
+
 # -- repetition quality signals ---------------------------------------------
 
 def q_text_repetition(spark, sf_dir):
@@ -492,6 +523,7 @@ FROM pt p JOIN shc c USING (doc_id)
 PIPELINE_QUERIES: dict[str, tuple] = {
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "pack_contiguous": (q_pack_contiguous, SQL_PACK_CONTIGUOUS),
     "ann_kmeans_lite": (q_kmeans_lite, None),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_prefix": (q_dedup_prefix, SQL_DEDUP_PREFIX),

@@ -62,6 +62,27 @@ def test_stratified_rates_respected(docs):
         assert 150 < by_src.get(s, 0) < 350
 
 
+def test_pack_contiguous_semantics(spark):
+    from hta_spark.pipeline.pack import pack_contiguous
+    rows = [(1, 300), (2, 300), (3, 500), (4, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {r.doc_id: r for r in
+           pack_contiguous(df, 512, size_col="n_chars").collect()}
+    assert [out[i].start_offset for i in (1, 2, 3, 4)] == [0, 300, 600, 1100]
+    assert [out[i].bin_id for i in (1, 2, 3, 4)] == [0, 0, 1, 2]
+
+
+def test_pack_sharded_independent(spark):
+    from hta_spark.pipeline.pack import pack_contiguous
+    rows = [(i, i % 2, 200) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, n_chars long")
+    out = pack_contiguous(df, 500, size_col="n_chars", shard_col="shard")
+    # each shard packs its own stream: 5 docs x 200 -> offsets 0..800
+    for r in out.collect():
+        assert r.start_offset == (r.doc_id // 2) * 200
+        assert r.bin_id == r.start_offset // 500
+
+
 def test_repetition_stats_values(spark):
     rows = [
         (1, "a a a a"),          # one token repeated: dup 0.75, top 1.0
