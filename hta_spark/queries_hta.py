@@ -537,7 +537,44 @@ FROM pieces GROUP BY 1, 2
 """
 
 
+def q_hta_streaming_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest correctness gate: the events series is replayed as
+    three time-ordered micro-batches through ``IncrementalRollup``
+    (partition-scoped idempotent upserts — the foreachBatch sink path),
+    and the resulting stored level-1 table is gated against the SAME
+    DuckDB rollup oracle as the batch build: stream ≡ batch ≡ oracle.
+
+    Only the order-robust columns are exposed (min/max are comparisons,
+    count/active_time exact integers); the incremental path accumulates
+    sum/integral as doubles, which are not order-reproducible across
+    engines (the r1 hashing lesson).  The tempdir backing store is left
+    for /tmp cleanup — the returned frame reads from it lazily."""
+    import tempfile
+
+    from .streaming.ingest import IncrementalRollup
+    raw = events_raw(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hta_stream_q_")
+    ing = IncrementalRollup(spark, base, EVENTS_META)
+    cut1, cut2 = 1_704_844_800 * SECOND, 1_705_708_800 * SECOND
+    ing.ingest(raw.filter(F.col("time") < cut1))
+    ing.ingest(raw.filter((F.col("time") >= cut1) & (F.col("time") < cut2)))
+    ing.ingest(raw.filter(F.col("time") >= cut2))
+    lvl = ing.level(LEVEL1)
+    return lvl.select(
+        "metric", "interval_start",
+        F.col("minimum").alias("min_v"), F.col("maximum").alias("max_v"),
+        F.col("count").alias("cnt"), F.col("active_time").alias("active_ns"))
+
+
+SQL_HTA_STREAMING_LEVEL1 = _rollup_sql(LEVEL1, tail="""
+SELECT metric, interval_start, minimum AS min_v, maximum AS max_v,
+       cnt_val AS cnt, active_time AS active_ns
+FROM lvl""")
+
+
 HTA_QUERIES: dict[str, tuple] = {
+    "hta_streaming_level1": (q_hta_streaming_level1,
+                             SQL_HTA_STREAMING_LEVEL1),
     "hta_level1_rollup": (q_hta_level1, _rollup_sql(LEVEL1)),
     "hta_level2_rollup": (q_hta_level2, _rollup_sql(LEVEL1, 10 * LEVEL1)),
     "hta_level1_by_user": (q_hta_level1_by_user,
