@@ -30,7 +30,7 @@ portable either.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .chrono import HOUR, SECOND
@@ -79,6 +79,24 @@ def _ts_literal(ev: DataFrame, us: int):
     return lit if dt == "timestamp" else lit.cast(dt)
 
 
+def _dedup_max(pts: DataFrame) -> DataFrame:
+    """max-value collapse of duplicate (metric, time) pairs as a WINDOW
+    keeper instead of a groupBy: within metric ordered by (time, value),
+    the last row of each equal-time run carries the max value.
+
+    Same rows as ``groupBy(metric, time).agg(max(value))``
+    (equivalence-tested), but partitioned by ``metric`` — which every
+    downstream consumer (rollup lag window, scoped boundary aggs, range
+    stats) partitions by anyway, so the whole events pipeline runs on ONE
+    exchange where the groupBy form forced a (metric, time) shuffle plus
+    a second metric shuffle."""
+    w = Window.partitionBy("metric").orderBy("time", "value")
+    nxt = F.lead("time").over(w)
+    return (pts.withColumn("_nt", nxt)
+            .filter(F.col("_nt").isNull() | (F.col("_nt") != F.col("time")))
+            .drop("_nt"))
+
+
 def events_raw(spark: SparkSession, sf_dir: str,
                begin_ns: int | None = None,
                end_ns: int | None = None) -> DataFrame:
@@ -101,8 +119,8 @@ def events_raw(spark: SparkSession, sf_dir: str,
     if end_ns is not None:
         ev = ev.filter(F.col("ts") < _ts_literal(ev, -(-end_ns // 1000)))
     t = ns_time(ev).alias("time")
-    return (ev.select(F.col("event_type").alias("metric"), t, "value")
-            .groupBy("metric", "time").agg(F.max("value").alias("value")))
+    return _dedup_max(
+        ev.select(F.col("event_type").alias("metric"), t, "value"))
 
 
 def events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,8 +470,8 @@ def q_hta_level1_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     — stresses multi-metric bucketing/closing in one build."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     t = ns_time(ev).alias("time")
-    raw = (ev.select(F.col("user_id").cast("string").alias("metric"), t, "value")
-           .groupBy("metric", "time").agg(F.max("value").alias("value")))
+    raw = _dedup_max(
+        ev.select(F.col("user_id").cast("string").alias("metric"), t, "value"))
     return _round_rollup(build_level1(raw, LEVEL1, exact=True))
 
 

@@ -73,6 +73,33 @@ def test_scoped_retrieve_pushdown(events_native):
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(time,1704844800", plan)
     assert re.search(r"PushedFilters:.*LessThan\(time,1704931200", plan)
 
+def test_dedup_max_equals_groupby(spark):
+    """The window-keeper dedup must emit exactly the rows of
+    groupBy(metric, time).agg(max(value)) — including duplicate values and
+    multi-duplicate runs."""
+    from hta_spark.queries_hta import _dedup_max
+    rows = [("m", 10, 1.0), ("m", 10, 3.0), ("m", 10, 2.0),
+            ("m", 20, 5.0), ("m", 20, 5.0), ("m", 30, -1.0),
+            ("n", 10, 7.0)]
+    pts = spark.createDataFrame(rows, "metric string, time long, value double")
+    got = sorted(tuple(r) for r in _dedup_max(pts).collect())
+    want = sorted(tuple(r) for r in
+                  pts.groupBy("metric", "time")
+                  .agg(F.max("value").alias("value")).collect())
+    assert got == want
+
+
+def test_events_query_single_metric_exchange(spark):
+    """The canonical events pipeline (dedup + rollup window + merge) must
+    run on ONE full-data hash exchange: the window dedup shares the
+    metric partitioning with every downstream consumer, where the old
+    groupBy(metric, time) form forced an extra full shuffle."""
+    from hta_spark.queries_hta import q_hta_level1
+    plan = _plan(q_hta_level1(spark, "/root/testdata/sf0.001"))
+    n = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n == 2, f"expected 2 hash exchanges (window + tiny ranges), got {n}"
+
+
 def test_events_raw_bound_pushdown(spark):
     """Foreign timestamp[us] events table: Catalyst cannot push a filter
     through the ns_time conversion, so events_raw applies conservative
