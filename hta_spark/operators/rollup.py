@@ -73,6 +73,18 @@ def lagged(raw: DataFrame) -> DataFrame:
     return raw.withColumn("prev_time", F.lag("time").over(w))
 
 
+def chunk_index(time_col: Column, chunks: int) -> Column:
+    """Contiguous time-slice index in ``[0, chunks)`` over a joined
+    (t_first, t_last) range — the salting key shared by the skew-proof
+    window paths.  All rows with the same timestamp land in the same
+    chunk (the index is a pure function of time), which is what makes
+    chunk-local window logic repairable/exact."""
+    span = F.col("t_last") - F.col("t_first")
+    width = F.greatest(F.call_function("div", span, F.lit(chunks)), F.lit(1))
+    return F.least(F.call_function("div", time_col - F.col("t_first"), width),
+                   F.lit(chunks - 1).cast("long"))
+
+
 def lagged_salted(raw: DataFrame, chunks: int = 256,
                   ranges: DataFrame | None = None) -> DataFrame:
     """Skew-proof ``prev_time``: salt each metric's time range into
@@ -87,11 +99,8 @@ def lagged_salted(raw: DataFrame, chunks: int = 256,
     """
     ranges = ranges if ranges is not None else raw_range(raw)
     j = raw.join(F.broadcast(ranges), "metric")
-    span = F.col("t_last") - F.col("t_first")
-    width = F.greatest(F.call_function("div", span, F.lit(chunks)), F.lit(1))
-    c = F.least(F.call_function("div", F.col("time") - F.col("t_first"), width),
-                F.lit(chunks - 1).cast("long"))
-    df = j.withColumn("_c", c).drop("t_first", "t_last")
+    df = (j.withColumn("_c", chunk_index(F.col("time"), chunks))
+          .drop("t_first", "t_last"))
 
     # boundary frame from the PRE-window frame: chunk_last only needs
     # max(time) per slice, so deriving it before the window keeps the

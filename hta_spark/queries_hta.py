@@ -79,7 +79,7 @@ def _ts_literal(ev: DataFrame, us: int):
     return lit if dt == "timestamp" else lit.cast(dt)
 
 
-def _dedup_max(pts: DataFrame) -> DataFrame:
+def _dedup_max(pts: DataFrame, salt_chunks: int | None = None) -> DataFrame:
     """max-value collapse of duplicate (metric, time) pairs as a WINDOW
     keeper instead of a groupBy: within metric ordered by (time, value),
     the last row of each equal-time run carries the max value.
@@ -89,12 +89,28 @@ def _dedup_max(pts: DataFrame) -> DataFrame:
     downstream consumer (rollup lag window, scoped boundary aggs, range
     stats) partitions by anyway, so the whole events pipeline runs on ONE
     exchange where the groupBy form forced a (metric, time) shuffle plus
-    a second metric shuffle."""
-    w = Window.partitionBy("metric").orderBy("time", "value")
+    a second metric shuffle.
+
+    The window serializes per metric (the groupBy form did not);
+    ``salt_chunks`` restores cluster-width parallelism for a dominant
+    metric via time-slice salting — exact with NO boundary repair,
+    because the chunk index is a pure function of time, so an equal-time
+    run can never straddle chunks (rollup.chunk_index)."""
+    if salt_chunks:
+        from .operators.rollup import chunk_index, raw_range
+        j = pts.join(F.broadcast(raw_range(pts)), "metric")
+        j = (j.withColumn("_c", chunk_index(F.col("time"), salt_chunks))
+             .drop("t_first", "t_last"))
+        w = Window.partitionBy("metric", "_c").orderBy("time", "value")
+        drop = ["_nt", "_c"]
+    else:
+        j = pts
+        w = Window.partitionBy("metric").orderBy("time", "value")
+        drop = ["_nt"]
     nxt = F.lead("time").over(w)
-    return (pts.withColumn("_nt", nxt)
+    return (j.withColumn("_nt", nxt)
             .filter(F.col("_nt").isNull() | (F.col("_nt") != F.col("time")))
-            .drop("_nt"))
+            .drop(*drop))
 
 
 def events_raw(spark: SparkSession, sf_dir: str,

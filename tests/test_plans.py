@@ -89,6 +89,21 @@ def test_dedup_max_equals_groupby(spark):
     assert got == want
 
 
+def test_dedup_max_salted_equals_plain(spark):
+    """Time-slice salting of the dedup window is exact without boundary
+    repair: the chunk index is a pure function of time, so equal-time
+    runs never straddle chunks."""
+    from hta_spark.queries_hta import _dedup_max
+    rows = [("m", 10 + i, float(i % 7)) for i in range(5000)]
+    rows += [("m", 10 + i, float((i % 7) + j)) for i in range(0, 5000, 17)
+             for j in (1, 2)]                      # duplicate times
+    pts = spark.createDataFrame(rows, "metric string, time long, value double") \
+        .repartition(8)
+    a = sorted(tuple(r) for r in _dedup_max(pts).collect())
+    b = sorted(tuple(r) for r in _dedup_max(pts, salt_chunks=64).collect())
+    assert a == b
+
+
 def test_events_query_single_metric_exchange(spark):
     """The canonical events pipeline (dedup + rollup window + merge) must
     run on ONE full-data hash exchange: the window dedup shares the
