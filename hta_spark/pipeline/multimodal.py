@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "attach_binary_metadata", "parse_image_header",
            "decode_image_meta", "parse_wav_header", "decode_audio_meta",
-           "sample_frames"]
+           "sample_frames", "resize_plan", "extract_features"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType(), False),
@@ -199,6 +199,76 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload",
             yield pdf
 
     return df.mapInPandas(_decode, schema=out_schema)
+
+
+def resize_plan(df: DataFrame, target_w: int, target_h: int,
+                mode: str = "fit") -> DataFrame:
+    """Aspect-preserving resize geometry per image — the part of a resize
+    that needs no codec, computed declaratively from the REAL header
+    dimensions (``decode_image_meta`` output): scale factor, output size,
+    letterbox pad offsets, and output buffer bytes.  This is exactly what
+    a downstream GPU/codec preprocessing stage consumes; the pixel
+    resample itself is codec-gated like full decode.
+
+    ``mode='fit'`` letterboxes inside (target_w, target_h); ``'fill'``
+    scales to cover and records the center-crop offsets instead."""
+    if mode not in ("fit", "fill"):
+        raise ValueError(f"unknown resize mode {mode!r}")
+    w, h = F.col("width").cast("double"), F.col("height").cast("double")
+    sx, sy = F.lit(target_w) / w, F.lit(target_h) / h
+    scale = F.least(sx, sy) if mode == "fit" else F.greatest(sx, sy)
+    out_w = F.least(F.round(w * scale).cast("int"), F.lit(target_w))
+    out_h = F.least(F.round(h * scale).cast("int"), F.lit(target_h))
+    return df.withColumns({
+        "scale": F.round(scale, 6),
+        "out_w": out_w,
+        "out_h": out_h,
+        "pad_x": ((F.lit(target_w) - out_w) / 2).cast("int"),
+        "pad_y": ((F.lit(target_h) - out_h) / 2).cast("int"),
+        "out_bytes": (F.lit(target_w) * F.lit(target_h)
+                      * F.col("channels")).cast("long"),
+    })
+
+
+def extract_features(df: DataFrame, dim: int = 16,
+                     payload_col: str = "payload",
+                     fake: bool = False) -> DataFrame:
+    """Per-asset feature vector (``array<float>``, unit-norm) via
+    mapInPandas — the embedding-extraction stage of a multimodal pipeline;
+    its output feeds the ann/dedup operators directly.
+
+    Real pixel/sample features require a codec (absent here): raises
+    unless ``fake=True``, which derives a deterministic unit vector from
+    md5 bits of the payload (stable across runs/engines, so the
+    downstream similarity plumbing is exercised end-to-end)."""
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("feature", T.ArrayType(T.FloatType()), True)])
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload or b"")
+                if not fake:
+                    raise NotImplementedError(
+                        "pixel/sample feature extraction requires a codec "
+                        "library — pass fake=True for the deterministic "
+                        "stub")
+                need, out = dim * 4, b""
+                seed = raw
+                while len(out) < need:
+                    seed = hashlib.md5(seed).digest()
+                    out += seed
+                v = np.frombuffer(out[:need], dtype="<u4").astype("float64")
+                v = v / 2**32 - 0.5
+                v = v / (np.linalg.norm(v) or 1.0)
+                feats.append(v.astype("float32").tolist())
+            pdf = pdf.copy()
+            pdf["feature"] = feats
+            yield pdf
+
+    return df.mapInPandas(_extract, schema=out_schema)
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4,

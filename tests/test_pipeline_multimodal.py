@@ -212,3 +212,54 @@ def test_ivf_index_partition_pruned(spark, tmp_path):
         from_index._jdf.queryExecution(), "formatted")
     m = re.search(r"PartitionFilters: \[.*centroid_id.*\]", plan)
     assert m, plan[:2000]
+
+
+def test_resize_plan_geometry(spark):
+    from hta_spark.pipeline.multimodal import resize_plan
+    rows = [(1, 640, 480, 3), (2, 100, 400, 1), (3, 224, 224, 3)]
+    df = spark.createDataFrame(
+        rows, "asset_id long, width int, height int, channels int")
+    out = {r.asset_id: r for r in resize_plan(df, 224, 224).collect()}
+    # 640x480 fit into 224x224: scale 0.35 -> 224x168, pad_y 28
+    assert out[1].out_w == 224 and out[1].out_h == 168
+    assert out[1].pad_x == 0 and out[1].pad_y == 28
+    # tall 100x400: scale 0.56 -> 56x224, pad_x 84
+    assert out[2].out_w == 56 and out[2].out_h == 224 and out[2].pad_x == 84
+    assert out[2].out_bytes == 224 * 224 * 1
+    # exact fit: no pad
+    assert out[3].out_w == 224 and out[3].pad_x == 0 and out[3].pad_y == 0
+    fill = {r.asset_id: r for r in
+            resize_plan(df, 224, 224, mode="fill").collect()}
+    # fill covers: 640x480 scales by height -> out clamped to target
+    assert fill[1].out_h == 224
+
+
+def test_extract_features_deterministic_unit(spark, media):
+    import math
+    from hta_spark.pipeline.multimodal import extract_features
+    a = {r.asset_id: r.feature for r in
+         extract_features(media, dim=16, fake=True).collect()}
+    b = {r.asset_id: r.feature for r in
+         extract_features(media.repartition(7), dim=16,
+                          fake=True).collect()}
+    assert a == b                       # partition-invariant determinism
+    for v in a.values():
+        assert len(v) == 16
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+
+
+def test_extract_features_codec_gated(spark, media):
+    from hta_spark.pipeline.multimodal import extract_features
+    with pytest.raises(Exception):
+        extract_features(media, fake=False).collect()
+
+
+def test_extract_features_feed_ann(spark, media):
+    """The extracted vectors slot straight into the ANN surface."""
+    from hta_spark.pipeline.multimodal import extract_features
+    feats = extract_features(media, dim=8, fake=True) \
+        .select(F.col("asset_id").alias("vec_id"),
+                F.col("feature").alias("embedding"))
+    q = feats.limit(1).collect()[0]["embedding"]
+    top = cosine_topk(feats, list(q), k=3)
+    assert top.count() == 3
