@@ -431,6 +431,71 @@ def q_kmeans_lite(spark, sf_dir):
     return kmeans_lite(_emb(spark, sf_dir), k=8, iterations=3)
 
 
+# -- per-source curation report (operator composition) ----------------------
+
+def q_curation_report(spark, sf_dir):
+    """Per-source corpus dashboard — the composition a curation pipeline
+    actually runs: quality + repetition signals and the exact-dup rate,
+    aggregated by source.  All three inputs are metric-light grouped
+    frames; the final join keys on doc_id/source and stays
+    broadcast-or-partial-agg shaped at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).select("doc_id", "quality")
+    r = repetition_stats(docs).select("doc_id", "dup_token_frac")
+    dup = (exact_dedup(docs)
+           .select(F.col("keeper").alias("doc_id"),
+                   (F.col("n_copies") > 1).cast("int").alias("has_dup")))
+    j = (docs.select("doc_id", "source")
+         .join(q, "doc_id").join(r, "doc_id").join(dup, "doc_id", "left"))
+    # averages via exact integer sums (the r1 order-robustness convention):
+    # doc-level values are identical 4-dp scalars on both engines, so the
+    # BIGINT sum of round(v*1e4) is associative/exact; one identical
+    # division sequence at the end keeps the output bit-reproducible.
+    qi = F.round(F.col("quality") * 1e4, 0).cast("long")
+    ri = F.round(F.col("dup_token_frac") * 1e4, 0).cast("long")
+    agg = (j.groupBy("source")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum(qi).alias("_qs"), F.sum(ri).alias("_rs"),
+                F.coalesce(F.sum("has_dup"), F.lit(0)).cast("long")
+                .alias("n_dup_keepers")))
+    return agg.select(
+        "source", "n_docs",
+        F.round(F.col("_qs").cast("double") / F.col("n_docs") / F.lit(1e4), 4)
+        .alias("avg_quality"),
+        F.round(F.col("_rs").cast("double") / F.col("n_docs") / F.lit(1e4), 4)
+        .alias("avg_dup_tokens"),
+        "n_dup_keepers")
+
+
+def _sql_curation() -> str:
+    q_sql = _sql_quality()
+    return f"""
+WITH ql AS ({q_sql}),
+rep AS ({SQL_TEXT_REPETITION}),
+dups AS (
+  SELECT min(doc_id) AS doc_id,
+         CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS has_dup
+  FROM documents GROUP BY md5(lower(trim(text)))
+),
+g AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(round(ql.quality * 1e4, 0) AS BIGINT)) AS BIGINT) AS qs,
+         CAST(sum(CAST(round(rep.dup_token_frac * 1e4, 0) AS BIGINT)) AS BIGINT) AS rs,
+         CAST(coalesce(sum(dups.has_dup), 0) AS BIGINT) AS n_dup_keepers
+  FROM documents d
+  JOIN ql USING (doc_id)
+  JOIN rep USING (doc_id)
+  LEFT JOIN dups USING (doc_id)
+  GROUP BY d.source
+)
+SELECT source, n_docs,
+       round(CAST(qs AS DOUBLE) / n_docs / 10000.0, 4) AS avg_quality,
+       round(CAST(rs AS DOUBLE) / n_docs / 10000.0, 4) AS avg_dup_tokens,
+       n_dup_keepers
+FROM g
+"""
+
+
 # -- deterministic stratified sampling --------------------------------------
 
 SAMPLE_RATES = {"src0": 7500, "src1": 500, "src2": 0}
@@ -521,6 +586,7 @@ FROM pt p JOIN shc c USING (doc_id)
 
 
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "curation_report": (q_curation_report, _sql_curation()),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "pack_contiguous": (q_pack_contiguous, SQL_PACK_CONTIGUOUS),
