@@ -180,6 +180,21 @@ def _query_latency(spark) -> dict:
     return {"flex_latency_sec": flex, "aggregate_latency_sec": agg}
 
 
+def _pipeline_latency(spark, qs) -> dict:
+    """Informational timings for the curation-pipeline operators (not part
+    of the headline total, which stays comparable across rounds)."""
+    out = {}
+    for name in ("sample_stratified", "pack_contiguous", "text_repetition",
+                 "curation_report"):
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def main() -> None:
     from hta_spark.session import get_spark
     import __spark_entry__ as entry_mod
@@ -205,6 +220,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     matrix = _insert_matrix(spark)
     latency = _query_latency(spark)
+    pipeline = _pipeline_latency(spark, qs)
     print(json.dumps({
         "metric": "headline_suite_sec",
         "value": total,
@@ -213,6 +229,7 @@ def main() -> None:
         "sf": _sf_label(SF_DIR),
         "insert_throughput": insert,
         "insert_matrix": matrix,
+        "pipeline_latency_sec": pipeline,
         **latency,
     }))
     spark.stop()
