@@ -195,6 +195,16 @@ def _pipeline_latency(spark, qs) -> dict:
     return out
 
 
+#: judge-measured per-query seconds from round 2 (VERDICT.md) — the delta
+#: baseline for this round's report
+PREV_ROUND = {
+    "hta_level1_rollup": 1.70, "hta_level2_rollup": 1.79,
+    "hta_aggregate_range": 2.01, "hta_smooth3": 1.29, "hta_throttle": 2.07,
+    "dedup_minhash_lsh": 2.06, "dedup_embedding_cosine": 2.6,
+    "rollup_build_16m": 3.13,
+}
+
+
 def main() -> None:
     from hta_spark.session import get_spark
     import __spark_entry__ as entry_mod
@@ -221,17 +231,34 @@ def main() -> None:
     matrix = _insert_matrix(spark)
     latency = _query_latency(spark)
     pipeline = _pipeline_latency(spark, qs)
-    print(json.dumps({
+    headline = {
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_label(SF_DIR),
+    }
+    # Full detail (insert matrix, per-level latencies, round-over-round
+    # deltas) goes to a FILE: the driver's BENCH capture keeps only a small
+    # tail of stdout, and round 2's single giant line lost its head (the
+    # headline) to that window.  stdout gets ONE compact parseable line.
+    detail = dict(headline)
+    detail.update({
         "insert_throughput": insert,
         "insert_matrix": matrix,
         "pipeline_latency_sec": pipeline,
+        "delta_vs_prev_sec": {
+            k: round(timings[k] - PREV_ROUND[k], 3)
+            for k in timings if k in PREV_ROUND},
         **latency,
-    }))
+    })
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(headline))
     spark.stop()
 
 

@@ -120,7 +120,8 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.4,
 def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
                          n_planes: int = 16, rows_per_band: int = 2,
                          seed: int = 7, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         dim: int | None = None) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane (SRP) LSH.
 
     Each vector gets an ``n_planes``-bit signature (bit i = sign of the dot
@@ -130,12 +131,21 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
     verifies ``>= threshold``.  Output is a deterministic subset of
     :func:`cosine_pairs` with SRP recall ``1-(1-(1-theta/pi)^r)^b`` per
     pair; per-vector work is O(n_planes * dim) + the bucket join — no
-    all-pairs stage anywhere."""
+    all-pairs stage anywhere.
+
+    ``dim`` (vector width) parameterizes the seeded hyperplanes; when not
+    given it is probed from one row (empty-frame safe: an empty corpus
+    returns an empty pair frame without touching the cluster again)."""
     import numpy as np
 
     from .dedup import lsh_pairs
 
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        probe = emb.select(F.size(F.col(vec_col)).alias("d")).head(1)
+        if not probe:
+            return emb.sparkSession.createDataFrame(
+                [], "a long, b long, cos_sim double")
+        dim = probe[0]["d"]
     rng = np.random.default_rng(seed)
     planes = [[float(x) for x in p] for p in rng.standard_normal((n_planes, dim))]
     prow = emb.sparkSession.createDataFrame(

@@ -35,14 +35,23 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
 def kmeans_lite(emb: DataFrame, k: int = 8, iterations: int = 3,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Returns (id, cluster, sim) after ``iterations`` Lloyd rounds with
-    cosine assignment and mean-vector centroid updates."""
+    cosine assignment and mean-vector centroid updates.
+
+    Each round's assignment is ``localCheckpoint``-ed: the centroid update
+    and the next round both read the materialized assignment instead of
+    re-deriving the full lineage from the source scan, so plan depth (and
+    per-iteration cost) stays constant in the iteration count."""
     seeds = (emb.orderBy(id_col).limit(k)
              .select(id_col, vec_col).collect())
     centroids = [(i, [float(x) for x in r[vec_col]])
                  for i, r in enumerate(seeds)]
 
+    # the source is read once per round; checkpoint it so deep upstream
+    # lineage (e.g. a feature-extraction pipeline) is not replayed per round
+    emb = emb.select(id_col, vec_col).localCheckpoint(eager=False)
     assigned = _assign(emb, centroids, id_col, vec_col)
-    for _ in range(iterations):
+    for i in range(iterations):
+        assigned = assigned.localCheckpoint(eager=True)
         # centroid update: element-wise mean per cluster — k rows collected
         sums = (assigned
                 .select("cluster", F.posexplode(_as_double(F.col(vec_col)))

@@ -2,13 +2,16 @@
 with typed metadata.
 
 The Spark-side plumbing (schemas, batch shapes, mapInPandas signatures,
-partitioning) is real and tested.  Image *header* decode (PNG/JPEG/GIF
-dimensions + channel count) is real too — pure byte parsing of the
-container headers, no codec needed.  Full pixel decode would require an
-image codec library (not in this environment): unrecognized formats raise
+partitioning) is real and tested.  Header decode (PNG/JPEG/GIF/BMP/PPM
+dimensions + channels, WAV fmt/data chunks) is real — pure byte parsing.
+Pixel/sample decode is real for the formats that need NO codec library:
+uncompressed BMP and binary PPM/PGM pixels, RIFF/WAVE PCM samples — which
+makes :func:`extract_features` a real end-to-end path for those formats.
+Compressed containers (PNG/JPEG/GIF zlib/DCT payloads, non-PCM audio)
+would require a codec library absent in this environment: they raise
 ``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic fake (seeded by the payload hash) so the pipeline shape can
-be exercised end-to-end.
+deterministic fake (seeded by the payload hash) so mixed pipelines can
+still be exercised end-to-end.
 
 Scale notes: binary payloads ride in parquet as BINARY columns; metadata
 extraction is a mapInPandas pass (Arrow-batched, bounded batch memory via
@@ -28,6 +31,8 @@ from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "attach_binary_metadata", "parse_image_header",
            "decode_image_meta", "parse_wav_header", "decode_audio_meta",
+           "decode_bmp_pixels", "decode_ppm_pixels", "decode_image_pixels",
+           "decode_wav_samples", "signal_features",
            "sample_frames", "resize_plan", "extract_features"]
 
 MEDIA_SCHEMA = T.StructType([
@@ -74,6 +79,17 @@ def parse_image_header(b: bytes) -> tuple[str, int, int, int] | None:
     if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
         return ("gif", int.from_bytes(b[6:8], "little"),
                 int.from_bytes(b[8:10], "little"), 3)
+    if len(b) >= 30 and b[:2] == b"BM":
+        bpp = int.from_bytes(b[28:30], "little")
+        return ("bmp", int.from_bytes(b[18:22], "little", signed=True),
+                abs(int.from_bytes(b[22:26], "little", signed=True)),
+                {8: 1, 24: 3, 32: 4}.get(bpp, 3))
+    if len(b) >= 2 and b[:2] in (b"P5", b"P6"):
+        try:
+            w, h, _mx, _off = _ppm_header(b)
+        except ValueError:
+            return None
+        return ("ppm", w, h, 3 if b[:2] == b"P6" else 1)
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
         i = 2
         while i + 9 < len(b):
@@ -116,6 +132,141 @@ def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
     if rate is None:
         return None
     return (rate, ch or 0, bits or 0, frames)
+
+
+def _ppm_header(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, pixel_offset) of a binary PPM/PGM (P6/P5)
+    payload.  Netpbm headers are ASCII tokens with ``#`` comments; pixels
+    start one whitespace byte after the maxval token."""
+    if b[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM payload")
+    toks, i, n = [], 2, len(b)
+    while len(toks) < 3 and i < n:
+        c = b[i:i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and b[i:i + 1] != b"\n":
+                i += 1
+        else:
+            j = i
+            while j < n and not b[j:j + 1].isspace():
+                j += 1
+            toks.append(b[i:j])
+            i = j
+    if len(toks) < 3 or i >= n:
+        raise ValueError("truncated PPM/PGM header")
+    w, h, mx = (int(t) for t in toks)
+    return w, h, mx, i + 1          # exactly one whitespace after maxval
+
+
+def decode_bmp_pixels(b: bytes):
+    """REAL pixel decode for uncompressed BMP (BI_RGB, 8/24/32 bpp) — pure
+    byte parsing + numpy reshape, no codec library.  Returns a
+    (height, width, channels) uint8 array in RGB(A) order (8 bpp returns
+    channels=1, palette indices taken as gray levels)."""
+    import numpy as np
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or bpp not in (8, 24, 32) or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up, ah = h > 0, abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3           # rows pad to 4-byte boundaries
+    data = np.frombuffer(b, dtype=np.uint8, count=stride * ah, offset=off)
+    rows = data.reshape(ah, stride)[:, :w * nch].reshape(ah, w, nch)
+    if bottom_up:
+        rows = rows[::-1]
+    if nch >= 3:                          # stored BGR(A) -> RGB(A)
+        rows = rows[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]
+    return np.ascontiguousarray(rows)
+
+
+def decode_ppm_pixels(b: bytes):
+    """REAL pixel decode for binary Netpbm (P6 RGB / P5 gray, maxval < 256).
+    Returns a (height, width, channels) uint8 array."""
+    import numpy as np
+    w, h, mx, off = _ppm_header(b)
+    if mx >= 256:
+        raise ValueError("16-bit Netpbm not supported")
+    nch = 3 if b[:2] == b"P6" else 1
+    data = np.frombuffer(b, dtype=np.uint8, count=w * h * nch, offset=off)
+    return data.reshape(h, w, nch).copy()
+
+
+def decode_image_pixels(b: bytes):
+    """Dispatch to the no-codec pixel decoders (BMP, PPM/PGM).  PNG/JPEG/GIF
+    payloads need a codec library (absent in this environment) and raise
+    ``NotImplementedError``; unrecognized bytes raise ``ValueError``."""
+    if b[:2] == b"BM":
+        return decode_bmp_pixels(b)
+    if b[:2] in (b"P5", b"P6"):
+        return decode_ppm_pixels(b)
+    hdr = parse_image_header(b)
+    if hdr is not None:
+        raise NotImplementedError(
+            f"{hdr[0]} pixel decode requires a codec library; BMP/PPM/PGM "
+            "decode for real here")
+    raise ValueError("not a recognizable image container")
+
+
+def decode_wav_samples(b: bytes):
+    """REAL sample decode for RIFF/WAVE PCM (8/16-bit) — the data-chunk
+    walk of :func:`parse_wav_header` plus a numpy view.  Returns a
+    (frames, channels) float64 array scaled to [-1, 1]."""
+    import numpy as np
+    if len(b) < 36 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, ch, bits, fmt = 12, None, None, None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            fmt = int.from_bytes(b[i + 8:i + 10], "little")
+            ch = int.from_bytes(b[i + 10:i + 12], "little")
+            bits = int.from_bytes(b[i + 22:i + 24], "little")
+        elif cid == b"data":
+            if not ch or fmt != 1 or bits not in (8, 16):
+                raise NotImplementedError(
+                    f"only uncompressed PCM 8/16-bit decodes without a "
+                    f"codec (fmt={fmt}, bits={bits})")
+            body = b[i + 8:i + 8 + size]
+            if bits == 16:
+                x = np.frombuffer(body, dtype="<i2",
+                                  count=len(body) // 2).astype(np.float64)
+                x /= 32768.0
+            else:
+                x = np.frombuffer(body, dtype=np.uint8).astype(np.float64)
+                x = (x - 128.0) / 128.0
+            frames = x.size // ch
+            return x[:frames * ch].reshape(frames, ch)
+        i += 8 + size + (size % 2)
+    raise ValueError("no data chunk in WAV payload")
+
+
+def signal_features(x, dim: int) -> list[float]:
+    """Deterministic ``dim``-dim unit feature vector of a 1-D signal:
+    means of ``dim`` contiguous chunks, centered and L2-normalized.  Pure
+    numpy — the same definition is trivially re-implementable by an
+    independent oracle, and it is shift/scale-sensitive enough that near-dup
+    payloads land near each other in cosine space (the property the
+    downstream ann/dedup stages consume)."""
+    import numpy as np
+    x = np.asarray(x, dtype=np.float64).ravel()
+    if x.size == 0:
+        x = np.zeros(1)
+    means = np.array([c.mean() if c.size else 0.0
+                      for c in np.array_split(x, dim)])
+    means -= means.mean()
+    n = np.linalg.norm(means)
+    if n > 0:
+        means /= n
+    return means.astype("float32").tolist()
 
 
 def decode_audio_meta(df: DataFrame, payload_col: str = "payload",
@@ -210,21 +361,43 @@ def resize_plan(df: DataFrame, target_w: int, target_h: int,
     a downstream GPU/codec preprocessing stage consumes; the pixel
     resample itself is codec-gated like full decode.
 
-    ``mode='fit'`` letterboxes inside (target_w, target_h); ``'fill'``
-    scales to cover and records the center-crop offsets instead."""
+    ``mode='fit'`` letterboxes inside (target_w, target_h): ``out_w/out_h``
+    are the scaled dims clamped into the target box and ``pad_x/pad_y`` the
+    letterbox offsets (``crop_x/crop_y`` are 0).  ``mode='fill'`` scales to
+    COVER the target box: ``out_w/out_h`` are the unclamped scaled cover
+    dims (>= target on the covering axis) and ``crop_x/crop_y`` the
+    center-crop offsets into that scaled image (``pad_x/pad_y`` are 0) —
+    e.g. 640x480 fill to 224x224 gives out_w=299, crop_x=37.  Both modes
+    share one output schema so a mixed plan unions cleanly."""
     if mode not in ("fit", "fill"):
         raise ValueError(f"unknown resize mode {mode!r}")
     w, h = F.col("width").cast("double"), F.col("height").cast("double")
     sx, sy = F.lit(target_w) / w, F.lit(target_h) / h
-    scale = F.least(sx, sy) if mode == "fit" else F.greatest(sx, sy)
-    out_w = F.least(F.round(w * scale).cast("int"), F.lit(target_w))
-    out_h = F.least(F.round(h * scale).cast("int"), F.lit(target_h))
+    zero = F.lit(0)
+    if mode == "fit":
+        scale = F.least(sx, sy)
+        out_w = F.least(F.round(w * scale).cast("int"), F.lit(target_w))
+        out_h = F.least(F.round(h * scale).cast("int"), F.lit(target_h))
+        pad_x = ((F.lit(target_w) - out_w) / 2).cast("int")
+        pad_y = ((F.lit(target_h) - out_h) / 2).cast("int")
+        crop_x, crop_y = zero, zero
+    else:
+        scale = F.greatest(sx, sy)
+        # unclamped cover dims (never below target: rounding of w*scale can
+        # land 1px under on the non-covering axis — greatest() repairs it)
+        out_w = F.greatest(F.round(w * scale).cast("int"), F.lit(target_w))
+        out_h = F.greatest(F.round(h * scale).cast("int"), F.lit(target_h))
+        pad_x, pad_y = zero, zero
+        crop_x = ((out_w - F.lit(target_w)) / 2).cast("int")
+        crop_y = ((out_h - F.lit(target_h)) / 2).cast("int")
     return df.withColumns({
         "scale": F.round(scale, 6),
         "out_w": out_w,
         "out_h": out_h,
-        "pad_x": ((F.lit(target_w) - out_w) / 2).cast("int"),
-        "pad_y": ((F.lit(target_h) - out_h) / 2).cast("int"),
+        "pad_x": pad_x,
+        "pad_y": pad_y,
+        "crop_x": crop_x,
+        "crop_y": crop_y,
         "out_bytes": (F.lit(target_w) * F.lit(target_h)
                       * F.col("channels")).cast("long"),
     })
@@ -237,33 +410,44 @@ def extract_features(df: DataFrame, dim: int = 16,
     mapInPandas — the embedding-extraction stage of a multimodal pipeline;
     its output feeds the ann/dedup operators directly.
 
-    Real pixel/sample features require a codec (absent here): raises
-    unless ``fake=True``, which derives a deterministic unit vector from
-    md5 bits of the payload (stable across runs/engines, so the
-    downstream similarity plumbing is exercised end-to-end)."""
+    REAL end-to-end for the no-codec formats: BMP and PPM/PGM payloads
+    decode to pixels, RIFF/WAVE PCM payloads decode to samples (see
+    :func:`decode_image_pixels` / :func:`decode_wav_samples`), and the
+    feature is :func:`signal_features` of the gray-pixel / mono-sample
+    signal.  Compressed containers (PNG/JPEG/GIF, non-PCM audio) need a
+    codec library absent in this environment and raise
+    ``NotImplementedError`` per payload; ``fake=True`` substitutes a
+    deterministic md5-derived unit vector for any payload (stable across
+    runs/engines) so a mixed-format pipeline shape can still be exercised."""
     out_schema = T.StructType(df.schema.fields + [
         T.StructField("feature", T.ArrayType(T.FloatType()), True)])
 
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _fake_vec(raw: bytes):
         import numpy as np
+        need, out = dim * 4, b""
+        seed = raw
+        while len(out) < need:
+            seed = hashlib.md5(seed).digest()
+            out += seed
+        v = np.frombuffer(out[:need], dtype="<u4").astype("float64")
+        v = v / 2**32 - 0.5
+        v = v / (np.linalg.norm(v) or 1.0)
+        return v.astype("float32").tolist()
+
+    def _real_vec(raw: bytes):
+        if raw[:4] == b"RIFF":
+            samples = decode_wav_samples(raw)           # (frames, ch)
+            return signal_features(samples.mean(axis=1), dim)
+        pix = decode_image_pixels(raw)                  # (h, w, ch) uint8
+        gray = pix.astype("float64").mean(axis=2)
+        return signal_features(gray.ravel(), dim)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload in pdf[payload_col]:
                 raw = bytes(payload or b"")
-                if not fake:
-                    raise NotImplementedError(
-                        "pixel/sample feature extraction requires a codec "
-                        "library — pass fake=True for the deterministic "
-                        "stub")
-                need, out = dim * 4, b""
-                seed = raw
-                while len(out) < need:
-                    seed = hashlib.md5(seed).digest()
-                    out += seed
-                v = np.frombuffer(out[:need], dtype="<u4").astype("float64")
-                v = v / 2**32 - 0.5
-                v = v / (np.linalg.norm(v) or 1.0)
-                feats.append(v.astype("float32").tolist())
+                feats.append(_fake_vec(raw) if fake else _real_vec(raw))
             pdf = pdf.copy()
             pdf["feature"] = feats
             yield pdf

@@ -30,6 +30,8 @@ portable either.)
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -581,13 +583,21 @@ def q_hta_streaming_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only the order-robust columns are exposed (min/max are comparisons,
     count/active_time exact integers); the incremental path accumulates
     sum/integral as doubles, which are not order-reproducible across
-    engines (the r1 hashing lesson).  The tempdir backing store is left
-    for /tmp cleanup — the returned frame reads from it lazily."""
+    engines (the r1 hashing lesson).  The backing store lives at a FIXED
+    per-(session, sf) path and is wiped before each re-ingest, so repeated
+    gate/bench invocations reuse one directory instead of accumulating
+    tempdirs (the previous frame returned for this sf becomes invalid at
+    that point — callers materialize before re-invoking, as the driver
+    does)."""
+    import shutil
     import tempfile
 
     from .streaming.ingest import IncrementalRollup
     raw = events_raw(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="hta_stream_q_")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hta_stream_q_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
     ing = IncrementalRollup(spark, base, EVENTS_META)
     cut1, cut2 = 1_704_844_800 * SECOND, 1_705_708_800 * SECOND
     ing.ingest(raw.filter(F.col("time") < cut1))

@@ -263,3 +263,153 @@ def test_extract_features_feed_ann(spark, media):
     q = feats.limit(1).collect()[0]["embedding"]
     top = cosine_topk(feats, list(q), k=3)
     assert top.count() == 3
+
+
+def test_resize_plan_fill_crop_offsets(spark):
+    """Fill mode must expose the unclamped cover dims + center-crop offsets
+    (a consumer scales to (out_w, out_h) then crops at (crop_x, crop_y))."""
+    from hta_spark.pipeline.multimodal import resize_plan
+    rows = [(1, 640, 480, 3), (2, 100, 400, 1), (3, 224, 224, 3)]
+    df = spark.createDataFrame(
+        rows, "asset_id long, width int, height int, channels int")
+    fill = {r.asset_id: r for r in
+            resize_plan(df, 224, 224, mode="fill").collect()}
+    # 640x480 covers by height: scale 224/480 -> 299x224, crop_x (299-224)/2
+    assert (fill[1].out_w, fill[1].out_h) == (299, 224)
+    assert (fill[1].crop_x, fill[1].crop_y) == (37, 0)
+    assert (fill[1].pad_x, fill[1].pad_y) == (0, 0)
+    # tall 100x400 covers by width: scale 2.24 -> 224x896, crop_y 336
+    assert (fill[2].out_w, fill[2].out_h) == (224, 896)
+    assert (fill[2].crop_x, fill[2].crop_y) == (0, 336)
+    # exact fit: no crop either way
+    assert (fill[3].out_w, fill[3].out_h) == (224, 224)
+    assert (fill[3].crop_x, fill[3].crop_y) == (0, 0)
+    # fit mode carries the same schema with zero crop
+    fit = {r.asset_id: r for r in resize_plan(df, 224, 224).collect()}
+    assert (fit[1].crop_x, fit[1].crop_y) == (0, 0)
+
+
+def _bmp_bytes(pixels):
+    """Minimal uncompressed 24-bit BMP from an (h, w, 3) RGB uint8 array."""
+    import struct
+    import numpy as np
+    pix = np.asarray(pixels, dtype="uint8")
+    h, w, _ = pix.shape
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in pix[::-1]:                      # bottom-up
+        r = row[:, ::-1].tobytes()             # RGB -> BGR
+        body += r + b"\x00" * (stride - len(r))
+    off = 14 + 40
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                         2835, 2835, 0, 0))
+    return hdr + body
+
+
+def test_decode_bmp_pixels_real():
+    import numpy as np
+    from hta_spark.pipeline.multimodal import (decode_bmp_pixels,
+                                               parse_image_header)
+    rng = np.random.default_rng(3)
+    pix = rng.integers(0, 256, size=(5, 3, 3), dtype="uint8")  # odd width->pad
+    b = _bmp_bytes(pix)
+    assert parse_image_header(b) == ("bmp", 3, 5, 3)
+    got = decode_bmp_pixels(b)
+    assert got.shape == (5, 3, 3)
+    assert np.array_equal(got, pix)            # exact round-trip, incl. order
+
+
+def test_decode_ppm_pixels_real():
+    import numpy as np
+    from hta_spark.pipeline.multimodal import (decode_ppm_pixels,
+                                               parse_image_header)
+    rng = np.random.default_rng(4)
+    pix = rng.integers(0, 256, size=(4, 6, 3), dtype="uint8")
+    b = b"P6\n# a comment\n6 4\n255\n" + pix.tobytes()
+    assert parse_image_header(b) == ("ppm", 6, 4, 3)
+    assert np.array_equal(decode_ppm_pixels(b), pix)
+    gray = rng.integers(0, 256, size=(2, 3, 1), dtype="uint8")
+    g = b"P5 3 2 255\n" + gray.tobytes()
+    assert np.array_equal(decode_ppm_pixels(g), gray)
+
+
+def _wav_bytes(samples, rate=8000):
+    """16-bit PCM mono WAV from a float array in [-1, 1]."""
+    import struct
+    import numpy as np
+    x = (np.clip(np.asarray(samples, dtype="float64"), -1, 1)
+         * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(x)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(x)) + x)
+
+
+def test_decode_wav_samples_real():
+    import numpy as np
+    from hta_spark.pipeline.multimodal import decode_wav_samples
+    t = np.arange(160) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    got = decode_wav_samples(_wav_bytes(sig))
+    assert got.shape == (160, 1)
+    # encode truncates toward zero and scales by 32767 while decode divides
+    # by 32768 — two quantization steps of slack
+    assert np.allclose(got[:, 0], sig, atol=2.1 / 32767)
+
+
+def test_extract_features_real_end_to_end(spark):
+    """fake=False is REAL for BMP/PPM/WAV payloads: features equal an
+    independent numpy recomputation, and they feed cosine_topk such that a
+    near-identical image ranks above a different one."""
+    import numpy as np
+    from hta_spark.pipeline.multimodal import (extract_features,
+                                               signal_features)
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(16, 16, 3), dtype="uint8")
+    near = base.copy()
+    near[0, 0] = (near[0, 0] + 3) % 256        # 1-pixel perturbation
+    other = rng.integers(0, 256, size=(16, 16, 3), dtype="uint8")
+    t = np.arange(800) / 8000.0
+    wav = _wav_bytes(0.3 * np.sin(2 * np.pi * 220 * t))
+    ppm = b"P6 16 16 255\n" + other.tobytes()
+    rows = [(1, "image", _bmp_bytes(base), {}),
+            (2, "image", _bmp_bytes(near), {}),
+            (3, "image", ppm, {}),
+            (4, "audio", wav, {})]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary, "
+              "meta map<string,string>")
+    feats = {r.asset_id: r.feature for r in
+             extract_features(df, dim=8).collect()}   # no fake flag
+    # numeric parity with the driver-side definition
+    expect1 = signal_features(base.astype("float64").mean(axis=2).ravel(), 8)
+    assert np.allclose(feats[1], expect1, atol=1e-6)
+    from hta_spark.pipeline.multimodal import decode_wav_samples
+    expect4 = signal_features(decode_wav_samples(wav).mean(axis=1), 8)
+    assert np.allclose(feats[4], expect4, atol=1e-6)
+    for v in feats.values():
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    # integration: features -> ann without any fake flag
+    emb = extract_features(df, dim=8) \
+        .select(F.col("asset_id").alias("vec_id"),
+                F.col("feature").alias("embedding"))
+    top = [r["vec_id"] for r in
+           cosine_topk(emb, [float(x) for x in feats[1]], k=3).collect()]
+    assert top[0] == 1 and top[1] == 2         # near-dup ranks right behind
+
+
+def test_extract_features_codec_formats_still_gated(spark):
+    """PNG payloads (compressed) still raise without fake=True — but with a
+    clear per-format message, and BMP in the same frame would decode."""
+    import struct
+    from hta_spark.pipeline.multimodal import extract_features
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 4, 4) + bytes([8, 2, 0, 0, 0]) + b"\x00" * 8)
+    df = spark.createDataFrame(
+        [(1, "image", png, {})],
+        "asset_id long, media_type string, payload binary, "
+        "meta map<string,string>")
+    with pytest.raises(Exception) as ei:
+        extract_features(df).collect()
+    assert "codec" in str(ei.value)
