@@ -39,7 +39,8 @@ from ..operators.rollup import build_levels
 from ..operators.scopes import (RAW_DEFAULT, ROW_DEFAULT, IntervalScope)
 from ..operators.stats import count_scoped
 
-__all__ = ["HtaStore", "Metric", "resolve_table_path", "publish_version"]
+__all__ = ["HtaStore", "Metric", "resolve_table_path", "publish_version",
+           "publish_partitions", "read_partition_manifest", "read_level_table"]
 
 
 def resolve_table_path(path: str) -> str:
@@ -100,6 +101,194 @@ def publish_version(path: str, write_fn, keep: int = 2) -> str:
     if versions and os.path.isdir(path):
         shutil.rmtree(path, ignore_errors=True)
     return target
+
+
+def _pm_path(path: str) -> str:
+    # the underscore prefix keeps Spark's file index from treating the
+    # manifest as data if anything ever lists the root directly
+    return os.path.join(path, "_part_manifest.json")
+
+
+def read_partition_manifest(path: str) -> dict | None:
+    """The partition manifest of a streaming-maintained level table, or
+    None when the table doesn't use the partition-manifest layout.
+
+    Shape: ``{"v": n, "top": top_interval_ns,
+    "partitions": {"metric=<m>/tb=<b>": version_int}}`` — each key is a
+    partition's directory fragment, each value the version whose
+    ``v=<version>`` subdirectory holds that partition's live files."""
+    mp = _pm_path(path)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        return json.load(f)
+
+
+def _write_partition_manifest(path: str, doc: dict) -> None:
+    tmp = _pm_path(path) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, _pm_path(path))          # the atomic pointer flip
+
+
+def publish_partitions(spark: SparkSession, path: str, region: DataFrame,
+                       top: int, replace_all: bool = False) -> list[str]:
+    """Atomic multi-partition publish for a streaming-maintained level
+    table — the per-batch analog of :func:`publish_version`.
+
+    The table layout is ``<path>/metric=<m>/tb=<b>/v=<n>/part-*.parquet``
+    plus ``_part_manifest.json`` mapping every live partition to its
+    version.  A publish (one micro-batch's open-region rewrite):
+
+    1. writes ``region`` (columns: metric, tb, interval_start, aggregate
+       fields) to a staging dir, partitioned by (metric, tb);
+    2. renames each staged partition into place as a brand-new immutable
+       ``v=<n>`` subdirectory — live files are never modified;
+    3. flips the manifest with one POSIX rename.
+
+    A reader racing the publish resolves the old manifest (old version
+    dirs, kept for one more publish) or the new one — never a mid-swap
+    partition set (the reference's analog is the flush barrier + torn-tail
+    tolerance, /root/reference/src/storage/file/file.hpp:210-247,
+    src/metric.cpp:605-609).  A crash at any step leaves the old manifest
+    intact; the idempotent replay overwrites the orphaned staging/version
+    dirs of the failed attempt.
+
+    ``replace_all=True`` (compaction/rebuild) makes the staged partition
+    set the complete new table: manifest keys not re-staged are dropped
+    and their directories removed.
+
+    Per-publish driver cost is O(partitions-in-region) renames — planner-
+    state sized (the open region of the batch's metrics).  The manifest
+    itself is O(total partitions); at very large metric counts the scale
+    path is manifest segmentation + checkpointing (the Delta/Iceberg log
+    design), behind this same function.
+
+    Returns the partition keys written."""
+    import shutil
+    os.makedirs(path, exist_ok=True)
+    doc = read_partition_manifest(path) or {"v": 0, "top": top,
+                                            "partitions": {}}
+    ver = doc["v"] + 1
+    stage = os.path.join(path, f"_stage_v{ver}")
+    (region.write.mode("overwrite").partitionBy("metric", "tb")
+     .parquet(stage))
+    new_parts: list[str] = []
+    for mdir in os.listdir(stage):
+        if not mdir.startswith("metric="):
+            continue
+        for tdir in os.listdir(os.path.join(stage, mdir)):
+            if tdir.startswith("tb="):
+                new_parts.append(f"{mdir}/{tdir}")
+    for key in new_parts:
+        dest = os.path.join(path, key, f"v={ver}")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        if os.path.exists(dest):             # orphan of a crashed attempt
+            shutil.rmtree(dest)
+        os.replace(os.path.join(stage, key), dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    prev = doc["partitions"]
+    if replace_all:
+        doc["partitions"] = {k: ver for k in new_parts}
+    else:
+        doc["partitions"] = dict(prev)
+        doc["partitions"].update({k: ver for k in new_parts})
+    doc["v"] = ver
+    doc["top"] = top
+    _write_partition_manifest(path, doc)
+    # GC: drop everything but the new version and the immediately-previous
+    # live version per touched partition (in-flight readers of the previous
+    # manifest stay valid — keep=2 discipline)
+    for key in new_parts:
+        keep = {ver, prev.get(key)}
+        pdir = os.path.join(path, key)
+        for d in os.listdir(pdir):
+            if d.startswith("v=") and int(d[2:]) not in keep:
+                shutil.rmtree(os.path.join(pdir, d), ignore_errors=True)
+    if replace_all:
+        staged = set(new_parts)
+        for key in prev:
+            if key not in staged:
+                shutil.rmtree(os.path.join(path, key), ignore_errors=True)
+    return new_parts
+
+
+def _adopt_into_partition_manifest(spark: SparkSession, path: str,
+                                   top: int) -> None:
+    """One-time migration of a legacy level table (plain dir or versioned
+    whole-table manifest) into the partition-manifest layout, so streaming
+    upserts and readers see a single layout.  O(table) once, at the first
+    streaming write against a store-built table; NOT reader-atomic (open
+    the store for streaming before serving readers)."""
+    import shutil
+    legacy = resolve_table_path(path)
+    if not os.path.isdir(legacy):
+        return
+    try:
+        df = spark.read.parquet(legacy)
+    except Exception:
+        # directory exists but holds no readable table (e.g. only the
+        # staging orphan of a crashed first publish) — nothing to adopt
+        return
+    if "tb" not in df.columns:
+        df = df.withColumn("tb", F.call_function(
+            "div", F.col("interval_start"), F.lit(top)))
+    df = df.withColumn("metric", F.col("metric").cast("string")).select(
+        "metric", "tb", "interval_start", "minimum", "maximum", "sum",
+        "count", "integral", "active_time")
+    # materialize before the legacy files are deleted out from under the plan
+    df = df.localCheckpoint(eager=True)
+    if legacy == path:                       # plain in-place legacy table
+        for entry in os.listdir(path):
+            p = os.path.join(path, entry)
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
+                else os.remove(p)
+    else:                                    # whole-table versioned layout
+        shutil.rmtree(path + ".versions", ignore_errors=True)
+        os.remove(path + ".manifest")
+    publish_partitions(spark, path, df, top)
+
+
+def clear_partition_manifest(path: str) -> None:
+    """Remove a partition-manifest layout (used by whole-table rebuilds
+    that republish through :func:`publish_version` instead)."""
+    import shutil
+    if read_partition_manifest(path) is None:
+        return
+    os.remove(_pm_path(path))
+    for entry in os.listdir(path) if os.path.isdir(path) else []:
+        if entry.startswith("metric=") or entry.startswith("_stage_v"):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+
+
+def read_level_table(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a level table in ANY of its layouts (partition-manifest,
+    whole-table-versioned, plain), normalized to the canonical aggregate
+    schema with ``metric`` as string.  Returns None when no table exists."""
+    doc = read_partition_manifest(path)
+    if doc is not None:
+        from ..schemas import AGG_SCHEMA
+        dirs = [os.path.join(path, key, f"v={v}")
+                for key, v in doc["partitions"].items()]
+        if not dirs:
+            return spark.createDataFrame([], AGG_SCHEMA)
+        df = (spark.read.option("basePath", path).parquet(*dirs)
+              .drop("tb", "v"))
+    else:
+        if not table_exists(path):
+            return None
+        try:
+            df = spark.read.parquet(resolve_table_path(path))
+        except Exception:
+            # a level with no closed buckets yet has a directory but no
+            # data/schema files (empty write)
+            from ..schemas import AGG_SCHEMA
+            return spark.createDataFrame([], AGG_SCHEMA)
+        if "tb" in df.columns:
+            df = df.drop("tb")
+    return df.withColumn("metric", F.col("metric").cast("string")).select(
+        "metric", "interval_start", "minimum", "maximum", "sum", "count",
+        "integral", "active_time")
 
 
 class HtaStore:
@@ -215,22 +404,9 @@ class HtaStore:
         return raw.filter(cond) if cond is not None else raw
 
     def level(self, interval: int) -> DataFrame | None:
-        path = f"{self.base}/levels/{interval}"
-        if not table_exists(path):
-            return None
-        try:
-            df = self.spark.read.parquet(resolve_table_path(path))
-        except Exception:
-            # a level with no closed buckets yet writes no schema files
-            # (empty dataframe); the reference likewise has an empty file
-            from ..schemas import AGG_SCHEMA
-            return self.spark.createDataFrame([], AGG_SCHEMA)
-        # normalize streaming-maintained layouts (partitioned by metric +
-        # time bucket): drop the bookkeeping column, undo partition-column
-        # type inference
-        if "tb" in df.columns:
-            df = df.drop("tb")
-        return df.withColumn("metric", F.col("metric").cast("string"))
+        # resolves every layout: partition-manifest (streaming-maintained),
+        # whole-table versioned, plain — normalized to the canonical schema
+        return read_level_table(self.spark, f"{self.base}/levels/{interval}")
 
     def levels_for(self, meta: Meta) -> dict[int, DataFrame]:
         out = {}
@@ -276,6 +452,22 @@ class HtaStore:
         """
         path = (f"{self.base}/raw" if table == "raw"
                 else f"{self.base}/levels/{table}")
+        pm = None if table == "raw" else read_partition_manifest(path)
+        if pm is not None:
+            # partition-manifest layout: consolidate every partition into
+            # one fresh version and flip the manifest (replace_all drops
+            # the superseded keys/dirs) — readers never see a half state
+            df = read_level_table(self.spark, path)
+            region = (df.repartition(max(target_partitions, 1), "metric")
+                      .sortWithinPartitions("metric", "interval_start")
+                      .withColumn("tb", F.call_function(
+                          "div", F.col("interval_start"),
+                          F.lit(int(pm["top"])))))
+            publish_partitions(self.spark, path, region, int(pm["top"]),
+                               replace_all=True)
+            self.spark.catalog.refreshByPath(path)
+            return sum(1 for _r, _d, files in os.walk(path)
+                       for f in files if f.endswith(".parquet"))
         if not table_exists(path):
             return 0
         live = resolve_table_path(path)
@@ -355,6 +547,9 @@ class HtaStore:
                     writer = writer.partitionBy("metric")
                 writer.parquet(target)
 
+            # a full rebuild replaces any streaming partition-manifest
+            # layout with the whole-table versioned one
+            clear_partition_manifest(f"{self.base}/levels/{iv}")
             publish_version(f"{self.base}/levels/{iv}", _write)
         for d in cached:
             d.unpersist()

@@ -22,14 +22,17 @@ Spark-first mapping:
   overwrite* that touches O(region) files and never reads or rewrites
   table history (the O(table) full-rewrite this replaces was the round-1
   scale-killer);
-- exactly-once: bucket rewrites are deterministic partition overwrites, so
+- exactly-once: bucket rewrites are deterministic versioned publishes, so
   replaying a batch after a crash converges to the same table — checkpoint
-  + idempotent sink.  Consistency note: a reader racing a micro-batch can
-  see an open-region partition mid-swap (history partitions are never
-  touched); full snapshot isolation for the open region needs an ACID
-  table format — a Delta MERGE drops in at _upsert_level when the jars
-  exist.  Whole-table rewrites elsewhere use the manifest publish
-  discipline (sources/store.py::publish_version);
+  + idempotent sink.  Consistency: each batch's open-region rewrite goes
+  through the PARTITION MANIFEST (sources/store.py::publish_partitions):
+  fresh immutable ``v=<n>`` partition dirs land first, then one POSIX
+  rename flips ``_part_manifest.json`` — a reader racing a micro-batch
+  resolves the pre-batch or post-batch partition set, never a mid-swap
+  mix (the reference's flush barrier + torn-tail tolerance,
+  /root/reference/src/storage/file/file.hpp:210-247, src/metric.cpp:
+  605-609).  Whole-table rewrites elsewhere use the same discipline at
+  table granularity (sources/store.py::publish_version);
 - late/duplicate data: the reference rejects non-monotonic inserts outright
   (src/metric.cpp:519-524).  ``enforce_monotonic`` drops violations per
   micro-batch (documented relaxation: cross-batch enforcement uses the
@@ -127,24 +130,11 @@ class IncrementalRollup:
         return self.spark.read.parquet(resolve_table_path(p))
 
     def level(self, interval: int) -> DataFrame | None:
-        """Level table with the partition bookkeeping column stripped and
-        the partition-inferred ``metric`` normalized back to string."""
-        from ..sources.store import resolve_table_path, table_exists
-        p = f"{self.base}/levels/{interval}"
-        if not table_exists(p):
-            return None
-        try:
-            df = self.spark.read.parquet(resolve_table_path(p))
-        except Exception:
-            # a level with no closed buckets yet has a directory but no
-            # data files (empty dynamic-overwrite write)
-            from ..schemas import AGG_SCHEMA
-            df = self.spark.createDataFrame([], AGG_SCHEMA)
-        if "tb" in df.columns:
-            df = df.drop("tb")
-        return df.withColumn("metric", F.col("metric").cast("string")).select(
-            "metric", "interval_start", "minimum", "maximum", "sum", "count",
-            "integral", "active_time")
+        """Level table (any layout) normalized to the canonical schema —
+        reads resolve through the partition manifest, so a concurrent
+        micro-batch's publish is invisible until its atomic flip."""
+        from ..sources.store import read_level_table
+        return read_level_table(self.spark, f"{self.base}/levels/{interval}")
 
     def _top(self) -> int:
         return self.meta.level_intervals()[-1]
@@ -254,29 +244,34 @@ class IncrementalRollup:
 
     def _upsert_level(self, interval: int, fresh: DataFrame,
                       bounds: DataFrame) -> None:
-        """Dynamic partition overwrite of the rewrite region.
+        """Atomic versioned publish of the rewrite region.
 
         The level table is partitioned by (metric, tb = interval_start div
         top_interval).  ``_rb`` is top-aligned, so {buckets >= _rb} is an
-        exact partition set; writing the freshly recomputed region with
-        partitionOverwriteMode=dynamic replaces exactly those partitions and
-        leaves all history untouched — per-batch write cost is O(region),
-        not O(table).  Monotonic ingest guarantees the fresh region covers
-        every previously-closed bucket >= _rb, so no stale partition can
-        survive the overwrite.
+        exact partition set; the freshly recomputed region is published
+        through the partition manifest (store.publish_partitions): new
+        immutable ``v=<n>`` dirs first, one atomic manifest flip second —
+        per-batch write cost is O(region), not O(table), history files are
+        never touched, and a racing reader sees the pre- or post-batch
+        state, never a partial swap.  Monotonic ingest (and the upsert
+        policy's predecessor anchoring) guarantees the fresh region covers
+        every previously-published bucket >= _rb, so no stale manifest
+        entry can survive the update.  A pre-existing store-built level
+        table is adopted into the manifest layout once, at first contact.
         """
-        from ..sources.store import resolve_table_path
-        path = resolve_table_path(f"{self.base}/levels/{interval}")
+        from ..sources.store import (_adopt_into_partition_manifest,
+                                     publish_partitions,
+                                     read_partition_manifest, table_exists)
+        path = f"{self.base}/levels/{interval}"
         top = self._top()
+        if read_partition_manifest(path) is None and table_exists(path):
+            _adopt_into_partition_manifest(self.spark, path, top)
         region = (fresh.join(F.broadcast(bounds), "metric")
                   .filter(F.col("interval_start") >= F.col("_rb"))
                   .drop("_rb")
                   .withColumn("tb", F.call_function(
                       "div", F.col("interval_start"), F.lit(top))))
-        (region.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("metric", "tb")
-         .parquet(path))
+        publish_partitions(self.spark, path, region, top)
         self.spark.catalog.refreshByPath(path)
 
     # -- streaming entry ---------------------------------------------------
