@@ -467,3 +467,109 @@ def test_salted_ingest_equals_continuous(spark, tmp_path):
     continuous = build_levels(_as_df(spark, pts), F1_META)
     for iv in F1_META.level_intervals():
         assert _level_dict(ing.level(iv)) == _level_dict(continuous[iv]), iv
+
+
+def test_stream_levels_cascade_matches_batch(spark, tmp_path):
+    """The single-stage streaming cascade (stream_levels) must emit closed
+    rows at EVERY level equal to the batch hierarchy build — the streaming
+    form of Metric::insert(Row)'s recursion (metric.cpp:562-603)."""
+    from hta_spark.streaming.live import stream_levels
+
+    src = tmp_path / "cascade_src"
+    src.mkdir()
+    pts = f1_points()
+    n = len(pts)
+    for i in range(4):
+        chunk = pts[i * n // 4:(i + 1) * n // 4]
+        _as_df(spark, chunk).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (spark.readStream
+              .schema("metric string, time long, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "b*")))
+    out = stream_levels(stream, F1_META.level_intervals())
+    q = (out.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cascade_ckpt"))
+         .format("memory").queryName("cascade_out").start())
+    q.processAllAvailable()
+    q.stop()
+
+    got_all = spark.sql("SELECT * FROM cascade_out").collect()
+    continuous = build_levels(_as_df(spark, pts), F1_META)
+    for iv in F1_META.level_intervals():
+        got = {(r["metric"], r["interval_start"]):
+               (r["minimum"], r["maximum"], r["sum"], r["count"],
+                r["integral"], r["active_time"])
+               for r in got_all if r["interval"] == iv}
+        # the stream emits only CLOSED intervals; the batch build also
+        # materializes the still-open tail bucket of each level — compare
+        # on the closed prefix and require it to be exactly the batch rows
+        # minus each level's open tail
+        exp_full = _level_dict(continuous[iv])
+        open_tail = {k for k in exp_full if k not in got}
+        for k in open_tail:
+            # anything missing must be the (single, last) open bucket
+            assert k[1] == max(s for _m, s in exp_full), \
+                f"level {iv}: closed bucket {k} missing from stream"
+        for k, v in got.items():
+            assert exp_full[k] == v, f"level {iv} bucket {k}"
+        # non-vacuous wherever the level has at least one CLOSED bucket
+        # (the top level may hold only its open tail over a short series)
+        assert got or len(exp_full) <= 1, \
+            f"level {iv}: stream emitted nothing"
+
+
+def test_stream_levels_restart_from_checkpoint(spark, tmp_path):
+    """Kill the cascade query mid-stream and resume from the checkpoint:
+    closed rows across both runs equal one continuous run at EVERY level
+    (restore_level extended to n>1, tests/restore.cpp contract)."""
+    from hta_spark.streaming.live import stream_levels
+
+    src = tmp_path / "cascr_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "cascr_ckpt")
+    out_dir = str(tmp_path / "cascr_out")
+    pts = f1_points()
+    half = len(pts) // 2
+
+    def mk_stream():
+        return (spark.readStream
+                .schema("metric string, time long, value double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "b*")))
+
+    def sink(stream):
+        return (stream_levels(stream, F1_META.level_intervals())
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .format("parquet").option("path", out_dir)
+                .start())
+
+    _as_df(spark, pts[:half // 2]).coalesce(1).write.parquet(str(src / "b0"))
+    _as_df(spark, pts[half // 2:half]).coalesce(1).write.parquet(str(src / "b1"))
+    q = sink(mk_stream())
+    q.processAllAvailable()
+    q.stop()            # "crash"
+
+    _as_df(spark, pts[half:]).coalesce(1).write.parquet(str(src / "b2"))
+    q = sink(mk_stream())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.read.parquet(out_dir).collect()
+    continuous = build_levels(_as_df(spark, pts), F1_META)
+    for iv in F1_META.level_intervals():
+        got = {(r["metric"], r["interval_start"]):
+               (r["minimum"], r["maximum"], r["sum"], r["count"],
+                r["integral"], r["active_time"])
+               for r in rows if r["interval"] == iv}
+        exp_full = _level_dict(continuous[iv])
+        missing = {k for k in exp_full if k not in got}
+        for k in missing:
+            assert k[1] == max(s for _m, s in exp_full), \
+                f"level {iv}: closed bucket {k} lost across restart"
+        for k, v in got.items():
+            assert exp_full[k] == v, f"level {iv} bucket {k}"
+    # no duplicate emissions across the restart
+    assert len(rows) == len({(r["interval"], r["metric"],
+                              r["interval_start"]) for r in rows})
