@@ -33,9 +33,19 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
 
 
 def kmeans_lite(emb: DataFrame, k: int = 8, iterations: int = 3,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                quantize: int | None = None) -> DataFrame:
     """Returns (id, cluster, sim) after ``iterations`` Lloyd rounds with
     cosine assignment and mean-vector centroid updates.
+
+    ``quantize``: round every updated centroid coordinate to this many
+    decimals.  With it set, the whole iteration becomes reproducible
+    ACROSS ENGINES: mean centroids computed by independent systems differ
+    only in the last ulp (summation order), so quantizing to well above
+    ulp scale lands both on identical coordinates each round — this is
+    what lets the driver gate the k-means registry entry against a DuckDB
+    re-implementation (see queries_pipeline._kmeans_sql) instead of a
+    rows-only check.
 
     Each round's assignment is ``localCheckpoint``-ed: the centroid update
     and the next round both read the materialized assignment instead of
@@ -61,7 +71,8 @@ def kmeans_lite(emb: DataFrame, k: int = 8, iterations: int = 3,
                 .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
                 .collect())
         centroids = [(int(r["cluster"]),
-                      [float(p["m"]) for p in r["dm"]]) for r in sums]
+                      [round(float(p["m"]), quantize) if quantize is not None
+                       else float(p["m"]) for p in r["dm"]]) for r in sums]
         centroids.sort(key=lambda cv: cv[0])
         assigned = _assign(emb, centroids, id_col, vec_col)
     return assigned.select(id_col, "cluster", F.round("sim", 4).alias("sim"))

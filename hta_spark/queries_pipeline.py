@@ -424,11 +424,58 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
 
 
 def q_kmeans_lite(spark, sf_dir):
-    """Iterative Lloyd's k-means (3 rounds, seeded, cosine assignment) —
-    rows-only check: iterative algorithms are non-SQL-expressible per the
-    driver contract."""
+    """Iterative Lloyd's k-means (3 rounds, seeded by the first k vec_ids,
+    cosine assignment with 9-decimal rounding and ties to the smaller
+    centroid id, mean centroids quantized to 6 decimals per round).
+
+    The quantization makes every round's centroids bit-identical across
+    engines (means differ only in last-ulp summation order, far below the
+    quantum), so the iteration is ORACLE-GATED against an independent
+    unrolled re-implementation in DuckDB SQL (:func:`_kmeans_sql`) —
+    closing the one rows-only registry entry of round 2."""
     from .pipeline.kmeans import kmeans_lite
-    return kmeans_lite(_emb(spark, sf_dir), k=8, iterations=3)
+    return kmeans_lite(_emb(spark, sf_dir), k=8, iterations=3,
+                       quantize=6).select("vec_id", "cluster")
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 3, dim: int = 64,
+                quantize: int = 6) -> str:
+    """Independent DuckDB re-statement of q_kmeans_lite: Lloyd's rounds
+    unrolled into chained CTEs (assignment = per-vector argmax of rounded
+    cosine vs the previous centroids; update = per-dimension mean,
+    quantized).  Different algorithmic expression (window-ranked cross
+    join + positional list aggregation vs Spark's broadcast codebook row
+    + posexplode), same deterministic convention."""
+    assign = """
+a{i} AS (
+  SELECT vec_id, c AS cluster FROM (
+    SELECT e.vec_id, c.c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.v), 9) DESC,
+                      c.c) AS rn
+    FROM emb e CROSS JOIN {prev} c) WHERE rn = 1)"""
+    update = """
+c{i} AS (
+  SELECT cluster AS c, list(m ORDER BY d) AS v FROM (
+    SELECT a.cluster, d.d, round(avg(e.v[d.d]), {q}) AS m
+    FROM a{prev_a} a JOIN emb e USING (vec_id) CROSS JOIN dims d
+    GROUP BY a.cluster, d.d)
+  GROUP BY cluster)"""
+    parts = [f"""WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+dims AS (SELECT unnest(range(1, {dim + 1})) AS d),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
+       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k}))"""]
+    parts.append(assign.format(i=0, prev="c0"))
+    for i in range(1, iterations + 1):
+        parts.append(update.format(i=i, prev_a=i - 1, q=quantize))
+        parts.append(assign.format(i=i, prev=f"c{i}"))
+    return (",".join(parts)
+            + f"\nSELECT vec_id, cluster FROM a{iterations}")
+
+
+SQL_KMEANS_LITE = _kmeans_sql()
 
 
 # -- per-source curation report (operator composition) ----------------------
@@ -590,7 +637,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "pack_contiguous": (q_pack_contiguous, SQL_PACK_CONTIGUOUS),
-    "ann_kmeans_lite": (q_kmeans_lite, None),
+    "ann_kmeans_lite": (q_kmeans_lite, SQL_KMEANS_LITE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_prefix": (q_dedup_prefix, SQL_DEDUP_PREFIX),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
