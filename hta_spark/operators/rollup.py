@@ -54,6 +54,39 @@ __all__ = [
 ]
 
 
+#: auto-salting aims for at most this many rows per window task; a metric
+#: whose series exceeds it gets its window salted into time chunks
+AUTO_SALT_TARGET_ROWS = 1_000_000
+
+
+def auto_salt_chunks(raw: DataFrame) -> int | None:
+    """Skew decision from per-metric row-count stats: returns the chunk
+    count for :func:`lagged_salted` when the largest metric's series would
+    overfill one window task (> ``AUTO_SALT_TARGET_ROWS`` rows), else None.
+
+    The chunk count spreads the dominant metric over at least the session
+    parallelism (capped at 256).  Cost: one map-side-combined count
+    aggregation over the input — negligible next to the build it guards,
+    and the production default per SCALE.md (a 100 TB table's per-metric
+    skew is not knowable at plan time; measuring it is the planner's job).
+    """
+    mx_row = (raw.groupBy("metric").agg(F.count(F.lit(1)).alias("n"))
+              .agg(F.max("n").alias("mx")).collect())
+    mx = mx_row[0]["mx"] if mx_row else None
+    if not mx or mx <= AUTO_SALT_TARGET_ROWS:
+        return None
+    par = raw.sparkSession.sparkContext.defaultParallelism
+    need = -(-mx // AUTO_SALT_TARGET_ROWS)          # ceil
+    return int(min(256, max(need, min(par, 256))))
+
+
+def _resolve_salt(raw: DataFrame,
+                  salt_chunks: int | str | None) -> int | None:
+    if salt_chunks == "auto":
+        return auto_salt_chunks(raw)
+    return salt_chunks
+
+
 def raw_range(raw: DataFrame) -> DataFrame:
     """Per-metric (t_first, t_last) — the reference's ``Metric::range()``
     (/root/reference/src/metric.cpp:441-445)."""
@@ -311,18 +344,22 @@ def _merge_pieces(pieces: DataFrame, interval: int, origin: int = 0,
 
 def build_level1(raw: DataFrame, interval: int,
                  ranges: DataFrame | None = None,
-                 salt_chunks: int | None = None,
+                 salt_chunks: int | str | None = "auto",
                  exact: bool = False) -> DataFrame:
     """Level-1 rollup (closed buckets only) from the raw table.
 
     Equivalent to replaying ``Metric::insert`` (/root/reference/src/metric.cpp:510-560)
     over the whole series, keeping only closed intervals.
     ``salt_chunks``: parallelize the per-metric window via
-    :func:`lagged_salted` (use when few metrics carry most rows).
+    :func:`lagged_salted` (needed when few metrics carry most rows).  The
+    default ``"auto"`` measures per-metric skew and salts only when a
+    metric's series would overfill one window task
+    (:func:`auto_salt_chunks`); pass an int to force, None to disable.
     ``exact``: decimal sum/integral accumulation (see :func:`_merge_pieces`);
     higher levels inherit the decimal type through their plain ``sum()``s.
     """
     ranges = ranges if ranges is not None else raw_range(raw)
+    salt_chunks = _resolve_salt(raw, salt_chunks)
     lg = (lagged_salted(raw, salt_chunks, ranges) if salt_chunks
           else lagged(raw))
     pieces = segment_pieces(lg, interval)
@@ -360,12 +397,13 @@ def build_next_level(child: DataFrame, child_interval: int, factor: int,
 
 def build_levels(raw: DataFrame, meta: Meta,
                  cache_level1: bool = True,
-                 salt_chunks: int | None = None) -> dict[int, DataFrame]:
+                 salt_chunks: int | str | None = "auto") -> dict[int, DataFrame]:
     """Build the whole hierarchy: dict interval_ns -> agg DataFrame.
 
     Levels cascade (each built from the previous), so materializing level 1
     (cache or a parquet write by the caller) avoids re-scanning raw for every
-    level.
+    level.  ``salt_chunks="auto"`` (default) measures per-metric skew once
+    and salts the level-1 window only when a dominant metric needs it.
     """
     ranges = raw_range(raw)
     out: dict[int, DataFrame] = {}

@@ -94,7 +94,8 @@ class IncrementalRollup:
     """
 
     def __init__(self, spark: SparkSession, base: str, meta: Meta,
-                 policy: str = "strict", salt_chunks: int | None = None):
+                 policy: str = "strict",
+                 salt_chunks: int | str | None = None):
         """``policy``:
 
         - ``"strict"`` — the reference's semantics: late (non-monotonic)
@@ -109,7 +110,9 @@ class IncrementalRollup:
 
         ``salt_chunks``: parallelize the per-metric window of each batch's
         level recompute via the salted path (rollup.lagged_salted) — use
-        when one metric dominates the stream.
+        when one metric dominates the stream.  ``"auto"`` measures the
+        recompute input's skew per batch (costs one extra evaluation of
+        the open-region scan, so it is not the streaming default).
         """
         if policy not in ("strict", "upsert"):
             raise ValueError(f"unknown policy {policy!r}")

@@ -185,3 +185,26 @@ def test_flex_many_metrics_single_probe_job(spark, tmp_path):
     assert df.count() == n   # one smoothed row per metric
     plan = _plan(df)
     assert not re.search(r"metric#\d+ IN \(", plan)
+
+
+def test_auto_salt_triggers_on_dominant_metric(spark, monkeypatch):
+    """salt_chunks='auto' must salt the level-1 window when one metric's
+    series exceeds the per-task target, and stay unsalted otherwise —
+    with identical results either way."""
+    from hta_spark.operators import rollup
+    from hta_spark.operators.tools import dummy
+
+    big = dummy(spark, count=5000, time_delta_ns=1_000_000_000, value=None)
+    # small threshold so the test doesn't need millions of rows
+    monkeypatch.setattr(rollup, "AUTO_SALT_TARGET_ROWS", 1000)
+    assert rollup.auto_salt_chunks(big) >= 4          # ceil(5000/1000)+par
+    salted = rollup.build_level1(big, 30 * 1_000_000_000)   # auto default
+    assert "_c#" in _plan(salted), "dominant metric did not auto-salt"
+    unsalted = rollup.build_level1(big, 30 * 1_000_000_000, salt_chunks=None)
+    assert "_c#" not in _plan(unsalted)
+    assert sorted(map(tuple, salted.collect())) \
+        == sorted(map(tuple, unsalted.collect()))
+
+    monkeypatch.setattr(rollup, "AUTO_SALT_TARGET_ROWS", 1_000_000)
+    assert rollup.auto_salt_chunks(big) is None       # below target: no salt
+    assert "_c#" not in _plan(rollup.build_level1(big, 30 * 1_000_000_000))
