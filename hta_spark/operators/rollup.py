@@ -276,7 +276,15 @@ def segment_pieces(
         F.explode(F.concat(point_piece, seg_pieces)).alias("p"),
     )
     k = F.col("p.k")
-    lower = F.when(k == 0, F.least(o, F.col("sb"))).otherwise(o + k * d)
+    if clip_begin is not None:
+        # pre-begin overhang folds into bucket 0 (the smoothing quirk,
+        # metric.cpp:265-272,289) — matched by the k>=0 clamp above
+        lower = F.when(k == 0, F.least(o, F.col("sb"))).otherwise(o + k * d)
+    else:
+        # clip_end-only: negative k pieces are emitted unclamped, so
+        # bucket 0 must NOT also absorb the pre-origin overhang (it would
+        # double-count what the k<0 pieces already carry)
+        lower = o + k * d
     dur = F.when(
         F.col("p.cnt") == 1, F.lit(0).cast("long")
     ).otherwise(

@@ -32,15 +32,24 @@ __all__ = ["stream_exact_dedup"]
 
 def stream_exact_dedup(stream_df: DataFrame, text_col: str = "text",
                        ts_col: str | None = None,
-                       watermark: str = "10 minutes") -> DataFrame:
+                       watermark: str = "10 minutes",
+                       allow_unbounded_state: bool = False) -> DataFrame:
     """First-arrival-wins exact dedup over a document stream.
 
-    With ``ts_col`` the state store is watermark-bounded (production
-    shape); without it, state grows with distinct contents (fine for
-    bounded backfills)."""
+    With ``ts_col`` the state store is watermark-bounded (the production
+    shape).  Without it the dedup state grows with DISTINCT CONTENTS
+    FOREVER — acceptable only for bounded backfills, so that form requires
+    the explicit ``allow_unbounded_state=True`` opt-in rather than being a
+    silent default."""
     out = stream_df.withColumn(
         "content_hash", F.md5(normalize_text(F.col(text_col))))
     if ts_col is not None:
         return (out.withWatermark(ts_col, watermark)
                 .dropDuplicatesWithinWatermark(["content_hash"]))
+    if not allow_unbounded_state:
+        raise ValueError(
+            "stream_exact_dedup without ts_col keeps state for every "
+            "distinct content hash forever; pass a ts_col for "
+            "watermark-bounded state, or allow_unbounded_state=True for a "
+            "bounded backfill")
     return out.dropDuplicates(["content_hash"])

@@ -95,7 +95,8 @@ class IncrementalRollup:
 
     def __init__(self, spark: SparkSession, base: str, meta: Meta,
                  policy: str = "strict",
-                 salt_chunks: int | str | None = None):
+                 salt_chunks: int | str | None = None,
+                 compact_raw_every: int | None = None):
         """``policy``:
 
         - ``"strict"`` — the reference's semantics: late (non-monotonic)
@@ -121,6 +122,15 @@ class IncrementalRollup:
         self.meta = meta
         self.policy = policy
         self.salt_chunks = salt_chunks
+        # auto-compaction policy: every N point-carrying micro-batches,
+        # rewrite the raw table via the atomic whole-table republish
+        # (store.compact -> publish_version).  Streaming appends a few
+        # files per batch; at scale those small files dominate scan
+        # planning cost, so a periodic compaction bound is the production
+        # default story (levels are already version-GC-bounded per
+        # partition by publish_partitions).
+        self.compact_raw_every = compact_raw_every
+        self._batches_since_compact = 0
 
     # -- table access ------------------------------------------------------
     # reads/appends resolve through the store's manifest indirection so a
@@ -221,6 +231,20 @@ class IncrementalRollup:
             # otherwise the post-append read may still see the old file set
             self.spark.catalog.refreshByPath(raw_path)
         self._update_levels(bounds)
+        if not empty and self.compact_raw_every:
+            self._batches_since_compact += 1
+            if self._batches_since_compact >= self.compact_raw_every:
+                self.compact_raw()
+
+    def compact_raw(self, target_partitions: int = 1) -> int:
+        """Compact the streaming-appended raw table (atomic republish via
+        the store's versioned manifest); resets the auto-trigger counter."""
+        from ..sources.store import HtaStore
+        store = HtaStore(self.spark, self.base, partition_by_metric=False,
+                         partition_time_days=False)
+        n = store.compact("raw", target_partitions=target_partitions)
+        self._batches_since_compact = 0
+        return n
 
     def _update_levels(self, bounds: DataFrame) -> None:
         """Recompute exactly the buckets the batch can change, at every level.

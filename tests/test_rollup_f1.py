@@ -164,3 +164,30 @@ def test_exact_mode_consistent_with_double_mode(spark, f1_raw):
         assert abs(dr["sum"] - er["sum"] / 1e6) <= 1e-6 * max(1, dr["count"])
         assert abs(dr["integral"] - float(er["integral"]) / 1e6) \
             <= 1e-6 * dr["active_time"] + 1e-3
+
+
+def test_segment_pieces_pre_origin_paths_agree(spark):
+    """Hot (unclipped) and general (clip_end-only) piece sequences must
+    produce identical grouped sums even for segments beginning before the
+    origin — the k==0 pre-origin fold belongs ONLY to the clip_begin
+    (smoothing) path; with negative-k pieces emitted unclamped, bucket 0
+    absorbing the overhang too would double-count (round-2 advice)."""
+    from pyspark.sql import functions as F
+    from hta_spark.operators.rollup import segment_pieces
+
+    lag = spark.createDataFrame(
+        [("m", -25, 2.0, None), ("m", 35, 4.0, -25), ("m", 52, 6.0, 35)],
+        "metric string, time long, value double, prev_time long")
+
+    def grouped(df):
+        return {(r["metric"], r["k"]): (r["c"], r["d"], r["i"])
+                for r in df.groupBy("metric", "k")
+                .agg(F.sum("cnt").alias("c"), F.sum("dur").alias("d"),
+                     F.sum(F.col("value") * F.col("dur")).alias("i"))
+                .collect()}
+
+    hot = grouped(segment_pieces(lag, 10))
+    gen = grouped(segment_pieces(lag, 10, clip_end=1_000))
+    assert hot == gen
+    # and total segment time is conserved (no double count): 52 - (-25)
+    assert sum(d for _c, d, _i in hot.values()) == 77

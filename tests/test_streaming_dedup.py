@@ -73,3 +73,15 @@ def test_streamed_signatures_feed_batch_lsh(spark, tmp_path):
     batch = {(r["a"], r["b"]) for r in
              lsh_pairs(minhash_signatures(docs)).collect()}
     assert streamed == batch and batch
+
+
+def test_unbounded_dedup_requires_opt_in(spark):
+    """Omitting ts_col (unbounded state) must be an explicit opt-in."""
+    import pytest
+    from hta_spark.streaming.dedup_stream import stream_exact_dedup
+    stream = (spark.readStream.format("rate").load()
+              .withColumn("text", F.col("value").cast("string")))
+    with pytest.raises(ValueError, match="unbounded"):
+        stream_exact_dedup(stream)
+    out = stream_exact_dedup(stream, allow_unbounded_state=True)
+    assert "content_hash" in out.columns

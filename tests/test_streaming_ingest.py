@@ -573,3 +573,28 @@ def test_stream_levels_restart_from_checkpoint(spark, tmp_path):
     # no duplicate emissions across the restart
     assert len(rows) == len({(r["interval"], r["metric"],
                               r["interval_start"]) for r in rows})
+
+
+def test_auto_compact_policy_bounds_small_files(spark, tmp_path):
+    """compact_raw_every=N: raw small-file growth is cut back every N
+    point-carrying batches (atomic republish), with results unchanged and
+    further ingests still correct."""
+    import os
+    from hta_spark.sources.store import resolve_table_path
+
+    base = str(tmp_path / "autocompact")
+    ing = IncrementalRollup(spark, base, F1_META, compact_raw_every=4)
+    pts = f1_points()
+    chunks = [pts[i:i + 10] for i in range(0, len(pts), 10)]
+    for chunk in chunks[:8]:                 # 8 batches -> 2 compactions
+        ing.ingest(_as_df(spark, chunk))
+    live = resolve_table_path(f"{base}/raw")
+    n_files = sum(1 for _r, _d, fs in os.walk(live)
+                  for f in fs if f.endswith(".parquet"))
+    assert n_files <= 4, f"raw not compacted: {n_files} files"
+    for chunk in chunks[8:]:                 # keep ingesting post-compact
+        ing.ingest(_as_df(spark, chunk))
+    assert ing.raw().count() == len(pts)
+    continuous = build_levels(_as_df(spark, pts), F1_META)
+    for iv in F1_META.level_intervals():
+        assert _level_dict(ing.level(iv)) == _level_dict(continuous[iv]), iv
