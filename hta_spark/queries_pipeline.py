@@ -13,8 +13,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .pipeline.ann import cosine_topk, ivf_assign
-from .pipeline.dedup import (exact_dedup, lsh_pairs, minhash_signatures,
-                             ngram_jaccard_pairs, prefix_dedup, simhash)
+from .pipeline.dedup import (connected_components, exact_dedup, lsh_pairs,
+                             minhash_signatures, ngram_jaccard_pairs,
+                             prefix_dedup, simhash)
 from .pipeline.sample import stratified_sample
 from .pipeline.text import (LANG_MARKERS, fingerprint, language_id,
                             quality_score, repetition_stats, token_stats)
@@ -632,7 +633,93 @@ FROM pt p JOIN shc c USING (doc_id)
 """
 
 
+# -- near-dup clusters: pairs -> connected components -----------------------
+
+def q_dedup_components(spark, sf_dir):
+    """Turn near-dup pair evidence into dedup clusters: n-gram Jaccard
+    pairs at >= 0.5 fed through iterative hash-min connected components.
+    Output is the per-document cluster assignment (component = min doc_id
+    reachable).  The oracle re-derives the same fixpoint with a DuckDB
+    recursive CTE (min reachable id over the symmetric edge closure)."""
+    pairs = (ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                 shingle_n=3, min_shared=2)
+             .filter(F.col("jaccard") >= 0.5))
+    comp = connected_components(pairs)
+    return (comp.select(F.col("id").alias("doc_id"),
+                        F.col("comp").alias("component"))
+            .orderBy("doc_id"))
+
+
+SQL_PAIRS_05 = f"""
+{SQL_SHINGLES},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY 1),
+shared AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM ex l JOIN ex r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+pairs AS (
+  SELECT s.a, s.b FROM shared s
+  JOIN sizes sa ON s.a = sa.doc_id JOIN sizes sb ON s.b = sb.doc_id
+  WHERE round(s.shared / (sa.sz + sb.sz - s.shared), 4) >= 0.5),
+edges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+walk(id, reach) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT w.id, e.d FROM walk w JOIN edges e ON e.s = w.reach)
+"""
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE
+{SQL_PAIRS_05}
+SELECT id AS doc_id, min(reach) AS component
+FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+
+def q_dedup_cluster_keep(spark, sf_dir):
+    """Canonical-document selection per near-dup cluster: the component
+    assignment joined with the quality score; keep the argmax-quality
+    member (doc_id tiebreak).  This is the last stage of a real dedup
+    pipeline — emit one keeper per cluster plus the member count."""
+    from pyspark.sql import Window
+    docs = _docs(spark, sf_dir)
+    pairs = (ngram_jaccard_pairs(docs, shingle_n=3, min_shared=2)
+             .filter(F.col("jaccard") >= 0.5))
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+    q = quality_score(docs).select("doc_id", "quality")
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), "doc_id")
+    ranked = (comp.join(q, "doc_id")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n_members",
+                          F.count("*").over(Window.partitionBy("component"))))
+    return (ranked.filter(F.col("rn") == 1)
+            .select("component", F.col("doc_id").alias("keeper"),
+                    "quality", "n_members")
+            .orderBy("component"))
+
+
+def _sql_cluster_keep() -> str:
+    quality = _sql_quality()
+    return f"""
+WITH RECURSIVE
+{SQL_PAIRS_05},
+comp AS (SELECT id AS doc_id, min(reach) AS component FROM walk GROUP BY id),
+q AS (SELECT doc_id, quality FROM ({quality}) t),
+ranked AS (
+  SELECT component, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY q.quality DESC, c.doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+  FROM comp c JOIN q ON c.doc_id = q.doc_id)
+SELECT component, doc_id AS keeper, quality, n_members
+FROM ranked WHERE rn = 1 ORDER BY component
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "dedup_cluster_keep": (q_dedup_cluster_keep, _sql_cluster_keep()),
     "curation_report": (q_curation_report, _sql_curation()),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
