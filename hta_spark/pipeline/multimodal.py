@@ -5,8 +5,9 @@ The Spark-side plumbing (schemas, batch shapes, mapInPandas signatures,
 partitioning) is real and tested.  Header decode (PNG/JPEG/GIF/BMP/PPM
 dimensions + channels, WAV fmt/data chunks) is real — pure byte parsing.
 Pixel/sample decode is real for the formats that need NO codec library:
-uncompressed BMP and binary PPM/PGM pixels, RIFF/WAVE PCM samples — which
-makes :func:`extract_features` a real end-to-end path for those formats.
+uncompressed BMP and binary PPM/PGM pixels, RIFF/WAVE PCM samples, and
+YUV4MPEG2 (Y4M) video frames — which makes :func:`extract_features` and
+:func:`sample_frames_decoded` real end-to-end paths for those formats.
 Compressed containers (PNG/JPEG/GIF zlib/DCT payloads, non-PCM audio)
 would require a codec library absent in this environment: they raise
 ``NotImplementedError`` unless ``fake=True``, which substitutes a
@@ -33,6 +34,8 @@ __all__ = ["MEDIA_SCHEMA", "attach_binary_metadata", "parse_image_header",
            "decode_image_meta", "parse_wav_header", "decode_audio_meta",
            "decode_bmp_pixels", "decode_ppm_pixels", "decode_image_pixels",
            "decode_wav_samples", "signal_features",
+           "parse_y4m_header", "decode_y4m_luma", "decode_video_meta",
+           "sample_frames_decoded",
            "sample_frames", "resize_plan", "extract_features"]
 
 MEDIA_SCHEMA = T.StructType([
@@ -435,9 +438,15 @@ def extract_features(df: DataFrame, dim: int = 16,
         return v.astype("float32").tolist()
 
     def _real_vec(raw: bytes):
+        import numpy as np
         if raw[:4] == b"RIFF":
             samples = decode_wav_samples(raw)           # (frames, ch)
             return signal_features(samples.mean(axis=1), dim)
+        if raw[:9] == b"YUV4MPEG2":
+            # temporal signal: concatenated per-frame luma, frame order
+            lumas = [x.astype("float64").ravel()
+                     for _, x in decode_y4m_luma(raw)]
+            return signal_features(np.concatenate(lumas), dim)
         pix = decode_image_pixels(raw)                  # (h, w, ch) uint8
         gray = pix.astype("float64").mean(axis=2)
         return signal_features(gray.ravel(), dim)
@@ -453,6 +462,190 @@ def extract_features(df: DataFrame, dim: int = 16,
             yield pdf
 
     return df.mapInPandas(_extract, schema=out_schema)
+
+
+# -- video: YUV4MPEG2 (Y4M) — the no-codec container ------------------------
+
+#: Y4M colorspace tag -> chroma plane bytes per (w*h) luma bytes, as a
+#: (num, den) fraction per chroma plane
+_Y4M_CHROMA = {"420": (1, 4), "420jpeg": (1, 4), "420paldv": (1, 4),
+               "420mpeg2": (1, 4), "422": (1, 2), "444": (1, 1),
+               "mono": (0, 1)}
+
+
+def parse_y4m_header(b: bytes):
+    """(width, height, fps_num, fps_den, colorspace, frame_size, n_frames)
+    of a YUV4MPEG2 payload — pure byte parsing, no codec: Y4M is the one
+    standard video container whose frames are raw YUV planes.
+
+    ``frame_size`` is the byte length of one frame's planes; ``n_frames``
+    is counted by walking the fixed-stride FRAME records (frame headers may
+    carry parameters, so each record's own header line is scanned to its
+    newline)."""
+    if not b.startswith(b"YUV4MPEG2"):
+        return None
+    nl = b.find(b"\n", 9)
+    if nl < 0:
+        raise ValueError("truncated Y4M stream header")
+    w = h = fn = fd = 0
+    cs = "420"
+    for tok in b[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            fn, fd = (int(x) for x in val.split(":"))
+        elif tag == b"C":
+            cs = val
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if cs not in _Y4M_CHROMA:
+        raise NotImplementedError(f"Y4M colorspace {cs!r} not supported")
+    cn, cd = _Y4M_CHROMA[cs]
+    frame_size = w * h + 2 * (w * h * cn // cd)
+    i, n_frames = nl + 1, 0
+    while i < len(b):
+        if b[i:i + 5] != b"FRAME":
+            raise ValueError(f"corrupt Y4M FRAME record at offset {i}")
+        fnl = b.find(b"\n", i + 5)
+        if fnl < 0 or fnl + 1 + frame_size > len(b):
+            raise ValueError("truncated Y4M frame")
+        n_frames += 1
+        i = fnl + 1 + frame_size
+    return (w, h, fn, fd, cs, frame_size, n_frames)
+
+
+def decode_y4m_luma(b: bytes, indices=None):
+    """REAL frame decode for Y4M: yields ``(frame_idx, luma)`` with luma a
+    (height, width) uint8 numpy array (the Y plane — what vision feature
+    extractors consume first).  ``indices`` (iterable of frame indexes)
+    restricts decode to the sampled frames; other frames are skipped with
+    pointer arithmetic, not decoded."""
+    import numpy as np
+    hdr = parse_y4m_header(b)
+    if hdr is None:
+        raise ValueError("not a YUV4MPEG2 payload")
+    w, h, _fn, _fd, _cs, frame_size, n_frames = hdr
+    want = set(range(n_frames)) if indices is None else set(indices)
+    i = b.find(b"\n", 9) + 1
+    for idx in range(n_frames):
+        fnl = b.find(b"\n", i + 5)
+        if idx in want:
+            luma = np.frombuffer(b, dtype=np.uint8, count=w * h,
+                                 offset=fnl + 1).reshape(h, w)
+            yield idx, luma
+        i = fnl + 1 + frame_size
+
+
+def decode_video_meta(df: DataFrame, payload_col: str = "payload",
+                      fake: bool = False) -> DataFrame:
+    """Extract (vid_format, width, height, fps_num, fps_den, n_frames) per
+    video asset via mapInPandas.  Y4M parses (and counts frames) for real;
+    compressed containers (MP4/MKV/AVI codecs) raise unless ``fake=True``
+    (deterministic md5-derived stub, ``vid_format='fake'``)."""
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("vid_format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("fps_num", T.IntegerType(), True),
+        T.StructField("fps_den", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+    ])
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload or b"")
+                hdr = parse_y4m_header(raw)
+                if hdr is not None:
+                    w, h, fn, fd, cs, _sz, nf = hdr
+                    rows.append((f"y4m/{cs}", w, h, fn, fd, nf))
+                elif fake:
+                    m = hashlib.md5(raw).digest()
+                    rows.append(("fake", 64 + m[0] % 192, 64 + m[1] % 192,
+                                 30, 1, 1 + m[2] % 32))
+                else:
+                    raise NotImplementedError(
+                        "payload is not a YUV4MPEG2 container; compressed "
+                        "video decode requires a codec library — pass "
+                        "fake=True for the deterministic stub")
+            pdf = pdf.copy()
+            for j, c in enumerate(["vid_format", "width", "height",
+                                   "fps_num", "fps_den", "n_frames"]):
+                pdf[c] = [r[j] for r in rows]
+            yield pdf
+
+    return df.mapInPandas(_decode, schema=out_schema)
+
+
+def sample_frames_decoded(df: DataFrame, every_k: int = 2, dim: int = 16,
+                          payload_col: str = "payload",
+                          asset_col: str = "asset_id",
+                          fake: bool = False) -> DataFrame:
+    """REAL video frame sampling: every ``every_k``-th frame of each Y4M
+    asset decodes to its luma plane and emits one row with luma stats and
+    a :func:`signal_features` vector — frame-level embeddings that feed the
+    ann/dedup stages directly (near-dup VIDEO detection = cosine over these
+    rows grouped by asset).
+
+    mapInPandas fan-OUT (rows out > rows in): per-task memory stays
+    O(one frame) because skipped frames advance by pointer arithmetic and
+    each decoded luma is released after its feature row is built.
+    Compressed containers raise per payload unless ``fake=True`` (frames
+    synthesized from the payload hash)."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    out_schema = T.StructType([
+        df.schema[asset_col],
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("luma_mean", T.DoubleType(), True),
+        T.StructField("luma_std", T.DoubleType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ])
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {k: [] for k in ("asset", "frame_idx", "luma_mean",
+                                   "luma_std", "feature")}
+            for asset, payload in zip(pdf[asset_col], pdf[payload_col]):
+                raw = bytes(payload or b"")
+                hdr = parse_y4m_header(raw)
+                if hdr is not None:
+                    nf = hdr[6]
+                    idxs = range(0, nf, every_k)
+                    frames = decode_y4m_luma(raw, idxs)
+                elif fake:
+                    m = hashlib.md5(raw).digest()
+                    nf = 1 + m[2] % 32
+                    rng = np.random.default_rng(int.from_bytes(m[:8], "little"))
+                    frames = ((i, rng.integers(0, 256, size=(16, 16),
+                                               dtype=np.uint8))
+                              for i in range(0, nf, every_k))
+                else:
+                    raise NotImplementedError(
+                        "payload is not a YUV4MPEG2 container; compressed "
+                        "video decode requires a codec library — pass "
+                        "fake=True for the deterministic stub")
+                for idx, luma in frames:
+                    x = luma.astype(np.float64).ravel()
+                    out["asset"].append(asset)
+                    out["frame_idx"].append(idx)
+                    out["luma_mean"].append(float(x.mean()))
+                    out["luma_std"].append(float(x.std()))
+                    out["feature"].append(signal_features(x, dim))
+            yield pd.DataFrame({asset_col: out["asset"],
+                                "frame_idx": out["frame_idx"],
+                                "luma_mean": out["luma_mean"],
+                                "luma_std": out["luma_std"],
+                                "feature": out["feature"]})
+
+    return df.mapInPandas(_sample, schema=out_schema)
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4,

@@ -413,3 +413,118 @@ def test_extract_features_codec_formats_still_gated(spark):
     with pytest.raises(Exception) as ei:
         extract_features(df).collect()
     assert "codec" in str(ei.value)
+
+
+# -- Y4M video: real no-codec frame decode ----------------------------------
+
+def _y4m_bytes(frames, fps=(25, 1), cs="420"):
+    """Build a real YUV4MPEG2 payload from (h, w) uint8 luma arrays;
+    chroma planes are filled with 128 (neutral)."""
+    import numpy as np
+    h, w = frames[0].shape
+    cn, cd = {"420": (1, 4), "422": (1, 2), "444": (1, 1),
+              "mono": (0, 1)}[cs]
+    chroma = w * h * cn // cd
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{cs}\n".encode())
+    for fr in frames:
+        assert fr.shape == (h, w)
+        out += b"FRAME\n"
+        out += fr.astype(np.uint8).tobytes()
+        out += bytes([128]) * (2 * chroma)
+    return bytes(out)
+
+
+def test_parse_y4m_header_real():
+    import numpy as np
+    from hta_spark.pipeline.multimodal import parse_y4m_header
+    frames = [np.full((6, 8), v, dtype=np.uint8) for v in (0, 100, 200)]
+    b = _y4m_bytes(frames, fps=(30, 1))
+    w, h, fn, fd, cs, fsz, nf = parse_y4m_header(b)
+    assert (w, h, fn, fd, cs, nf) == (8, 6, 30, 1, "420", 3)
+    assert fsz == 8 * 6 + 2 * (8 * 6 // 4)
+    assert parse_y4m_header(b"not a video") is None
+    # mono has no chroma planes
+    b444 = _y4m_bytes(frames[:1], cs="444")
+    assert parse_y4m_header(b444)[5] == 3 * 8 * 6
+
+
+def test_decode_y4m_luma_real():
+    import numpy as np
+    from hta_spark.pipeline.multimodal import decode_y4m_luma
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+              for _ in range(5)]
+    b = _y4m_bytes(frames)
+    got = dict(decode_y4m_luma(b))
+    assert sorted(got) == [0, 1, 2, 3, 4]
+    for i, fr in enumerate(frames):
+        assert np.array_equal(got[i], fr)
+    # index-restricted decode skips frames without touching them
+    sampled = dict(decode_y4m_luma(b, [0, 3]))
+    assert sorted(sampled) == [0, 3]
+    assert np.array_equal(sampled[3], frames[3])
+
+
+def test_decode_video_meta_real_and_gated(spark):
+    import numpy as np
+    from hta_spark.pipeline.multimodal import decode_video_meta
+    frames = [np.zeros((4, 4), dtype=np.uint8)] * 2
+    rows = [(0, "video", _y4m_bytes(frames, fps=(24, 1)), None)]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary, "
+              "meta map<string,string>")
+    out = decode_video_meta(df).collect()[0]
+    assert (out["vid_format"], out["width"], out["height"],
+            out["fps_num"], out["fps_den"], out["n_frames"]) \
+        == ("y4m/420", 4, 4, 24, 1, 2)
+    bad = spark.createDataFrame([(1, "video", b"\x00\x01\x02", None)],
+                                df.schema)
+    with pytest.raises(Exception) as ei:
+        decode_video_meta(bad).collect()
+    assert "codec" in str(ei.value)
+    fake = decode_video_meta(bad, fake=True).collect()[0]
+    assert fake["vid_format"] == "fake" and fake["n_frames"] >= 1
+
+
+def test_sample_frames_decoded_real(spark):
+    import numpy as np
+    from hta_spark.pipeline.multimodal import (sample_frames_decoded,
+                                               signal_features)
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+              for _ in range(6)]
+    rows = [(42, "video", _y4m_bytes(frames), None)]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary, "
+              "meta map<string,string>")
+    out = {r["frame_idx"]: r
+           for r in sample_frames_decoded(df, every_k=2, dim=8).collect()}
+    assert sorted(out) == [0, 2, 4]           # every 2nd of 6 frames
+    for idx in (0, 2, 4):
+        x = frames[idx].astype(np.float64).ravel()
+        assert abs(out[idx]["luma_mean"] - x.mean()) < 1e-9
+        assert abs(out[idx]["luma_std"] - x.std()) < 1e-9
+        want = signal_features(x, 8)
+        got = out[idx]["feature"]
+        assert len(got) == 8
+        assert max(abs(a - b) for a, b in zip(got, want)) < 1e-6
+        # unit norm
+        assert abs(sum(v * v for v in got) - 1.0) < 1e-5
+
+
+def test_extract_features_y4m_real(spark):
+    import numpy as np
+    from hta_spark.pipeline.multimodal import (extract_features,
+                                               signal_features)
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+              for _ in range(3)]
+    rows = [(7, "video", _y4m_bytes(frames), None)]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary, "
+              "meta map<string,string>")
+    got = extract_features(df, dim=8).collect()[0]["feature"]
+    want = signal_features(
+        np.concatenate([f.astype(np.float64).ravel() for f in frames]), 8)
+    assert max(abs(a - b) for a, b in zip(got, want)) < 1e-6
