@@ -53,3 +53,42 @@ def test_star_merges_with_bridge(spark):
     star2 = [(100, i) for i in range(101, 105)]
     got = _collect(spark, star1 + star2 + [(4, 104)])
     assert set(got.values()) == {0}
+
+
+def test_deep_chain_pointer_jumping(spark):
+    # 400-node path: plain hash-min would need 400 rounds; pointer jumping
+    # converges within the default 20 (O(log d))
+    chain = [(i, i + 1) for i in range(400)]
+    got = _collect(spark, chain)
+    assert set(got.values()) == {0}
+    assert len(got) == 401
+
+
+def test_nonconvergence_raises(spark):
+    import pytest
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _collect(spark, [(i, i + 1) for i in range(40)], max_iters=2)
+
+
+def test_scale_many_clusters(spark):
+    # 50k edges in 10k star clusters + one 64-deep chain: one CC call,
+    # seconds not minutes, exact labels
+    import time
+    from pyspark.sql import functions as F
+    stars = (spark.range(10_000)
+             .select((F.col("id") * 10).alias("a"),
+                     F.explode(F.sequence(F.lit(1), F.lit(5))).alias("k"))
+             .select("a", (F.col("a") + F.col("k")).alias("b")))
+    base = 1_000_000
+    chain = spark.range(64).select(
+        (F.col("id") + base).alias("a"), (F.col("id") + base + 1).alias("b"))
+    t0 = time.time()
+    out = connected_components(stars.union(chain)).collect()
+    elapsed = time.time() - t0
+    labels = {r["id"]: r["comp"] for r in out}
+    assert len(labels) == 60_000 + 65
+    # every star member labeled by its hub, the chain by its head
+    assert labels[3] == 0                        # member 3 of hub 0
+    assert labels[9_990 * 10 + 3] == 99_900      # member 3 of the last hub
+    assert all(labels[base + i] == base for i in range(65))
+    assert elapsed < 120, f"CC too slow: {elapsed:.1f}s"
