@@ -40,7 +40,8 @@ from ..operators.scopes import (RAW_DEFAULT, ROW_DEFAULT, IntervalScope)
 from ..operators.stats import count_scoped
 
 __all__ = ["HtaStore", "Metric", "resolve_table_path", "publish_version",
-           "publish_partitions", "read_partition_manifest", "read_level_table"]
+           "publish_partitions", "read_partition_manifest", "read_level_table",
+           "list_versions", "resolve_table_version"]
 
 
 def resolve_table_path(path: str) -> str:
@@ -61,6 +62,37 @@ def resolve_table_path(path: str) -> str:
 
 def table_exists(path: str) -> bool:
     return os.path.exists(path) or os.path.exists(path + ".manifest")
+
+
+def list_versions(path: str) -> list[int]:
+    """Snapshot versions still on disk for a versioned table, ascending —
+    the time-travel horizon.  With the default ``keep=2`` publish
+    discipline this is (previous, current); republish with a larger
+    ``keep`` for a longer horizon."""
+    vroot = path + ".versions"
+    if not os.path.isdir(vroot):
+        return []
+    return sorted(int(d[2:]) for d in os.listdir(vroot)
+                  if d.startswith("v_") and d[2:].isdigit())
+
+
+def resolve_table_version(path: str, version: int | None = None) -> str:
+    """Physical directory of snapshot ``version`` — time travel over the
+    immutable ``publish_version`` snapshots (``None`` = the live table).
+
+    Because snapshots are immutable and the manifest flip is atomic, a
+    version directory that exists is always complete: reading an old
+    version during a concurrent republish is safe (same guarantee Delta
+    or Iceberg time travel gives, here at whole-table granularity)."""
+    if version is None:
+        return resolve_table_path(path)
+    target = f"{path}.versions/v_{version}"
+    if not os.path.isdir(target):
+        raise FileNotFoundError(
+            f"no snapshot v_{version} for {path}; on-disk versions: "
+            f"{list_versions(path)} (older snapshots are GC'd by the "
+            f"publish keep= policy)")
+    return target
 
 
 def publish_version(path: str, write_fn, keep: int = 2) -> str:
@@ -377,11 +409,14 @@ class HtaStore:
         return Metric(self, name, self.meta_for(name))
 
     # -- physical tables ---------------------------------------------------
-    def raw(self) -> DataFrame | None:
+    def raw(self, version: int | None = None) -> DataFrame | None:
+        """The raw points table; ``version`` time-travels to an earlier
+        :func:`publish_version` snapshot (e.g. pre-compaction) while it is
+        inside the publish ``keep=`` horizon — see :func:`list_versions`."""
         path = f"{self.base}/raw"
         if not table_exists(path):
             return None
-        df = self.spark.read.parquet(resolve_table_path(path))
+        df = self.spark.read.parquet(resolve_table_version(path, version))
         if "day" in df.columns:
             df = df.select("metric", "time", "value", "day")
         return df

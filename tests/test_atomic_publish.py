@@ -105,3 +105,31 @@ def test_compact_then_append_then_compact(spark, tmp_path):
     rows = sorted((r["metric"], r["time"], r["value"])
                   for r in store.raw().collect())
     assert rows == sorted(pts)
+
+
+def test_time_travel_read_previous_snapshot(spark, tmp_path):
+    """Snapshot versions are immutable -> an earlier version inside the
+    keep horizon reads back exactly, even after later republishes."""
+    import pytest
+    from hta_spark.sources.store import list_versions, resolve_table_version
+
+    store = HtaStore(spark, str(tmp_path / "db"), configs={"foo": F1_META})
+    store.write_raw(_as_df(spark, f1_points()))
+    before = sorted((r["time"], r["value"]) for r in store.raw().collect())
+
+    # two compactions -> snapshots v1, v2; v1 stays readable (keep=2)
+    store.compact("raw")
+    store.compact("raw", target_partitions=2)
+    path = str(tmp_path / "db" / "raw")
+    vs = list_versions(path)
+    assert len(vs) == 2
+    old = sorted((r["time"], r["value"])
+                 for r in store.raw(version=vs[0]).collect())
+    new = sorted((r["time"], r["value"]) for r in store.raw().collect())
+    assert old == before == new          # same rows, different physical layout
+    assert resolve_table_version(path, vs[-1]) == resolve_table_path(path)
+
+    # outside the keep horizon -> explicit error naming live versions
+    store.compact("raw")
+    with pytest.raises(FileNotFoundError, match="on-disk versions"):
+        store.raw(version=vs[0])
