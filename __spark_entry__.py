@@ -43,11 +43,13 @@ def _registry() -> dict[str, tuple]:
     from hta_spark.queries_hta import HTA_QUERIES
     from hta_spark.queries_pipeline import PIPELINE_QUERIES
     from hta_spark.queries_rel import REL_QUERIES
+    from hta_spark.queries_scale import SCALE_QUERIES
     reg: dict[str, tuple] = {}
     reg.update(HTA_QUERIES)
     reg.update(REL_QUERIES)
     reg.update(PIPELINE_QUERIES)
     reg.update(EXTRA_QUERIES)
+    reg.update(SCALE_QUERIES)
     return reg
 
 

@@ -1,0 +1,122 @@
+"""Deterministic, mergeable sketches: KMV distinct-count and fixed-width
+histogram quantiles.
+
+Spark's ``approx_count_distinct`` (HLL++) and ``approx_percentile`` are
+engine-private: their estimates are not reproducible in another engine, so
+they cannot be oracle-gated and two pipelines (e.g. Spark batch + a DuckDB
+spot-check) disagree on the same data.  These sketches are built from
+md5 hashes and integer bin arithmetic only, so ANY engine computes the
+same estimate bit-for-bit — the property that makes a 100 TB metrics
+pipeline auditable.
+
+Both are classic mergeable summaries:
+
+- **KMV (k-minimum values)** [Bar-Yossef et al. 2002]: the sketch of a set
+  is its k smallest hash values; union-merge = k smallest of the
+  concatenation; estimate = (k-1) * H / h_k for hash range H.  Spark's
+  WindowGroupLimit optimization executes exactly that merge: the
+  ``row_number() <= k`` filter is pushed to a per-partition top-k before
+  the shuffle, so each task ships at most k hashes per group — the sketch
+  IS the shuffle payload.
+- **Fixed-width histogram**: per-bin counts add across partitions (plain
+  partial/final hash agg); quantiles come from the cumulative counts with
+  linear interpolation inside the hit bin.  Values are scaled to integers
+  first so bin assignment has no float-boundary ambiguity.
+
+The reference has no approximate surface (its aggregates are exact); this
+extends the pipeline surface for cardinality / distribution monitoring at
+scales where exact distincts are themselves a cost center.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import md5_long
+
+__all__ = ["kmv_distinct", "hist_quantiles"]
+
+_H = 2.0 ** 60  # md5_long hash range (15 hex chars)
+
+
+def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str],
+                 k: int = 64, seed: str = "kmv") -> DataFrame:
+    """Per-group KMV distinct estimate next to the kth-minimum hash.
+
+    Output: ``group_cols..., n_kept, kth_hash, kmv_distinct`` where
+    ``kmv_distinct`` is exact (= n_kept) when the group has < k distinct
+    values and ``(k-1) * 2^60 / h_k`` otherwise.  Deterministic in the
+    data only — partitioning, task order and engine cannot change it.
+    """
+    h = md5_long(F.col(value_col).cast("string"), seed)
+    hashed = (df.select(*group_cols, F.col(value_col))
+              .distinct()
+              .select(*group_cols, h.alias("_h")))
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    kept = (hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.lit(int(k))))
+    agg = kept.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("_h").alias("kth_hash"))
+    est = F.when(
+        F.col("n_kept") < F.lit(int(k)),
+        F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_H) / F.col("kth_hash").cast("double"))
+    return agg.withColumn("kmv_distinct", est)
+
+
+def hist_quantiles(df: DataFrame, value_col: str,
+                   qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                   n_bins: int = 64, scale: int = 100) -> DataFrame:
+    """Quantile estimates from a fixed-width integer histogram.
+
+    ``scale`` lifts values to integers (100 = cent precision) so the bin
+    of a value is pure integer arithmetic; the only float op is the final
+    interpolation ``edge + width * (target - below) / in_bin`` — one
+    multiply and one divide, identical in any IEEE engine.
+
+    Output: one row per q — ``q, target_rank, est`` (est back on the
+    original value scale).  Two scans of the column (bounds, then counts);
+    at 100 TB the bounds pass is metadata-cheap (parquet min/max) or the
+    bounds are known a priori and passed through a pre-aggregated frame.
+    """
+    v = F.round(F.col(value_col).cast("double") * F.lit(int(scale)))\
+        .cast("long")
+    ints = df.select(v.alias("_v"))
+    bounds = ints.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    # floor(), not cast: Spark's double->long cast truncates but DuckDB's
+    # rounds — an explicit floor is the only construction both agree on.
+    width = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((F.col("_hi") - F.col("_lo")) / F.lit(int(n_bins)))
+        + F.lit(1))
+    binned = (ints.crossJoin(F.broadcast(bounds))
+              .select(F.floor((F.col("_v") - F.col("_lo")) / width)
+                      .alias("_bin"),
+                      "_lo", (width).alias("_w"))
+              .groupBy("_bin", "_lo", "_w")
+              .agg(F.count("*").cast("long").alias("_n")))
+    wcum = Window.orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = (binned.withColumn("_cum", F.sum("_n").over(wcum))
+           .withColumn("_below", F.col("_cum") - F.col("_n"))
+           .crossJoin(F.broadcast(
+               ints.agg(F.count("*").cast("long").alias("_total")))))
+    spark = df.sparkSession
+    targets = F.broadcast(spark.createDataFrame(
+        [(float(q),) for q in qs], "q double"))
+    # target rank = ceil(q * total) as exact integer arithmetic on the
+    # decimal-scaled q (qs are given to <= 6 decimals)
+    tr = F.ceil(F.col("_total") * F.col("q")).cast("long")
+    hit = (cum.crossJoin(targets)
+           .withColumn("target_rank", tr)
+           .filter((F.col("_below") < F.col("target_rank"))
+                   & (F.col("target_rank") <= F.col("_cum"))))
+    edge = (F.col("_lo") + F.col("_bin") * F.col("_w")).cast("double")
+    interp = edge + F.col("_w").cast("double") * (
+        (F.col("target_rank") - F.col("_below")).cast("double")
+        / F.col("_n").cast("double"))
+    return (hit.select(F.col("q"), F.col("target_rank"),
+                       (interp / F.lit(float(scale))).alias("est"))
+            .orderBy("q"))

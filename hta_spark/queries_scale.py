@@ -1,0 +1,283 @@
+"""Scale-surface queries: decontamination, deterministic sketches,
+mixture planning, grid range join — each paired with a DuckDB oracle that
+re-states the same deterministic arithmetic (md5 hashes, integer bins,
+single-division floats) so both engines agree bit-for-bit.
+
+Engine-parity notes (same conventions as queries_pipeline):
+- Spark integer ``/`` and DuckDB integer ``/`` both produce DOUBLE
+  (true division); floors are explicit ``floor()`` in both engines
+  because Spark's double->long CAST truncates while DuckDB's rounds.
+- booleans stringify identically (Python bools on both fetch paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.rangejoin import range_join_points
+from .pipeline.decontaminate import decontaminate
+from .pipeline.mix import mix_weights
+from .pipeline.sample import BP, hash_bucket
+from .pipeline.sketch import hist_quantiles, kmv_distinct
+from .queries_hta import ns_time
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# -- benchmark decontamination ---------------------------------------------
+
+EVAL_BP = 500      # 5% of documents act as the held-out benchmark
+DECON_N = 5
+DECON_THRESHOLD = 0.1
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/eval split by the deterministic md5 bucket (salt 'eval'),
+    then per-train-doc 5-gram overlap against the eval set."""
+    docs = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), "eval")
+    train = docs.filter(b >= F.lit(EVAL_BP))
+    ev = docs.filter(b < F.lit(EVAL_BP))
+    return decontaminate(train, ev, n=DECON_N, threshold=DECON_THRESHOLD)
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {DECON_N - 2}),
+                               i -> array_to_string(t[i:i+{DECON_N - 1}], ' ')))
+             AS gram
+  FROM toks WHERE len(t) >= {DECON_N}
+),
+split AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('eval|' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % {BP} AS b
+  FROM documents
+),
+ev AS (
+  SELECT DISTINCT g.gram FROM grams g JOIN split s USING (doc_id)
+  WHERE s.b < {EVAL_BP}
+),
+tr AS (SELECT doc_id FROM split WHERE b >= {EVAL_BP}),
+per AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(ev.gram) AS BIGINT) AS n_hit
+  FROM grams g JOIN tr USING (doc_id)
+  LEFT JOIN ev ON g.gram = ev.gram
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_hit, 0) AS n_hit,
+       CASE WHEN coalesce(n_grams, 0) > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)
+            ELSE 0.0 END AS overlap_frac,
+       (CASE WHEN coalesce(n_grams, 0) > 0
+             THEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             ELSE 0.0 END) >= {DECON_THRESHOLD} AS contaminated
+FROM tr t LEFT JOIN per USING (doc_id)
+"""
+
+
+# -- KMV distinct sketch ----------------------------------------------------
+
+KMV_K = 64
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """Distinct users per event type: KMV estimate next to the exact
+    count (the auditability check a monitoring pipeline runs)."""
+    ev = _events(spark, sf_dir)
+    est = kmv_distinct(ev, "user_id", ["event_type"], k=KMV_K)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    return est.join(exact, "event_type")
+
+
+SQL_KMV_DISTINCT = f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15))
+             ::BIGINT AS h
+  FROM d
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+k AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+         max(h) AS kth_hash
+  FROM r WHERE rn <= {KMV_K} GROUP BY 1
+),
+e AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+             AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT k.event_type, n_kept, kth_hash,
+       CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)
+            ELSE {float(KMV_K - 1)} * 1152921504606846976.0
+                 / CAST(kth_hash AS DOUBLE) END AS kmv_distinct,
+       exact_distinct
+FROM k JOIN e USING (event_type)
+"""
+
+
+# -- histogram quantiles ----------------------------------------------------
+
+HIST_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+HIST_BINS = 64
+
+
+def q_hist_quantiles(spark, sf_dir):
+    return hist_quantiles(_events(spark, sf_dir), "value",
+                          qs=HIST_QS, n_bins=HIST_BINS, scale=100)
+
+
+SQL_HIST_QUANTILES = f"""
+WITH v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+b AS (SELECT min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS total
+      FROM v),
+wd AS (
+  SELECT lo, hi, total,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(floor((hi - lo) / {HIST_BINS}) AS BIGINT) + 1) AS w
+  FROM b
+),
+bins AS (
+  SELECT CAST(floor((v.v - wd.lo) / wd.w) AS BIGINT) AS bin,
+         wd.lo, wd.w, wd.total, CAST(count(*) AS BIGINT) AS n
+  FROM v, wd GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT bin, lo, w, total, n,
+         sum(n) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum
+  FROM bins
+),
+qs AS (SELECT CAST(unnest([{', '.join(str(q) for q in HIST_QS)}]) AS DOUBLE)
+           AS q)
+SELECT q, CAST(ceil(total * q) AS BIGINT) AS target_rank,
+       (CAST(lo + bin * w AS DOUBLE)
+        + CAST(w AS DOUBLE)
+          * (CAST(CAST(ceil(total * q) AS BIGINT) - (cum - n) AS DOUBLE)
+             / CAST(n AS DOUBLE)))
+       / 100.0 AS est
+FROM cum, qs
+WHERE (cum - n) < CAST(ceil(total * q) AS BIGINT)
+  AND CAST(ceil(total * q) AS BIGINT) <= cum
+ORDER BY q
+"""
+
+
+# -- mixture planning -------------------------------------------------------
+
+MIX_TARGETS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.1,
+               "src4": 0.1, "src5": 0.05, "src6": 0.05}
+MIX_BUDGET = 20_000
+
+
+def q_mix_weights(spark, sf_dir):
+    return mix_weights(_docs(spark, sf_dir), MIX_TARGETS, MIX_BUDGET)
+
+
+_MIX_VALUES = ", ".join(f"('{s}', {sh})" for s, sh in
+                        sorted(MIX_TARGETS.items()))
+
+SQL_MIX_WEIGHTS = f"""
+WITH have AS (
+  SELECT source,
+         CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
+             AS source_tokens,
+         CAST(count(*) AS BIGINT) AS source_docs
+  FROM documents GROUP BY 1
+),
+tgt AS (SELECT source, CAST(share AS DOUBLE) AS share
+        FROM (VALUES {_MIX_VALUES}) AS v(source, share)),
+ts AS (SELECT sum(share) AS tsh FROM tgt),
+j AS (
+  SELECT coalesce(have.source, tgt.source) AS source,
+         coalesce(source_tokens, 0) AS source_tokens,
+         coalesce(source_docs, 0) AS source_docs,
+         coalesce(share, 0.0) AS share
+  FROM have FULL OUTER JOIN tgt ON have.source = tgt.source
+)
+SELECT source, source_tokens, source_docs, share,
+       CASE WHEN source_tokens > 0 THEN
+         least(CAST({BP} AS BIGINT),
+               CAST(floor({BP}.0 * ({float(MIX_BUDGET)} * share
+                                    / (SELECT tsh FROM ts))
+                          / CAST(source_tokens AS DOUBLE)) AS BIGINT))
+       ELSE CAST(0 AS BIGINT) END AS rate_bp,
+       CAST(floor(source_tokens
+                  * (CASE WHEN source_tokens > 0 THEN
+                       least(CAST({BP} AS BIGINT),
+                             CAST(floor({BP}.0 * ({float(MIX_BUDGET)} * share
+                                                  / (SELECT tsh FROM ts))
+                                        / CAST(source_tokens AS DOUBLE))
+                                  AS BIGINT))
+                     ELSE CAST(0 AS BIGINT) END)
+                  / {BP}) AS BIGINT) AS expect_tokens
+FROM j
+"""
+
+
+# -- grid range join --------------------------------------------------------
+
+HOUR_NS = 3_600_000_000_000
+CELL_NS = 900_000_000_000  # 15 min
+
+
+def q_range_join_incidents(spark, sf_dir):
+    """Every error event opens a 1-hour incident window; count the events
+    and distinct users inside each window via the grid-bucketed equi-join
+    (no nested-loop join anywhere in the plan)."""
+    ev = _events(spark, sf_dir)
+    t = ns_time(ev)
+    pts = ev.select(t.alias("t"), "user_id")
+    inc = (ev.filter(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("incident_id"),
+                   t.alias("b"), (t + F.lit(HOUR_NS)).alias("en")))
+    joined = range_join_points(pts, inc, "t", "b", "en", cell=CELL_NS)
+    return joined.groupBy("incident_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"))
+
+
+SQL_RANGE_JOIN = f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS t
+           FROM events),
+inc AS (
+  SELECT event_id AS incident_id, t AS b, t + {HOUR_NS} AS en
+  FROM e WHERE event_type = 'error'
+)
+SELECT i.incident_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+FROM inc i JOIN e p ON p.t >= i.b AND p.t < i.en
+GROUP BY 1
+"""
+
+
+SCALE_QUERIES: dict[str, tuple] = {
+    "decontaminate_overlap": (q_decontaminate, SQL_DECONTAMINATE),
+    "sketch_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "sketch_hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
+    "mix_weights": (q_mix_weights, SQL_MIX_WEIGHTS),
+    "q_range_join_incidents": (q_range_join_incidents, SQL_RANGE_JOIN),
+}

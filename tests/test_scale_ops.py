@@ -1,0 +1,210 @@
+"""Tests for the scale-surface operators: decontamination, KMV sketch,
+histogram quantiles, mixture planning, grid range join."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hta_spark.operators.rangejoin import range_join_points
+from hta_spark.pipeline.decontaminate import decontaminate, eval_ngram_set
+from hta_spark.pipeline.mix import mix_weights
+from hta_spark.pipeline.sketch import hist_quantiles, kmv_distinct
+
+
+# -- decontamination --------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_copied_doc(spark):
+    ev = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    train = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog indeed"),
+        (2, "completely different words about spark plans and shuffles"),
+        (3, "tiny doc"),  # < n tokens: zero grams
+    ])
+    out = {r["doc_id"]: r for r in
+           decontaminate(train, ev, n=5, threshold=0.5).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hit"] == 5
+    assert out[1]["n_grams"] == 6
+    assert not out[2]["contaminated"] and out[2]["n_hit"] == 0
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+    assert out[3]["overlap_frac"] == 0.0
+
+
+def test_decontaminate_repeated_gram_counts_once(spark):
+    ev = _docs(spark, [(100, "a b c d e")])
+    train = _docs(spark, [(1, "a b c d e x a b c d e")])
+    row = decontaminate(train, ev, n=5, threshold=0.1).collect()[0]
+    # 7 positions but 'a b c d e' appears twice -> 6 distinct grams, 1 hit
+    assert row["n_grams"] == 6 and row["n_hit"] == 1
+
+
+def test_eval_ngram_set_is_global_distinct(spark):
+    ev = _docs(spark, [(1, "a b c d e"), (2, "a b c d e")])
+    assert eval_ngram_set(ev, n=5).count() == 1
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    ev = _docs(spark, [(100, "a b c d e f")])
+    train = _docs(spark, [(1, "a b c d e f g")])
+    plan = decontaminate(train, ev)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+# -- KMV sketch -------------------------------------------------------------
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [("a", i % 10) for i in range(100)], "g string, v int")
+    row = kmv_distinct(df, "v", ["g"], k=64).collect()[0]
+    assert row["n_kept"] == 10
+    assert row["kmv_distinct"] == 10.0
+
+
+def test_kmv_estimate_accuracy_and_partition_invariance(spark):
+    n = 5000
+    df = spark.createDataFrame(
+        [("a", i) for i in range(n)], "g string, v int")
+    r1 = kmv_distinct(df, "v", ["g"], k=256).collect()[0]
+    # KMV std error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert abs(r1["kmv_distinct"] - n) / n < 0.25
+    r2 = kmv_distinct(df.repartition(13), "v", ["g"], k=256).collect()[0]
+    assert r1["kmv_distinct"] == r2["kmv_distinct"]
+    assert r1["kth_hash"] == r2["kth_hash"]
+
+
+def test_kmv_duplicates_do_not_change_sketch(spark):
+    base = [("a", i) for i in range(500)]
+    d1 = spark.createDataFrame(base, "g string, v int")
+    d2 = spark.createDataFrame(base * 3, "g string, v int")
+    assert (kmv_distinct(d1, "v", ["g"], k=64).collect()[0]["kmv_distinct"]
+            == kmv_distinct(d2, "v", ["g"], k=64).collect()[0]
+            ["kmv_distinct"])
+
+
+def test_kmv_plan_uses_window_group_limit(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)], "g string, v int")
+    plan = kmv_distinct(df, "v", ["g"], k=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # rank<=k filter is pushed to a per-partition top-k: the sketch merge
+    # happens map-side, k rows per group per task cross the shuffle
+    assert "WindowGroupLimit" in plan
+
+
+# -- histogram quantiles ----------------------------------------------------
+
+def test_hist_quantiles_uniform(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 1001)],
+                               "x double")
+    out = {r["q"]: r["est"]
+           for r in hist_quantiles(df, "x", qs=(0.5, 0.9)).collect()}
+    assert abs(out[0.5] - 500) < 20
+    assert abs(out[0.9] - 900) < 20
+
+
+def test_hist_quantiles_partition_invariant(spark):
+    df = spark.createDataFrame([(float(i % 97),) for i in range(2000)],
+                               "x double")
+    a = sorted(map(tuple, hist_quantiles(df, "x").collect()))
+    b = sorted(map(tuple, hist_quantiles(df.repartition(17), "x").collect()))
+    assert a == b
+
+
+def test_hist_quantiles_single_value(spark):
+    df = spark.createDataFrame([(42.5,)] * 10, "x double")
+    for r in hist_quantiles(df, "x", qs=(0.5, 0.99)).collect():
+        assert r["est"] == pytest.approx(42.5, abs=0.5)
+
+
+# -- mixture planning -------------------------------------------------------
+
+def _corpus(spark):
+    rows = []
+    for s, n_docs, words in [("big", 20, 50), ("small", 5, 10)]:
+        for i in range(n_docs):
+            rows.append((f"{s}-{i}", s, " ".join(["w"] * words)))
+    return spark.createDataFrame(rows, "doc_id string, source string, "
+                                       "text string")
+
+
+def test_mix_weights_realizes_budget(spark):
+    out = {r["source"]: r for r in
+           mix_weights(_corpus(spark), {"big": 0.5, "small": 0.5},
+                       budget_tokens=100).collect()}
+    # big: 1000 tokens, want 50 -> rate 500bp, expect 50
+    assert out["big"]["rate_bp"] == 500
+    assert out["big"]["expect_tokens"] == 50
+    # small: 50 tokens, want 50 -> capped at 10000bp, expect all 50
+    assert out["small"]["rate_bp"] == 10000
+    assert out["small"]["expect_tokens"] == 50
+
+
+def test_mix_weights_untargeted_and_missing_sources(spark):
+    out = {r["source"]: r for r in
+           mix_weights(_corpus(spark), {"big": 1.0, "ghost": 1.0},
+                       budget_tokens=100).collect()}
+    assert out["small"]["rate_bp"] == 0          # no target share
+    assert out["ghost"]["source_tokens"] == 0    # not in corpus
+    assert out["ghost"]["rate_bp"] == 0
+    assert out["big"]["rate_bp"] == 500          # 50 of 1000 tokens
+
+
+# -- grid range join --------------------------------------------------------
+
+def _brute(points, intervals):
+    out = set()
+    for pid, p in points:
+        for iid, b, e in intervals:
+            if b <= p < e:
+                out.add((pid, iid))
+    return out
+
+
+def test_range_join_matches_brute_force(spark):
+    import random
+    rng = random.Random(7)
+    points = [(i, rng.randrange(0, 1000)) for i in range(300)]
+    intervals = [(j, b, b + rng.randrange(1, 120))
+                 for j, b in ((j, rng.randrange(0, 1000))
+                              for j in range(60))]
+    p = spark.createDataFrame(points, "pid int, t long")
+    iv = spark.createDataFrame(intervals, "iid int, b long, e long")
+    for cell in (7, 64, 1000):
+        got = {(r["pid"], r["iid"])
+               for r in range_join_points(p, iv, "t", "b", "e",
+                                          cell=cell).collect()}
+        assert got == _brute(points, intervals), f"cell={cell}"
+
+
+def test_range_join_half_open_boundaries(spark):
+    p = spark.createDataFrame([(1, 10), (2, 20)], "pid int, t long")
+    iv = spark.createDataFrame([(9, 10, 20)], "iid int, b long, e long")
+    got = [(r["pid"], r["iid"]) for r in
+           range_join_points(p, iv, "t", "b", "e", cell=5).collect()]
+    assert got == [(1, 9)]      # begin inclusive, end exclusive
+
+
+def test_range_join_no_nested_loop_in_plan(spark):
+    p = spark.createDataFrame([(1, 10)], "pid int, t long")
+    iv = spark.createDataFrame([(9, 0, 100)], "iid int, b long, e long")
+    plan = range_join_points(p, iv, "t", "b", "e", cell=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_extra_keys_copartition(spark):
+    p = spark.createDataFrame([(1, 10, "u1"), (2, 10, "u2")],
+                              "pid int, t long, k string")
+    iv = spark.createDataFrame([(9, 0, 100, "u1")],
+                               "iid int, b long, e long, k string")
+    got = [(r["pid"], r["iid"]) for r in
+           range_join_points(p, iv, "t", "b", "e", cell=10,
+                             extra_keys=["k"]).collect()]
+    assert got == [(1, 9)]
