@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from .operators.rangejoin import range_join_points
 from .pipeline.decontaminate import decontaminate
 from .pipeline.mix import mix_weights
+from .pipeline.rules import rule_filter
 from .pipeline.sample import BP, hash_bucket
 from .pipeline.sketch import hist_quantiles, kmv_distinct
 from .queries_hta import ns_time
@@ -274,10 +275,107 @@ GROUP BY 1
 """
 
 
+# -- rule-based quality filtering ------------------------------------------
+
+def q_text_rules(spark, sf_dir):
+    return rule_filter(_docs(spark, sf_dir))
+
+
+SQL_TEXT_RULES = """
+WITH toks AS (
+  SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
+             AS word_chars,
+         CAST(len(list_filter(t, x -> regexp_full_match(x, '[a-z]+')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+             AS symbol_chars,
+         CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT)
+             AS n_urls,
+         CAST(len(regexp_extract_all(
+                  text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT)
+             AS n_emails,
+         CAST(len(regexp_extract_all(
+                  text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT)
+             AS n_bpe_tokens
+  FROM toks
+)
+SELECT doc_id, n_words, word_chars,
+       CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+           AS mean_word_len,
+       n_alpha_words,
+       CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+           AS alpha_frac,
+       symbol_chars,
+       CAST(symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+           AS symbol_frac,
+       n_urls, n_emails, n_bpe_tokens,
+       (n_words >= 5 AND n_words <= 100000
+        AND CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) >= 2.0
+        AND CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) <= 12.0
+        AND CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.6
+        AND CAST(symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.2)
+           AS keep
+FROM s
+"""
+
+
+# -- bucketed (shuffle-free) join ------------------------------------------
+
+N_BUCKETS = 8
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Revenue by (order priority, return flag) through BUCKETED lineitem
+    and orders tables: both sides are hash-bucketed on the order key at
+    write time, so the join itself runs with zero Exchange (plan-tested in
+    tests/test_scale_ops.py) — the layout a 100 TB warehouse gives its
+    biggest recurring join.  Tables materialize once per session at a
+    fixed per-(pid, sf) path, like the streaming ingest query."""
+    import os
+    import tempfile
+
+    from .sources.bucketed import ensure_bucketed
+    tag = (os.path.basename(sf_dir.rstrip("/"))
+           .replace(".", "_").replace("-", "_"))
+    base = os.path.join(tempfile.gettempdir(),
+                        f"hta_bucketed_{os.getpid()}_{tag}")
+    li = ensure_bucketed(
+        spark, f"bkt_lineitem_{tag}", f"{base}/lineitem",
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        ["l_orderkey"], N_BUCKETS)
+    orders = ensure_bucketed(
+        spark, f"bkt_orders_{tag}", f"{base}/orders",
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        ["o_orderkey"], N_BUCKETS)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority", "l_returnflag")
+            .agg(F.round(F.sum(rev), 2).alias("revenue"),
+                 F.count("*").cast("long").alias("n_items")))
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority, l_returnflag,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
 SCALE_QUERIES: dict[str, tuple] = {
     "decontaminate_overlap": (q_decontaminate, SQL_DECONTAMINATE),
     "sketch_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "sketch_hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     "mix_weights": (q_mix_weights, SQL_MIX_WEIGHTS),
     "q_range_join_incidents": (q_range_join_incidents, SQL_RANGE_JOIN),
+    "text_rules": (q_text_rules, SQL_TEXT_RULES),
+    "q_bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
 }

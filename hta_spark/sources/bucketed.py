@@ -1,0 +1,47 @@
+"""Bucketed (pre-shuffled) table layout: the shuffle-free join path.
+
+At 100 TB the dominant cost of a fact-to-fact join is shuffling both
+sides on the key.  Spark's native bucketing amortizes that shuffle into
+the WRITE: ``bucketBy(n, key)`` hash-partitions files once at ingest, and
+every later equi-join or aggregation on that key runs with ZERO Exchange
+— the planner proves both sides share the hash partitioning (and with
+``sortBy`` a sort-merge join needs no sort either).  The pattern every
+warehouse uses for its biggest recurring joins; the write-side analog of
+the reference's pre-aggregated levels (pay once at ingest, skip the work
+per query — /root/reference/src/metric.cpp:562-603 is the same trade).
+
+Native bucketing needs the session catalog (``saveAsTable``) — plain
+``parquet(path)`` writes lose the bucket metadata.  Tables here are
+EXTERNAL (explicit ``path``), so data lives where the caller says and the
+in-memory catalog entry is just metadata.  Both sides must use the same
+bucket count; joining a bucketed table to an unbucketed frame still
+shuffles only the unbucketed side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_bucketed", "ensure_bucketed"]
+
+
+def write_bucketed(df: DataFrame, table: str, path: str, keys: list[str],
+                   n_buckets: int, sort: bool = True) -> None:
+    """Materialize ``df`` as an external bucketed table (overwrite)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = (df.write.mode("overwrite").option("path", path)
+         .bucketBy(int(n_buckets), *keys))
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def ensure_bucketed(spark: SparkSession, table: str, path: str,
+                    build: DataFrame, keys: list[str],
+                    n_buckets: int) -> DataFrame:
+    """Return the bucketed table, materializing it on first use in this
+    session (idempotent per session — the catalog remembers)."""
+    if not spark.catalog.tableExists(table):
+        write_bucketed(build, table, path, keys, n_buckets)
+    return spark.table(table)

@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 from hta_spark.operators.rangejoin import range_join_points
 from hta_spark.pipeline.decontaminate import decontaminate, eval_ngram_set
 from hta_spark.pipeline.mix import mix_weights
+from hta_spark.pipeline.rules import rule_filter, rule_signals
 from hta_spark.pipeline.sketch import hist_quantiles, kmv_distinct
+from hta_spark.sources.bucketed import ensure_bucketed, write_bucketed
 
 
 # -- decontamination --------------------------------------------------------
@@ -197,6 +199,83 @@ def test_range_join_no_nested_loop_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rule_signals_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "x1 @@@@ http://spam.example j@k.io 7 7 7")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in rule_signals(docs).collect()}
+    r = out[1]
+    assert r["n_words"] == 6 and r["word_chars"] == 17
+    assert r["n_alpha_words"] == 6 and r["alpha_frac"] == 1.0
+    assert r["symbol_chars"] == 0 and r["n_urls"] == 0
+    s = out[2]
+    assert s["n_urls"] == 1 and s["n_emails"] == 1
+    assert s["n_alpha_words"] == 0
+    assert s["symbol_chars"] > 0
+
+
+def test_rule_filter_keep_verdicts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a good long document with many normal readable words here"),
+         (2, "too short"),
+         (3, "@@ ## $$ %% ^^ && ** (( )) !!")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["keep"] for r in rule_filter(docs).collect()}
+    assert out[1] is True
+    assert out[2] is False      # below min word count
+    assert out[3] is False      # symbol soup
+
+
+def test_rule_signals_plan_is_map_only(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = rule_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# -- bucketed join ----------------------------------------------------------
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    left = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(200)], "k long, lv string")
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(0, 200, 2)], "k long, rv string")
+    lt = ensure_bucketed(spark, "t_bkt_left", str(tmp_path / "l"),
+                         left, ["k"], 4)
+    rt = ensure_bucketed(spark, "t_bkt_right", str(tmp_path / "r"),
+                         right, ["k"], 4)
+    j = lt.join(rt, "k")
+    # at test scale the planner would rather broadcast the small side;
+    # at warehouse scale neither side broadcasts — model that here
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == 100
+        # correctness identical to the unbucketed join
+        exp = sorted(map(tuple, left.join(right, "k").collect()))
+        assert sorted(map(tuple, j.collect())) == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE t_bkt_left")
+    spark.sql("DROP TABLE t_bkt_right")
+
+
+def test_write_bucketed_overwrites_and_ensure_is_idempotent(spark, tmp_path):
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    b = spark.createDataFrame([(2, "b")], "k long, v string")
+    write_bucketed(a, "t_bkt_ow", str(tmp_path / "t"), ["k"], 2)
+    write_bucketed(b, "t_bkt_ow", str(tmp_path / "t"), ["k"], 2)
+    assert [tuple(r) for r in spark.table("t_bkt_ow").collect()] == [(2, "b")]
+    # ensure_bucketed must not rewrite an existing table
+    got = ensure_bucketed(spark, "t_bkt_ow", str(tmp_path / "t"),
+                          a, ["k"], 2)
+    assert [tuple(r) for r in got.collect()] == [(2, "b")]
+    spark.sql("DROP TABLE t_bkt_ow")
 
 
 def test_range_join_extra_keys_copartition(spark):
