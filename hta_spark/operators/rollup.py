@@ -64,20 +64,50 @@ def auto_salt_chunks(raw: DataFrame) -> int | None:
     count for :func:`lagged_salted` when the largest metric's series would
     overfill one window task (> ``AUTO_SALT_TARGET_ROWS`` rows), else None.
 
-    The chunk count spreads the dominant metric over at least the session
-    parallelism (capped at 256).  Cost: one map-side-combined count
-    aggregation over the input — negligible next to the build it guards,
-    and the production default per SCALE.md (a 100 TB table's per-metric
-    skew is not knowable at plan time; measuring it is the planner's job).
+    Cost: one map-side-combined count aggregation over the input.  When
+    the build also needs the ranges frame, use :func:`plan_build` instead
+    — it derives BOTH the decision and a literal ranges frame from one
+    collected stats pass, so the raw lineage executes once, not twice.
     """
     mx_row = (raw.groupBy("metric").agg(F.count(F.lit(1)).alias("n"))
               .agg(F.max("n").alias("mx")).collect())
     mx = mx_row[0]["mx"] if mx_row else None
+    return _chunks_for(mx, raw)
+
+
+def _chunks_for(mx: int | None, raw: DataFrame) -> int | None:
     if not mx or mx <= AUTO_SALT_TARGET_ROWS:
         return None
     par = raw.sparkSession.sparkContext.defaultParallelism
     need = -(-mx // AUTO_SALT_TARGET_ROWS)          # ceil
     return int(min(256, max(need, min(par, 256))))
+
+
+def raw_stats(raw: DataFrame) -> DataFrame:
+    """Per-metric (t_first, t_last, n): :func:`raw_range` plus row count —
+    the one aggregate the build planner needs."""
+    return raw.groupBy("metric").agg(
+        F.min("time").alias("t_first"), F.max("time").alias("t_last"),
+        F.count(F.lit(1)).alias("n"))
+
+
+def plan_build(raw: DataFrame) -> tuple[int | None, DataFrame]:
+    """One collected stats pass -> (salt decision, LITERAL ranges frame).
+
+    The skew decision needs a driver-side value, so auto-salting must run
+    an action; folding min/max into the same aggregate and re-emitting the
+    collected rows as a literal frame means the (possibly expensive) raw
+    lineage executes exactly once for all planner needs — the lazy
+    ``raw_range`` broadcast subtree would re-execute it inside the build
+    job.  Driver state is metric-count-sized (the repo's planner-state
+    convention; 10^4-metric smoke-tested)."""
+    rows = raw_stats(raw).collect()
+    spark = raw.sparkSession
+    schema = "metric string, t_first long, t_last long"
+    ranges = spark.createDataFrame(
+        [(r["metric"], r["t_first"], r["t_last"]) for r in rows], schema)
+    mx = max((r["n"] for r in rows), default=0)
+    return _chunks_for(mx, raw), ranges
 
 
 def _resolve_salt(raw: DataFrame,
@@ -366,8 +396,11 @@ def build_level1(raw: DataFrame, interval: int,
     ``exact``: decimal sum/integral accumulation (see :func:`_merge_pieces`);
     higher levels inherit the decimal type through their plain ``sum()``s.
     """
-    ranges = ranges if ranges is not None else raw_range(raw)
-    salt_chunks = _resolve_salt(raw, salt_chunks)
+    if salt_chunks == "auto" and ranges is None:
+        salt_chunks, ranges = plan_build(raw)
+    else:
+        ranges = ranges if ranges is not None else raw_range(raw)
+        salt_chunks = _resolve_salt(raw, salt_chunks)
     lg = (lagged_salted(raw, salt_chunks, ranges) if salt_chunks
           else lagged(raw))
     pieces = segment_pieces(lg, interval)
@@ -413,7 +446,10 @@ def build_levels(raw: DataFrame, meta: Meta,
     level.  ``salt_chunks="auto"`` (default) measures per-metric skew once
     and salts the level-1 window only when a dominant metric needs it.
     """
-    ranges = raw_range(raw)
+    if salt_chunks == "auto":
+        salt_chunks, ranges = plan_build(raw)
+    else:
+        ranges = raw_range(raw)
     out: dict[int, DataFrame] = {}
     intervals = meta.level_intervals()
     if not intervals:

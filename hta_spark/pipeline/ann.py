@@ -23,7 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["cosine_sim", "cosine_topk", "cosine_topk_wide",
-           "cosine_pairs", "hyperplane_lsh_pairs", "centroid_frame",
+           "cosine_pairs", "cosine_pairs_gemm", "hyperplane_lsh_pairs",
+           "centroid_frame",
            "ivf_assign", "ivf_topk", "probe_set", "ivf_index_write",
            "ivf_index_topk"]
 
@@ -115,6 +116,68 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.4,
     return (a.join(F.broadcast(b), F.col("a") < F.col("b"))
             .select("a", "b", sim.alias("cos_sim"))
             .filter(F.col("cos_sim") >= F.lit(threshold)))
+
+
+def cosine_pairs_gemm(emb: DataFrame, threshold: float = 0.4,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      max_broadcast_mb: int = 256,
+                      block_rows: int = 256) -> DataFrame:
+    """:func:`cosine_pairs` as a blocked GEMM — identical output contract
+    (``a < b``, ``round(cos, 4) >= threshold``), ~an order of magnitude
+    faster: one ``(block x d) @ (d x n)`` matmul per block instead of n
+    interpreted HOF folds per row, and no O(n^2) join-row materialization
+    (only the above-threshold pairs ever become rows).
+
+    The full matrix ships as an explicit ``sc.broadcast`` — the SAME
+    volume the nested-loop join broadcasts, just in numpy form; the
+    ``max_broadcast_mb`` guard refuses inputs where the exact all-pairs
+    design itself has stopped being sane (use
+    :func:`hyperplane_lsh_pairs` there).  This is the FAISS-brute-force
+    shape: exact search IS a GEMM when one side fits in memory.
+
+    Scores can differ from the HOF path in the last ulp (pairwise vs
+    sequential summation) — both round to 4 decimals, same as
+    :func:`cosine_topk_wide`.
+    """
+    rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
+    schema = f"a long, b long, cos_sim double"
+    spark = emb.sparkSession
+    if not rows:
+        return spark.createDataFrame([], schema)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mb = mat.nbytes / 2 ** 20
+    if mb > max_broadcast_mb:
+        raise ValueError(
+            f"embedding matrix is {mb:.0f} MiB > {max_broadcast_mb} MiB: "
+            "exact all-pairs no longer fits a broadcast — use "
+            "hyperplane_lsh_pairs for candidate generation at this scale")
+    norms = np.linalg.norm(mat, axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    thr = float(threshold)
+
+    def _pairs(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            a_norms = np.linalg.norm(a_mat, axis=1)
+            for lo in range(0, len(a_ids), block_rows):
+                hi = min(lo + block_rows, len(a_ids))
+                sims = (a_mat[lo:hi] @ b_mat.T) \
+                    / (a_norms[lo:hi, None] * b_norms[None, :])
+                r = np.round(sims, 4)
+                ai, bi = np.nonzero(
+                    (a_ids[lo:hi, None] < b_ids[None, :]) & (r >= thr))
+                if len(ai):
+                    yield pd.DataFrame({
+                        "a": a_ids[lo:hi][ai], "b": b_ids[bi],
+                        "cos_sim": r[ai, bi]})
+
+    par = spark.sparkContext.defaultParallelism
+    return (emb.select(F.col(id_col), F.col(vec_col))
+            .repartition(par)
+            .mapInPandas(_pairs, schema))
 
 
 def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.4,

@@ -270,9 +270,10 @@ def q_hta_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hta_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rollup import plan_build
     raw = events_raw(spark, sf_dir)
-    ranges = raw_range(raw)
-    l1 = build_level1(raw, LEVEL1, ranges, exact=True)
+    chunks, ranges = plan_build(raw)
+    l1 = build_level1(raw, LEVEL1, ranges, salt_chunks=chunks, exact=True)
     l2 = build_next_level(l1, LEVEL1, 10, ranges)
     return _round_rollup(l2)
 

@@ -406,12 +406,13 @@ ORDER BY jaccard DESC, a, b LIMIT 100
 
 
 def q_embedding_cosine_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the
-    banded hyperplane-LSH variant is the scale path, recall-tested in
-    pytest).  Threshold 0.4 suits this synthetic corpus (random vectors:
-    max pairwise cosine ~0.51)."""
-    from .pipeline.ann import cosine_pairs
-    return cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+    """Embedding-cosine near-dup pairs (exact all-pairs, via the blocked-
+    GEMM path — FAISS-brute-force shape; `cosine_pairs` is the UDF-free
+    HOF twin, `hyperplane_lsh_pairs` the beyond-broadcast scale path,
+    recall-tested in pytest).  Threshold 0.4 suits this synthetic corpus
+    (random vectors: max pairwise cosine ~0.51)."""
+    from .pipeline.ann import cosine_pairs_gemm
+    return cosine_pairs_gemm(_emb(spark, sf_dir), threshold=0.4)
 
 
 SQL_EMBEDDING_COSINE_PAIRS = """

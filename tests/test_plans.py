@@ -50,13 +50,23 @@ def test_aggregate_exact_pushdown(events_native):
 
 def test_rollup_exchange_budget(events_native):
     plan = _plan(build_level1(events_native, 3600 * SECOND))
-    # exactly two hash exchanges: the per-metric window, and the tiny
-    # raw_range aggregate feeding the broadcast.  The exploded piece merge
-    # must NOT introduce a third (hash-partitioning by metric already
-    # satisfies (metric, bucket) grouping).
+    # exactly ONE hash exchange: the per-metric window.  plan_build folds
+    # the ranges aggregate into the auto-salt stats collect and re-emits
+    # it as a literal broadcast frame, so the raw lineage appears once in
+    # the plan; the exploded piece merge must NOT introduce another
+    # exchange (hash-partitioning by metric already satisfies
+    # (metric, bucket) grouping).
     n_shuffles = len(re.findall(r"Arguments: hashpartitioning", plan))
-    assert n_shuffles == 2, f"expected 2 hash exchanges, got {n_shuffles}\n{plan}"
+    assert n_shuffles == 1, f"expected 1 hash exchange, got {n_shuffles}\n{plan}"
     assert "BroadcastExchange" in plan
+    # explicit ranges (the pre-planned path) keeps the same budget plus
+    # the shared ranges aggregate
+    from hta_spark.operators.rollup import raw_range
+    plan2 = _plan(build_level1(events_native, 3600 * SECOND,
+                               ranges=raw_range(events_native),
+                               salt_chunks=None))
+    n2 = len(re.findall(r"Arguments: hashpartitioning", plan2))
+    assert n2 == 2, f"expected 2 hash exchanges, got {n2}\n{plan2}"
 
 
 def test_q5_broadcasts_dimensions(spark):
@@ -108,11 +118,13 @@ def test_events_query_single_metric_exchange(spark):
     """The canonical events pipeline (dedup + rollup window + merge) must
     run on ONE full-data hash exchange: the window dedup shares the
     metric partitioning with every downstream consumer, where the old
-    groupBy(metric, time) form forced an extra full shuffle."""
+    groupBy(metric, time) form forced an extra full shuffle — and since
+    plan_build the ranges broadcast is a literal frame, not a second
+    aggregate over the deduped lineage."""
     from hta_spark.queries_hta import q_hta_level1
     plan = _plan(q_hta_level1(spark, "/root/testdata/sf0.001"))
     n = len(re.findall(r"Arguments: hashpartitioning", plan))
-    assert n == 2, f"expected 2 hash exchanges (window + tiny ranges), got {n}"
+    assert n == 1, f"expected 1 hash exchange (the window), got {n}"
 
 
 def test_events_raw_bound_pushdown(spark):

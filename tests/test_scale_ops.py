@@ -157,6 +157,35 @@ def test_mix_weights_untargeted_and_missing_sources(spark):
     assert out["big"]["rate_bp"] == 500          # 50 of 1000 tokens
 
 
+# -- GEMM cosine pairs ------------------------------------------------------
+
+def test_cosine_pairs_gemm_matches_hof(spark):
+    import numpy as np
+    from hta_spark.pipeline.ann import cosine_pairs, cosine_pairs_gemm
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    base[7] = base[3] + 0.01 * rng.normal(size=16).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    hof = sorted(map(tuple, cosine_pairs(emb, threshold=0.3).collect()))
+    gemm = sorted(map(tuple,
+                      cosine_pairs_gemm(emb, threshold=0.3).collect()))
+    assert gemm == hof
+    assert any(p[:2] == (3, 7) for p in gemm)   # planted near-dup found
+
+
+def test_cosine_pairs_gemm_empty_and_guard(spark):
+    import pytest as _pt
+    from hta_spark.pipeline.ann import cosine_pairs_gemm
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_pairs_gemm(empty).count() == 0
+    one = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<float>")
+    with _pt.raises(ValueError, match="broadcast"):
+        cosine_pairs_gemm(one, max_broadcast_mb=0)
+
+
 # -- grid range join --------------------------------------------------------
 
 def _brute(points, intervals):
