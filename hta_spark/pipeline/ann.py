@@ -23,8 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["cosine_sim", "cosine_topk", "cosine_topk_wide",
-           "cosine_pairs", "cosine_pairs_gemm", "hyperplane_lsh_pairs",
-           "centroid_frame",
+           "cosine_pairs", "cosine_pairs_gemm", "knn_join",
+           "hyperplane_lsh_pairs", "centroid_frame",
            "ivf_assign", "ivf_topk", "probe_set", "ivf_index_write",
            "ivf_index_topk"]
 
@@ -178,6 +178,71 @@ def cosine_pairs_gemm(emb: DataFrame, threshold: float = 0.4,
     return (emb.select(F.col(id_col), F.col(vec_col))
             .repartition(par)
             .mapInPandas(_pairs, schema))
+
+
+def knn_join(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding", max_broadcast_mb: int = 256,
+             block_rows: int = 256) -> DataFrame:
+    """Exact k-nearest-neighbor self-join: for EVERY vector, its top-k
+    cosine neighbors (self excluded) — the batch shape behind retrieval
+    evaluation and embedding-cluster seeding, where :func:`cosine_topk`
+    answers one query at a time.
+
+    Same blocked-GEMM machinery as :func:`cosine_pairs_gemm` (the
+    neighbor side is an explicit broadcast; per-row top-k needs the full
+    similarity row, which one block computes).  Deterministic ranking:
+    by (-round(cos, 4), neighbor id).  Output: ``a, b, cos_sim, rank``
+    with rank 1..k.  Beyond the broadcast guard, route through
+    :func:`ivf_index_topk` probes instead."""
+    rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
+    schema = "a long, b long, cos_sim double, rank long"
+    spark = emb.sparkSession
+    if not rows:
+        return spark.createDataFrame([], schema)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mb = mat.nbytes / 2 ** 20
+    if mb > max_broadcast_mb:
+        raise ValueError(
+            f"embedding matrix is {mb:.0f} MiB > {max_broadcast_mb} MiB: "
+            "use the IVF index probes for knn at this scale")
+    norms = np.linalg.norm(mat, axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    kk = int(k)
+
+    def _knn(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            a_norms = np.linalg.norm(a_mat, axis=1)
+            for lo in range(0, len(a_ids), block_rows):
+                hi = min(lo + block_rows, len(a_ids))
+                sims = np.round(
+                    (a_mat[lo:hi] @ b_mat.T)
+                    / (a_norms[lo:hi, None] * b_norms[None, :]), 4)
+                out_a, out_b, out_c, out_r = [], [], [], []
+                for i in range(hi - lo):
+                    row = sims[i]
+                    mask = b_ids != a_ids[lo + i]
+                    cand_ids = b_ids[mask]
+                    cand = row[mask]
+                    order = np.lexsort((cand_ids, -cand))[:kk]
+                    out_a.extend([a_ids[lo + i]] * len(order))
+                    out_b.extend(cand_ids[order])
+                    out_c.extend(cand[order])
+                    out_r.extend(range(1, len(order) + 1))
+                if out_a:
+                    yield pd.DataFrame({"a": np.array(out_a),
+                                        "b": np.array(out_b),
+                                        "cos_sim": np.array(out_c),
+                                        "rank": np.array(out_r,
+                                                         dtype=np.int64)})
+
+    par = spark.sparkContext.defaultParallelism
+    return (emb.select(F.col(id_col), F.col(vec_col))
+            .repartition(par)
+            .mapInPandas(_knn, schema))
 
 
 def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.4,

@@ -370,6 +370,165 @@ GROUP BY 1, 2
 """
 
 
+# -- exact kNN self-join ----------------------------------------------------
+
+KNN_K = 5
+
+
+def q_knn_join(spark, sf_dir):
+    from .pipeline.ann import knn_join
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_join(emb, k=KNN_K)
+
+
+SQL_KNN_JOIN = f"""
+WITH p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS cs
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT a, b, cs,
+         row_number() OVER (PARTITION BY a ORDER BY cs DESC, b) AS rk
+  FROM p
+)
+SELECT a, b, cs AS cos_sim, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= {KNN_K}
+"""
+
+
+# -- end-to-end curation funnel --------------------------------------------
+
+SAMPLE_BP = 5000  # final deterministic 50% sample
+
+
+def q_pipeline_funnel(spark, sf_dir):
+    """The whole curation pipeline as ONE declarative plan, reported as
+    the per-source funnel every corpus build publishes: train-split docs
+    -> structural rules -> exact-dedup keepers -> decontamination ->
+    deterministic 50% sample.  Every stage is one of the registry's
+    oracle-gated operators composed on doc_id; all outputs are integer
+    counts (order-robust by construction)."""
+    from .pipeline.dedup import normalize_text
+    docs = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), "eval")
+    train = docs.filter(b >= F.lit(EVAL_BP))
+    evald = docs.filter(b < F.lit(EVAL_BP))
+    rules = rule_filter(train).select("doc_id", "keep")
+    t1 = train.join(rules, "doc_id").filter(F.col("keep")).drop("keep")
+    keepers = (t1.groupBy(F.md5(normalize_text(F.col("text")))
+                          .alias("_h"))
+               .agg(F.min("doc_id").alias("doc_id"))
+               .select("doc_id"))
+    t2 = t1.join(keepers, "doc_id")
+    dec = decontaminate(t2, evald, n=DECON_N, threshold=DECON_THRESHOLD) \
+        .select("doc_id", "contaminated")
+    t3 = t2.join(dec, "doc_id").filter(~F.col("contaminated")) \
+        .drop("contaminated")
+    t4 = t3.filter(hash_bucket(F.col("doc_id"), "sample50")
+                   < F.lit(SAMPLE_BP))
+
+    def cnt(df, name):
+        return df.groupBy("source").agg(
+            F.count("*").cast("long").alias(name))
+
+    out = cnt(train, "n_train")
+    for df, name in [(t1, "n_rules"), (t2, "n_keeper"),
+                     (t3, "n_clean"), (t4, "n_sampled")]:
+        out = out.join(cnt(df, name), "source", "left")
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "source", "n_train",
+        *[F.coalesce(c, zero).alias(c)
+          for c in ["n_rules", "n_keeper", "n_clean", "n_sampled"]])
+
+
+SQL_PIPELINE_FUNNEL = f"""
+WITH split AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('eval|' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % {BP} AS b
+  FROM documents
+),
+train AS (
+  SELECT d.* FROM documents d JOIN split USING (doc_id)
+  WHERE b >= {EVAL_BP}
+),
+evald AS (
+  SELECT d.* FROM documents d JOIN split USING (doc_id) WHERE b < {EVAL_BP}
+),
+t1 AS (
+  SELECT * FROM (
+    SELECT doc_id, text, source,
+           CAST(len(t) AS BIGINT) AS nw,
+           CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS wc,
+           CAST(len(list_filter(t, x -> regexp_full_match(x, '[a-z]+')))
+                AS BIGINT) AS na,
+           CAST(len(text) AS BIGINT) AS nc,
+           CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                AS BIGINT) AS sc
+    FROM (SELECT doc_id, text, source,
+                 string_split(lower(trim(text)), ' ') AS t FROM train)
+  )
+  WHERE nw >= 5 AND nw <= 100000
+    AND CAST(wc AS DOUBLE) / CAST(nw AS DOUBLE) >= 2.0
+    AND CAST(wc AS DOUBLE) / CAST(nw AS DOUBLE) <= 12.0
+    AND CAST(na AS DOUBLE) / CAST(nw AS DOUBLE) >= 0.6
+    AND CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) <= 0.2
+),
+t2 AS (
+  SELECT t1.* FROM t1 JOIN (
+    SELECT md5(lower(trim(text))) AS h, min(doc_id) AS doc_id
+    FROM t1 GROUP BY 1
+  ) k USING (doc_id)
+),
+toks2 AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM t2),
+grams2 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {DECON_N - 2}),
+                               i -> array_to_string(t[i:i+{DECON_N - 1}], ' ')))
+             AS gram
+  FROM toks2 WHERE len(t) >= {DECON_N}
+),
+tokse AS (SELECT string_split(lower(trim(text)), ' ') AS t FROM evald),
+ev AS (
+  SELECT DISTINCT
+         unnest(list_transform(range(1, len(t) - {DECON_N - 2}),
+                               i -> array_to_string(t[i:i+{DECON_N - 1}], ' ')))
+             AS gram
+  FROM tokse WHERE len(t) >= {DECON_N}
+),
+per AS (
+  SELECT g.doc_id, count(*) AS n_grams, count(ev.gram) AS n_hit
+  FROM grams2 g LEFT JOIN ev ON g.gram = ev.gram GROUP BY 1
+),
+t3 AS (
+  SELECT t2.* FROM t2 LEFT JOIN per USING (doc_id)
+  WHERE NOT (coalesce(n_grams, 0) > 0
+             AND CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                 >= {DECON_THRESHOLD})
+),
+t4 AS (
+  SELECT t3.* FROM t3
+  WHERE ('0x' || substr(md5('sample50|' || CAST(doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT % {BP} < {SAMPLE_BP}
+)
+SELECT tr.source,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(count(a.doc_id) AS BIGINT) AS n_rules,
+       CAST(count(b2.doc_id) AS BIGINT) AS n_keeper,
+       CAST(count(c.doc_id) AS BIGINT) AS n_clean,
+       CAST(count(d.doc_id) AS BIGINT) AS n_sampled
+FROM train tr
+LEFT JOIN (SELECT doc_id FROM t1) a USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM t2) b2 USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM t3) c USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM t4) d USING (doc_id)
+GROUP BY 1
+"""
+
+
 SCALE_QUERIES: dict[str, tuple] = {
     "decontaminate_overlap": (q_decontaminate, SQL_DECONTAMINATE),
     "sketch_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
@@ -378,4 +537,6 @@ SCALE_QUERIES: dict[str, tuple] = {
     "q_range_join_incidents": (q_range_join_incidents, SQL_RANGE_JOIN),
     "text_rules": (q_text_rules, SQL_TEXT_RULES),
     "q_bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
+    "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
+    "ann_knn_join": (q_knn_join, SQL_KNN_JOIN),
 }

@@ -1,0 +1,86 @@
+"""Streaming KMV distinct-count: the mergeable-sketch property, live.
+
+A KMV sketch's whole point is that it merges: the k smallest hashes of a
+union are the k smallest of the combined minima.  That makes the
+streaming form trivial and EXACTLY equal to the batch sketch — the state
+per group is the k-minima set (k longs, fixed size, no watermark needed),
+each micro-batch folds its own minima in, and the emitted estimate after
+any prefix of batches equals :func:`hta_spark.pipeline.sketch.kmv_distinct`
+over the same rows (equivalence-tested in tests/test_streaming_sketch.py).
+
+Hashes are the same engine-portable md5 construction as the batch side
+(``pipeline.dedup.md5_long``: first 15 hex chars of ``md5(seed|value)``),
+computed here in Python — bit-identical, so stream, batch and the DuckDB
+oracle all agree on the estimate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["md5_long_py", "stream_kmv_distinct"]
+
+
+def md5_long_py(value, seed: str = "kmv") -> int:
+    """Python twin of ``pipeline.dedup.md5_long`` (bit-identical)."""
+    h = hashlib.md5(f"{seed}|{value}".encode()).hexdigest()
+    return int(h[:15], 16)
+
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("minima", T.ArrayType(T.LongType()), True)])
+
+
+def _out_schema(group_col: str) -> T.StructType:
+    return T.StructType([
+        T.StructField(group_col, T.StringType(), True),
+        T.StructField("n_kept", T.LongType(), True),
+        T.StructField("kth_hash", T.LongType(), True),
+        T.StructField("kmv_distinct", T.DoubleType(), True),
+    ])
+
+
+def stream_kmv_distinct(stream_df: DataFrame, value_col: str,
+                        group_col: str, k: int = 64,
+                        seed: str = "kmv") -> DataFrame:
+    """Per-group KMV distinct estimate maintained over a stream.
+
+    Emits one row per group per micro-batch with the estimate over ALL
+    rows seen so far (same columns/arithmetic as the batch
+    ``kmv_distinct``).  State is exactly the k-minima array — constant
+    size per group, so no watermark or timeout is required."""
+    kk = int(k)
+    _h = 2.0 ** 60
+
+    def _update(key, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        minima = list(state.get[0]) if state.exists else []
+        have = set(minima)
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                h = md5_long_py(v, seed)
+                if h not in have:
+                    have.add(h)
+                    minima.append(h)
+        minima.sort()
+        del minima[kk:]
+        state.update((minima,))
+        n = len(minima)
+        kth = minima[-1] if minima else None
+        est = float(n) if n < kk else (kk - 1) * _h / float(kth)
+        yield pd.DataFrame({group_col: [key[0]],
+                            "n_kept": [n], "kth_hash": [kth],
+                            "kmv_distinct": [est]})
+
+    return (stream_df
+            .select(group_col, value_col)
+            .groupBy(group_col)
+            .applyInPandasWithState(_update, _out_schema(group_col),
+                                    _STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))

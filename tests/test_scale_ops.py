@@ -157,6 +157,17 @@ def test_mix_weights_untargeted_and_missing_sources(spark):
     assert out["big"]["rate_bp"] == 500          # 50 of 1000 tokens
 
 
+# -- curation funnel --------------------------------------------------------
+
+def test_pipeline_funnel_is_monotone(spark):
+    from hta_spark.queries_scale import q_pipeline_funnel
+    rows = q_pipeline_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert (r["n_train"] >= r["n_rules"] >= r["n_keeper"]
+                >= r["n_clean"] >= r["n_sampled"] >= 0)
+
+
 # -- GEMM cosine pairs ------------------------------------------------------
 
 def test_cosine_pairs_gemm_matches_hof(spark):
@@ -173,6 +184,28 @@ def test_cosine_pairs_gemm_matches_hof(spark):
                       cosine_pairs_gemm(emb, threshold=0.3).collect()))
     assert gemm == hof
     assert any(p[:2] == (3, 7) for p in gemm)   # planted near-dup found
+
+
+def test_knn_join_matches_brute_force(spark):
+    import numpy as np
+    from hta_spark.pipeline.ann import knn_join
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(25, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(25)],
+        "vec_id long, embedding array<float>")
+    got = {}
+    for r in knn_join(emb, k=3).collect():
+        got.setdefault(r["a"], []).append((r["rank"], r["b"], r["cos_sim"]))
+    md = m.astype(np.float64)
+    sims = np.round((md @ md.T)
+                    / (np.linalg.norm(md, axis=1)[:, None]
+                       * np.linalg.norm(md, axis=1)[None, :]), 4)
+    for a in range(25):
+        cand = [(-sims[a][b], b) for b in range(25) if b != a]
+        cand.sort()
+        want = [(i + 1, b, -s) for i, (s, b) in enumerate(cand[:3])]
+        assert sorted(got[a]) == want, a
 
 
 def test_cosine_pairs_gemm_empty_and_guard(spark):

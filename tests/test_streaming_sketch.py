@@ -1,0 +1,65 @@
+"""Streaming KMV sketch: incremental merge must equal the batch sketch."""
+from __future__ import annotations
+
+from hta_spark.pipeline.dedup import md5_long
+from hta_spark.pipeline.sketch import kmv_distinct
+from hta_spark.streaming.sketch_stream import md5_long_py, stream_kmv_distinct
+
+
+def test_md5_long_py_matches_spark(spark):
+    from pyspark.sql import functions as F
+    vals = ["7", "hello", "-3", "0"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r["h"] for r in
+           df.select(md5_long(F.col("v"), "kmv").alias("h")).collect()]
+    assert got == [md5_long_py(v, "kmv") for v in vals]
+
+
+def _rows():
+    # 3 groups, overlapping values, duplicates across batches
+    rows = []
+    for i in range(300):
+        rows.append(("a", i % 120))
+        rows.append(("b", i % 17))
+    rows += [("c", i) for i in range(5)]
+    return rows
+
+
+def test_stream_kmv_equals_batch(spark, tmp_path):
+    rows = _rows()
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    n = len(rows)
+    for i in range(3):
+        chunk = rows[i * n // 3:(i + 1) * n // 3]
+        (spark.createDataFrame(chunk, "g string, v int")
+         .coalesce(1).write.parquet(str(src / f"b{i}")))
+
+    stream = (spark.readStream.schema("g string, v int")
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "b*")))
+    out = stream_kmv_distinct(stream, "v", "g", k=16)
+    q = (out.writeStream.outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+         .format("memory").queryName("kmv_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    # final sketch per group: the memory table holds one row per
+    # (group, micro-batch) in no guaranteed order, but the sketch evolves
+    # monotonically (n_kept grows to k, then kth only shrinks) — the final
+    # state is the row maximal under (n_kept, -kth_hash)
+    per_group: dict[str, list] = {}
+    for r in spark.sql("SELECT * FROM kmv_stream").collect():
+        per_group.setdefault(r["g"], []).append(r)
+    last = {}
+    for g, rs in per_group.items():
+        f = max(rs, key=lambda r: (r["n_kept"], -r["kth_hash"]))
+        last[g] = (f["n_kept"], f["kth_hash"], f["kmv_distinct"])
+
+    batch = {r["g"]: (r["n_kept"], r["kth_hash"], r["kmv_distinct"])
+             for r in kmv_distinct(
+                 spark.createDataFrame(rows, "g string, v int"),
+                 "v", ["g"], k=16).collect()}
+    assert last == batch
+    # group c has 5 < k distinct -> exact
+    assert last["c"][0] == 5 and last["c"][2] == 5.0
