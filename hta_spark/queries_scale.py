@@ -370,6 +370,106 @@ GROUP BY 1, 2
 """
 
 
+# -- semi-structured (JSON) extraction -------------------------------------
+
+def q_json_props(spark, sf_dir):
+    """Extract the JSON payload column at the scan and aggregate on it —
+    the semi-structured pattern every event pipeline needs.  At 100 TB
+    `get_json_object` runs in codegen per row (no Python); for hot keys
+    the production move is extract-once-and-persist as a real column."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max"),
+                 F.sum("k").cast("long").alias("k_sum"),
+                 F.count_distinct("k").cast("long").alias("k_distinct")))
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
+       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k')
+                                AS BIGINT)) AS BIGINT) AS k_distinct
+FROM events GROUP BY 1
+"""
+
+
+# -- unpivot (wide -> long) -------------------------------------------------
+
+def q_unpivot(spark, sf_dir):
+    """Wide per-priority aggregates melted to (priority, measure, value)
+    long format — `unpivot` is a zero-shuffle projection on top of the
+    one grouped aggregate."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    wide = (o.groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .cast("long").alias("price_cents"),
+                 F.count_distinct("o_custkey").cast("long")
+                 .alias("n_custs")))
+    return wide.unpivot("o_orderpriority",
+                        ["n_orders", "price_cents", "n_custs"],
+                        "measure", "value")
+
+
+SQL_UNPIVOT = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+  FROM orders GROUP BY 1
+)
+UNPIVOT wide ON n_orders, price_cents, n_custs
+INTO NAME measure VALUE value
+"""
+
+
+# -- time-based RANGE window frame -----------------------------------------
+
+def q_range_frame(spark, sf_dir):
+    """Trailing-1-hour per-user activity at every event: a RANGE window
+    frame over the ns time axis (the window-frame variant rows-frames
+    cannot express — ties and gaps follow event TIME, not row position).
+    Sums use the exact cent-integer convention so the frame aggregation
+    is order-free across engines."""
+    from pyspark.sql import Window
+    ev = _events(spark, sf_dir)
+    t = ns_time(ev)
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("user_id", "event_id", t.alias("t"),
+                     cents.alias("c"))
+    w = (Window.partitionBy("user_id").orderBy("t")
+         .rangeBetween(-HOUR_NS, 0))
+    return base.select(
+        "user_id", "event_id", "t",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.sum("c").over(w).cast("long").alias("sum_1h_cents"))
+
+
+SQL_RANGE_FRAME = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+)
+SELECT user_id, event_id, t,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(c) OVER w AS BIGINT) AS sum_1h_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN {HOUR_NS} PRECEDING AND CURRENT ROW)
+"""
+
+
 # -- exact kNN self-join ----------------------------------------------------
 
 KNN_K = 5
@@ -539,4 +639,7 @@ SCALE_QUERIES: dict[str, tuple] = {
     "q_bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
     "ann_knn_join": (q_knn_join, SQL_KNN_JOIN),
+    "q_range_frame": (q_range_frame, SQL_RANGE_FRAME),
+    "q_json_props": (q_json_props, SQL_JSON_PROPS),
+    "q_unpivot": (q_unpivot, SQL_UNPIVOT),
 }
