@@ -370,6 +370,33 @@ GROUP BY 1, 2
 """
 
 
+# -- dense global ids -------------------------------------------------------
+
+def q_dense_ids(spark, sf_dir):
+    """Global dense row ids over orders without a single-partition
+    window: sorted durable write + parquet-footer offsets + per-file
+    windows (`operators/ids.py`).  Writes to a fixed per-(pid, sf) path
+    like the other materializing queries."""
+    import os
+    import tempfile
+
+    from .operators.ids import dense_ids
+    tag = (os.path.basename(sf_dir.rstrip("/"))
+           .replace(".", "_").replace("-", "_"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"hta_dense_ids_{os.getpid()}_{tag}")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (dense_ids(o, ["o_orderkey"], path)
+            .select("o_orderkey", "o_orderpriority", "row_id"))
+
+
+SQL_DENSE_IDS = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS row_id
+FROM orders
+"""
+
+
 # -- semi-structured (JSON) extraction -------------------------------------
 
 def q_json_props(spark, sf_dir):
@@ -642,4 +669,5 @@ SCALE_QUERIES: dict[str, tuple] = {
     "q_range_frame": (q_range_frame, SQL_RANGE_FRAME),
     "q_json_props": (q_json_props, SQL_JSON_PROPS),
     "q_unpivot": (q_unpivot, SQL_UNPIVOT),
+    "q_dense_ids": (q_dense_ids, SQL_DENSE_IDS),
 }

@@ -157,6 +157,45 @@ def test_mix_weights_untargeted_and_missing_sources(spark):
     assert out["big"]["rate_bp"] == 500          # 50 of 1000 tokens
 
 
+# -- dense global ids -------------------------------------------------------
+
+def test_dense_ids_match_window_row_number(spark, tmp_path):
+    import random
+    from pyspark.sql import Window
+    from hta_spark.operators.ids import dense_ids
+    rng = random.Random(3)
+    rows = [(rng.random(), i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "key double, payload int")
+    got = dense_ids(df, ["key"], str(tmp_path / "ids1"), num_partitions=7)
+    exp = df.withColumn(
+        "row_id", F.row_number().over(Window.orderBy("key")).cast("long"))
+    assert sorted(map(tuple, got.select("key", "payload", "row_id")
+                      .collect())) \
+        == sorted(map(tuple, exp.collect()))
+    # rerun-stable: the frame re-executes from the durable files, so
+    # collecting twice (and rewriting to a new path) yields identical ids
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple,
+                      dense_ids(df, ["key"], str(tmp_path / "ids2"),
+                                num_partitions=7).collect()))
+
+
+def test_dense_ids_rejects_duplicate_keys(spark, tmp_path):
+    from hta_spark.operators.ids import dense_ids
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    with pytest.raises(ValueError, match="total order"):
+        dense_ids(df, ["k"], str(tmp_path / "idsx"))
+
+
+def test_dense_ids_start_offset(spark, tmp_path):
+    from hta_spark.operators.ids import dense_ids
+    df = spark.createDataFrame([(3,), (1,), (2,)], "k int")
+    got = {r["k"]: r["row_id"]
+           for r in dense_ids(df, ["k"], str(tmp_path / "ids3"),
+                              start=100).collect()}
+    assert got == {1: 100, 2: 101, 3: 102}
+
+
 # -- curation funnel --------------------------------------------------------
 
 def test_pipeline_funnel_is_monotone(spark):
