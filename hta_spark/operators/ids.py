@@ -56,6 +56,13 @@ def dense_ids(df: DataFrame, order_cols: list[str], path: str,
        .sortWithinPartitions(*order_cols)
        .write.mode("overwrite").parquet(path))
     files = sorted(glob.glob(os.path.join(path, "part-*")))
+    if not files:
+        raise ValueError(
+            f"no part files found under {path!r} after the sorted write — "
+            "dense_ids reads parquet footers via the local filesystem, so "
+            "the path must be a plain local directory (an hdfs://, s3a:// "
+            "or file:// URI writes fine but globs empty, which would "
+            "silently return zero rows)")
     offsets, acc = [], int(start)
     for f in files:
         offsets.append((os.path.basename(f), acc))

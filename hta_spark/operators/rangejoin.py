@@ -28,16 +28,25 @@ __all__ = ["range_join_points"]
 
 def range_join_points(points: DataFrame, intervals: DataFrame,
                       point_col: str, begin_col: str, end_col: str,
-                      cell: int, how: str = "inner",
+                      cell: int,
                       extra_keys: list[str] | None = None) -> DataFrame:
-    """Join ``points`` to every interval with
+    """INNER-join ``points`` to every interval with
     ``begin <= point < end`` (half-open, matching the engine's scope
-    algebra) via grid cells of ``cell`` time units.
+    algebra) via grid cells of ``cell`` time units.  (Outer variants are
+    deliberately unsupported: the post-join exact predicate would
+    silently drop null-extended rows, turning any outer join back into
+    an inner one — compose an anti-join against this result instead.)
 
     ``cell`` should be on the order of the typical interval length: much
     smaller multiplies the interval explosion, much larger multiplies the
     false-candidate filter work.  ``extra_keys`` co-partitions the join on
     additional equality columns (e.g. a tenant id) for free.
+
+    Empty/inverted intervals (``end <= begin``) match nothing under the
+    half-open semantics and are dropped BEFORE the cell explosion —
+    F.sequence would otherwise step backwards and emit a descending cell
+    list (unbounded work for corrupt intervals, phantom cells for empty
+    ones).
 
     All columns of both inputs survive (same-name collisions are the
     caller's problem, as with any join).
@@ -49,11 +58,14 @@ def range_join_points(points: DataFrame, intervals: DataFrame,
     covered = F.sequence(
         F.floor(F.col(begin_col).cast("long") / c),
         F.floor((F.col(end_col).cast("long") - F.lit(1)) / c))
-    iv = intervals.withColumn("_cell", F.explode(covered))
+    iv = (intervals
+          .filter(F.col(end_col).cast("long")
+                  > F.col(begin_col).cast("long"))
+          .withColumn("_cell", F.explode(covered)))
     pt = points.withColumn("_cell", p_cell)
     cond = (F.col(point_col).cast("long")
             >= F.col(begin_col).cast("long")) & \
            (F.col(point_col).cast("long") < F.col(end_col).cast("long"))
-    return (pt.join(iv, ["_cell", *keys], how)
+    return (pt.join(iv, ["_cell", *keys], "inner")
             .filter(cond)
             .drop("_cell"))

@@ -136,8 +136,14 @@ def cosine_pairs_gemm(emb: DataFrame, threshold: float = 0.4,
     shape: exact search IS a GEMM when one side fits in memory.
 
     Scores can differ from the HOF path in the last ulp (pairwise vs
-    sequential summation) — both round to 4 decimals, same as
-    :func:`cosine_topk_wide`.
+    sequential summation; numpy also rounds half-even where SQL rounds
+    half-up, which only matters for values EXACTLY on a 5th-decimal
+    boundary).  Both round to 4 decimals — same convention as
+    :func:`cosine_topk_wide`: a pre-round difference survives rounding
+    only when the value sits within ~1 ulp of a rounding boundary
+    (~1e-12 per pair), the accepted per-row-double trade documented in
+    queries_pipeline; the exact-integer convention is reserved for
+    order-dependent SUMS, which these per-pair scalars are not.
     """
     rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
     schema = f"a long, b long, cos_sim double"

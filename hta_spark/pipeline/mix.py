@@ -55,13 +55,21 @@ def mix_weights(docs: DataFrame, targets: dict[str, float] | DataFrame,
         targets = spark.createDataFrame(
             sorted((str(k), float(v)) for k, v in targets.items()),
             f"{source_col} string, share double")
-    total_share = targets.agg(F.sum("share").alias("_ts"))
+    # shares must normalize: a zero/empty target sum has no meaning and
+    # would propagate NULL rates into every downstream join — fail fast.
+    # (The collect is targets-sized driver state, same class as the
+    # broadcast itself.)
+    ts_row = targets.agg(F.sum("share").alias("_ts")).collect()
+    total_share = float(ts_row[0]["_ts"] or 0.0) if ts_row else 0.0
+    if not total_share > 0.0:
+        raise ValueError(
+            f"target shares sum to {total_share} — the mixture is "
+            "undefined; provide at least one positive share")
     have = source_token_counts(docs, source_col, text_col)
-    j = (have.join(F.broadcast(targets), source_col, "full")
-         .crossJoin(F.broadcast(total_share)))
+    j = have.join(F.broadcast(targets), source_col, "full")
     tokens = F.coalesce("source_tokens", F.lit(0).cast("long"))
     want = (F.lit(float(budget_tokens)) * F.coalesce("share", F.lit(0.0))
-            / F.col("_ts"))
+            / F.lit(total_share))
     rate = F.when(tokens > 0, F.least(
         F.lit(int(BP)).cast("long"),
         F.floor(F.lit(float(BP)) * want / tokens.cast("double"))

@@ -47,9 +47,14 @@ def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str],
     ``kmv_distinct`` is exact (= n_kept) when the group has < k distinct
     values and ``(k-1) * 2^60 / h_k`` otherwise.  Deterministic in the
     data only — partitioning, task order and engine cannot change it.
+
+    NULL values are excluded, matching ``count_distinct`` (a null would
+    otherwise hash to NULL, sort first in Spark's window but last in
+    DuckDB's, and skew n_kept vs the exact count).
     """
     h = md5_long(F.col(value_col).cast("string"), seed)
     hashed = (df.select(*group_cols, F.col(value_col))
+              .filter(F.col(value_col).isNotNull())
               .distinct()
               .select(*group_cols, h.alias("_h")))
     w = Window.partitionBy(*group_cols).orderBy("_h")
@@ -84,7 +89,8 @@ def hist_quantiles(df: DataFrame, value_col: str,
     v = F.round(F.col(value_col).cast("double") * F.lit(int(scale)))\
         .cast("long")
     ints = df.select(v.alias("_v"))
-    bounds = ints.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    bounds = ints.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"),
+                      F.count("*").cast("long").alias("_total"))
     # floor(), not cast: Spark's double->long cast truncates but DuckDB's
     # rounds — an explicit floor is the only construction both agree on.
     width = F.greatest(
@@ -94,15 +100,13 @@ def hist_quantiles(df: DataFrame, value_col: str,
     binned = (ints.crossJoin(F.broadcast(bounds))
               .select(F.floor((F.col("_v") - F.col("_lo")) / width)
                       .alias("_bin"),
-                      "_lo", (width).alias("_w"))
-              .groupBy("_bin", "_lo", "_w")
+                      "_lo", (width).alias("_w"), "_total")
+              .groupBy("_bin", "_lo", "_w", "_total")
               .agg(F.count("*").cast("long").alias("_n")))
     wcum = Window.orderBy("_bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
     cum = (binned.withColumn("_cum", F.sum("_n").over(wcum))
-           .withColumn("_below", F.col("_cum") - F.col("_n"))
-           .crossJoin(F.broadcast(
-               ints.agg(F.count("*").cast("long").alias("_total")))))
+           .withColumn("_below", F.col("_cum") - F.col("_n")))
     spark = df.sparkSession
     targets = F.broadcast(spark.createDataFrame(
         [(float(q),) for q in qs], "q double"))

@@ -106,7 +106,8 @@ def q_kmv_distinct(spark, sf_dir):
 
 
 SQL_KMV_DISTINCT = f"""
-WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events
+           WHERE user_id IS NOT NULL),
 h AS (
   SELECT event_type,
          ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15))

@@ -37,9 +37,12 @@ _STATE_SCHEMA = T.StructType([
     T.StructField("minima", T.ArrayType(T.LongType()), True)])
 
 
-def _out_schema(group_col: str) -> T.StructType:
+def _out_schema(df: DataFrame, group_col: str) -> T.StructType:
+    # group column keeps its INPUT type (hardcoding string would error at
+    # runtime for long/int group keys)
+    gtype = df.schema[group_col].dataType
     return T.StructType([
-        T.StructField(group_col, T.StringType(), True),
+        T.StructField(group_col, gtype, True),
         T.StructField("n_kept", T.LongType(), True),
         T.StructField("kth_hash", T.LongType(), True),
         T.StructField("kmv_distinct", T.DoubleType(), True),
@@ -64,6 +67,8 @@ def stream_kmv_distinct(stream_df: DataFrame, value_col: str,
         have = set(minima)
         for pdf in pdfs:
             for v in pdf[value_col]:
+                if v is None or (isinstance(v, float) and v != v):
+                    continue   # NULL/NaN excluded, matching batch kmv
                 h = md5_long_py(v, seed)
                 if h not in have:
                     have.add(h)
@@ -81,6 +86,7 @@ def stream_kmv_distinct(stream_df: DataFrame, value_col: str,
     return (stream_df
             .select(group_col, value_col)
             .groupBy(group_col)
-            .applyInPandasWithState(_update, _out_schema(group_col),
+            .applyInPandasWithState(_update,
+                                    _out_schema(stream_df, group_col),
                                     _STATE_SCHEMA, "update",
                                     GroupStateTimeout.NoTimeout))

@@ -89,6 +89,13 @@ def test_kmv_duplicates_do_not_change_sketch(spark):
             ["kmv_distinct"])
 
 
+def test_kmv_excludes_nulls_like_count_distinct(spark):
+    rows = [("a", str(i)) for i in range(10)] + [("a", None)] * 3
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = kmv_distinct(df, "v", ["g"], k=64).collect()[0]
+    assert r["n_kept"] == 10 and r["kmv_distinct"] == 10.0
+
+
 def test_kmv_plan_uses_window_group_limit(spark):
     df = spark.createDataFrame(
         [("a", i) for i in range(100)], "g string, v int")
@@ -145,6 +152,11 @@ def test_mix_weights_realizes_budget(spark):
     # small: 50 tokens, want 50 -> capped at 10000bp, expect all 50
     assert out["small"]["rate_bp"] == 10000
     assert out["small"]["expect_tokens"] == 50
+
+
+def test_mix_weights_zero_share_sum_raises(spark):
+    with pytest.raises(ValueError, match="positive share"):
+        mix_weights(_corpus(spark), {"big": 0.0}, budget_tokens=100)
 
 
 def test_mix_weights_untargeted_and_missing_sources(spark):
@@ -291,6 +303,18 @@ def test_range_join_half_open_boundaries(spark):
     got = [(r["pid"], r["iid"]) for r in
            range_join_points(p, iv, "t", "b", "e", cell=5).collect()]
     assert got == [(1, 9)]      # begin inclusive, end exclusive
+
+
+def test_range_join_drops_empty_and_inverted_intervals(spark):
+    p = spark.createDataFrame([(1, 100)], "pid int, t long")
+    iv = spark.createDataFrame(
+        [(1, 100, 100),          # empty: end == begin
+         (2, 100, 90),           # inverted
+         (3, 90, 200)],          # real, matches
+        "iid int, b long, e long")
+    got = [(r["pid"], r["iid"]) for r in
+           range_join_points(p, iv, "t", "b", "e", cell=10).collect()]
+    assert got == [(1, 3)]
 
 
 def test_range_join_no_nested_loop_in_plan(spark):

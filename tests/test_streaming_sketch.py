@@ -63,3 +63,24 @@ def test_stream_kmv_equals_batch(spark, tmp_path):
     assert last == batch
     # group c has 5 < k distinct -> exact
     assert last["c"][0] == 5 and last["c"][2] == 5.0
+
+
+def test_stream_kmv_skips_nulls_and_long_group_col(spark, tmp_path):
+    """Null values must not enter the sketch (matching batch kmv), and a
+    non-string group column must keep its type in the output schema."""
+    rows = [(1, "a"), (1, "b"), (1, None), (2, "a")]
+    src = tmp_path / "kmvn_src"
+    src.mkdir()
+    (spark.createDataFrame(rows, "g long, v string")
+     .coalesce(1).write.parquet(str(src / "b0")))
+    stream = (spark.readStream.schema("g long, v string")
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "b*")))
+    out = stream_kmv_distinct(stream, "v", "g", k=8)
+    q = (out.writeStream.outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "kmvn_ckpt"))
+         .format("memory").queryName("kmv_nulls").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["g"]: r["n_kept"]
+           for r in spark.sql("SELECT * FROM kmv_nulls").collect()}
+    assert got == {1: 2, 2: 1}      # the null contributed nothing
