@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["cosine_sim", "cosine_topk", "cosine_topk_wide",
-           "cosine_pairs", "cosine_pairs_gemm", "knn_join",
+           "cosine_pairs", "cosine_pairs_gemm", "knn_join", "knn_join_ivf",
            "hyperplane_lsh_pairs", "centroid_frame",
            "ivf_assign", "ivf_topk", "probe_set", "ivf_index_write",
            "ivf_index_topk"]
@@ -249,6 +249,50 @@ def knn_join(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     return (emb.select(F.col(id_col), F.col(vec_col))
             .repartition(par)
             .mapInPandas(_knn, schema))
+
+
+def knn_join_ivf(emb: DataFrame, centroids: list[tuple[int, list[float]]],
+                 k: int = 5, nprobe: int = 2, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """:func:`knn_join` beyond the broadcast guard: IVF-probed candidate
+    generation.  Every vector joins only the members of its ``nprobe``
+    nearest clusters (equi-join on centroid id — shuffled on a real key,
+    AQE-splittable), exact cosine ranks the candidates, and the
+    ``row_number() <= k`` filter compiles to WindowGroupLimit (map-side
+    top-k).  Work is O(n * nprobe * avg_cluster_size) instead of O(n^2);
+    recall follows the IVF trade (with ``nprobe = len(centroids)`` the
+    result equals :func:`knn_join` exactly — equivalence-tested).
+
+    Same output contract as :func:`knn_join`: ``a, b, cos_sim, rank``
+    with deterministic (-round(cos,4), b) ranking, self excluded.
+    """
+    from pyspark.sql import Window
+
+    members = ivf_assign(emb, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("b"),
+        _as_double(F.col(vec_col)).alias("_vb"),
+        F.col("centroid_id").alias("_c"))
+    scored = F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            F.round(cosine_sim(F.col("_va"), s["v"]), 6).alias("s"),
+            (-s["c"]).alias("negc")))
+    probes = (emb.select(F.col(id_col).alias("a"),
+                         _as_double(F.col(vec_col)).alias("_va"))
+              .join(F.broadcast(centroid_frame(emb.sparkSession,
+                                               centroids)))
+              .withColumn("_probe", F.explode(
+                  F.slice(F.reverse(F.array_sort(scored)),
+                          1, int(nprobe))))
+              .select("a", "_va", (-F.col("_probe")["negc"]).alias("_c")))
+    sim = F.round(cosine_sim(F.col("_va"), F.col("_vb")), 4)
+    cand = (probes.join(members, "_c")
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b", sim.alias("cos_sim")))
+    w = Window.partitionBy("a").orderBy(F.desc("cos_sim"), F.col("b"))
+    return (cand.withColumn("rank",
+                            F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= F.lit(int(k))))
 
 
 def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.4,

@@ -259,6 +259,44 @@ def test_knn_join_matches_brute_force(spark):
         assert sorted(got[a]) == want, a
 
 
+def test_knn_join_ivf_full_probe_equals_exact(spark):
+    import numpy as np
+    from hta_spark.pipeline.ann import knn_join, knn_join_ivf
+    rng = np.random.default_rng(9)
+    centers = np.eye(4, 8, dtype=np.float64) * 5
+    vecs = []
+    for c in range(4):
+        for _ in range(8):
+            vecs.append(centers[c] + rng.normal(scale=0.3, size=8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    cents = [(c, [float(x) for x in centers[c]]) for c in range(4)]
+    exact = sorted(map(tuple, knn_join(emb, k=3).collect()))
+    # full probe coverage -> identical to the exact join (the GEMM and
+    # HOF paths share the round(4) score convention)
+    full = sorted(map(tuple,
+                      knn_join_ivf(emb, cents, k=3, nprobe=4).collect()))
+    assert full == exact
+    # nprobe=1 on well-separated clusters still finds the true in-cluster
+    # neighbors
+    one = sorted(map(tuple,
+                     knn_join_ivf(emb, cents, k=3, nprobe=1).collect()))
+    assert one == exact
+
+
+def test_knn_join_ivf_plan_uses_window_group_limit(spark):
+    from hta_spark.pipeline.ann import knn_join_ivf
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    plan = knn_join_ivf(emb, cents, k=2, nprobe=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_cosine_pairs_gemm_empty_and_guard(spark):
     import pytest as _pt
     from hta_spark.pipeline.ann import cosine_pairs_gemm
