@@ -371,6 +371,54 @@ GROUP BY 1, 2
 """
 
 
+# -- vocabulary / heavy hitters ---------------------------------------------
+
+VOCAB_TOP = 50
+
+
+def q_text_vocab(spark, sf_dir):
+    """Corpus vocabulary: top tokens by frequency with corpus-coverage
+    fractions — the heavy-hitters pass behind tokenizer/vocab builds.
+    Exact via one map-side-combined token count (distinct tokens, not
+    corpus size, bound the shuffle); ranks break ties by token for
+    determinism."""
+    from pyspark.sql import Window
+    from .pipeline.dedup import tokens_col
+    docs = _docs(spark, sf_dir)
+    toks = (docs.select(F.explode(tokens_col(F.col("text")))
+                        .alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").cast("long").alias("cnt")))
+    total = toks.agg(F.sum("cnt").cast("long").alias("_total"))
+    w = Window.orderBy(F.desc("cnt"), F.col("token"))
+    return (toks.crossJoin(F.broadcast(total))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= F.lit(VOCAB_TOP))
+            .select("rank", "token", "cnt",
+                    (F.col("cnt").cast("double")
+                     / F.col("_total").cast("double")).alias("coverage")))
+
+
+SQL_TEXT_VOCAB = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+  FROM documents
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+r AS (
+  SELECT token, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+             AS rank
+  FROM c
+)
+SELECT rank, token, cnt,
+       CAST(cnt AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+           AS coverage
+FROM r WHERE rank <= {VOCAB_TOP}
+"""
+
+
 # -- dense global ids -------------------------------------------------------
 
 def q_dense_ids(spark, sf_dir):
@@ -671,4 +719,5 @@ SCALE_QUERIES: dict[str, tuple] = {
     "q_json_props": (q_json_props, SQL_JSON_PROPS),
     "q_unpivot": (q_unpivot, SQL_UNPIVOT),
     "q_dense_ids": (q_dense_ids, SQL_DENSE_IDS),
+    "text_vocab": (q_text_vocab, SQL_TEXT_VOCAB),
 }
