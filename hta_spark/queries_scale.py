@@ -419,6 +419,68 @@ FROM r WHERE rank <= {VOCAB_TOP}
 """
 
 
+# -- unigram LM surprisal ---------------------------------------------------
+
+def q_unigram_surprisal(spark, sf_dir):
+    """Per-document unigram surprisal under the corpus's own unigram LM —
+    the language-model quality filter (high surprisal = unusual token
+    mix).  ln(p) is quantized to MICRO-UNITS PER TOKEN TYPE before the
+    per-document sum, so the sum is exact integer arithmetic (order-free
+    across engines); the only float risk left is a last-ulp ln()
+    difference landing exactly on a micro boundary (~1e-10 per distinct
+    token — the same accepted class as round(4) cosines).  The LM is a
+    broadcast vocab frame; scoring is one explode + broadcast join +
+    grouped integer sum."""
+    from .pipeline.dedup import tokens_col
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id",
+                       F.explode(tokens_col(F.col("text"))).alias("token"))
+    vocab = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("_total"))
+    lm = (vocab.crossJoin(F.broadcast(total))
+          .select("token",
+                  F.round(-F.log(F.col("cnt").cast("double")
+                                 / F.col("_total").cast("double"))
+                          * 1e6).cast("long").alias("micro_surprisal")))
+    per_doc = (toks.join(F.broadcast(lm), "token")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_tokens"),
+                    F.sum("micro_surprisal").cast("long")
+                    .alias("surprisal_micro")))
+    nats = (F.col("surprisal_micro").cast("double")
+            / F.col("n_tokens").cast("double"))
+    return per_doc.select("doc_id", "n_tokens", "surprisal_micro",
+                          (nats / F.lit(1e6)).alias("nats_per_token"))
+
+
+SQL_UNIGRAM_SURPRISAL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks
+          GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+lm AS (
+  SELECT token,
+         CAST(round(-ln(CAST(cnt AS DOUBLE)
+                        / CAST((SELECT total FROM t) AS DOUBLE)) * 1e6)
+              AS BIGINT) AS micro_surprisal
+  FROM vocab
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(micro_surprisal) AS BIGINT) AS surprisal_micro
+  FROM toks JOIN lm USING (token) GROUP BY 1
+)
+SELECT doc_id, n_tokens, surprisal_micro,
+       (CAST(surprisal_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1e6
+           AS nats_per_token
+FROM per
+"""
+
+
 # -- dense global ids -------------------------------------------------------
 
 def q_dense_ids(spark, sf_dir):
@@ -720,4 +782,5 @@ SCALE_QUERIES: dict[str, tuple] = {
     "q_unpivot": (q_unpivot, SQL_UNPIVOT),
     "q_dense_ids": (q_dense_ids, SQL_DENSE_IDS),
     "text_vocab": (q_text_vocab, SQL_TEXT_VOCAB),
+    "text_unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
 }
