@@ -188,7 +188,9 @@ def _pipeline_latency(spark, qs) -> dict:
                  "curation_report", "decontaminate_overlap",
                  "sketch_kmv_distinct", "sketch_hist_quantiles",
                  "text_rules", "q_range_join_incidents", "q_bucketed_join",
-                 "mix_weights"):
+                 "mix_weights", "pipeline_funnel", "ann_knn_join",
+                 "text_vocab", "text_unigram_surprisal", "q_range_frame",
+                 "q_json_props", "q_unpivot", "q_dense_ids"):
         fn = qs.get(name)
         if fn is None:
             continue
@@ -212,7 +214,9 @@ def main() -> None:
     from hta_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
-    spark = get_spark(app_name="hta_spark_bench")
+    spark = get_spark(app_name="hta_spark_bench", extra_conf={
+        # keep stdout clean for the one-line JSON contract
+        "spark.ui.showConsoleProgress": "false"})
     qs = entry_mod.queries()
     # JVM/codegen warmup (excluded from timings): a small end-to-end pass
     warm = qs.get("hta_level1_rollup")
@@ -278,7 +282,11 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(headline))
+    # leading newline: Spark's console progress bar ends lines with a bare
+    # carriage return, which would glue the JSON to a progress line and
+    # break line-anchored parsing of the headline
+    sys.stdout.write("\n" + json.dumps(headline) + "\n")
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -205,6 +205,10 @@ def knn_join(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     spark = emb.sparkSession
     if not rows:
         return spark.createDataFrame([], schema)
+    # ascending-id order makes a STABLE argsort on -cos break ties by b
+    # id exactly like lexsort((id, -cos)) — the vectorized per-block
+    # top-k below depends on it
+    rows.sort(key=lambda r: r[0])
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mb = mat.nbytes / 2 ** 20
@@ -224,26 +228,26 @@ def knn_join(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
             a_norms = np.linalg.norm(a_mat, axis=1)
             for lo in range(0, len(a_ids), block_rows):
                 hi = min(lo + block_rows, len(a_ids))
+                m = hi - lo
                 sims = np.round(
                     (a_mat[lo:hi] @ b_mat.T)
                     / (a_norms[lo:hi, None] * b_norms[None, :]), 4)
-                out_a, out_b, out_c, out_r = [], [], [], []
-                for i in range(hi - lo):
-                    row = sims[i]
-                    mask = b_ids != a_ids[lo + i]
-                    cand_ids = b_ids[mask]
-                    cand = row[mask]
-                    order = np.lexsort((cand_ids, -cand))[:kk]
-                    out_a.extend([a_ids[lo + i]] * len(order))
-                    out_b.extend(cand_ids[order])
-                    out_c.extend(cand[order])
-                    out_r.extend(range(1, len(order) + 1))
-                if out_a:
-                    yield pd.DataFrame({"a": np.array(out_a),
-                                        "b": np.array(out_b),
-                                        "cos_sim": np.array(out_c),
-                                        "rank": np.array(out_r,
-                                                         dtype=np.int64)})
+                # top k+1 per row in (-cos, b_id) order, fully vectorized
+                # (k+1 because at most one of them is the row itself)
+                take = min(kk + 1, sims.shape[1])
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+                ridx = np.arange(m)[:, None]
+                cand_b = b_ids[order]
+                cand_c = sims[ridx, order]
+                keep = cand_b != a_ids[lo:hi, None]
+                rank = np.cumsum(keep, axis=1)
+                sel = keep & (rank <= kk)
+                if sel.any():
+                    yield pd.DataFrame({
+                        "a": np.repeat(a_ids[lo:hi], sel.sum(axis=1)),
+                        "b": cand_b[sel],
+                        "cos_sim": cand_c[sel],
+                        "rank": rank[sel].astype(np.int64)})
 
     par = spark.sparkContext.defaultParallelism
     return (emb.select(F.col(id_col), F.col(vec_col))
