@@ -51,6 +51,7 @@ __all__ = [
     "build_level1",
     "build_next_level",
     "build_levels",
+    "materialize_levels",
 ]
 
 
@@ -434,6 +435,36 @@ def build_next_level(child: DataFrame, child_interval: int, factor: int,
         .filter(F.col("interval_start") + F.lit(parent_interval) <= F.col("t_last"))
         .drop("t_first", "t_last")
     )
+
+
+def materialize_levels(levels: dict[int, DataFrame]) -> None:
+    """Force the whole cascade dict into cache with TWO jobs instead of
+    one per level.
+
+    Per-level ``cache().write(noop)`` loops pay one full job (scheduling,
+    broadcast re-execution, shuffle setup) per level even though every
+    level above 1 is a trivial re-group of a tiny cached parent — measured
+    ~0.5 s/level of pure overhead on the 16.7M-point single-metric build
+    (levels 2-4 hold 559k/56k/5.6k rows).  Instead: job 1 materializes
+    level 1 (the only expensive lineage) into cache; job 2 forces the
+    UNION of all higher levels in one action.  Branch k of the union
+    recomputes levels 2..k-1 from the cached level 1 rather than waiting
+    on its sibling's cache — that duplicate work is bounded by
+    ``sum(|level_i|) / factor`` rows of re-grouping (≪ one job's
+    overhead), and each level's own ``cache()`` still populates as its
+    branch computes, so callers keep per-level cached frames."""
+    if not levels:
+        return
+    ivs = sorted(levels)
+    levels[ivs[0]].cache().write.mode("overwrite").format("noop").save()
+    if len(ivs) == 1:
+        return
+    rest = None
+    for iv in ivs[1:]:
+        df = levels[iv].cache().select(
+            F.lit(iv).alias("_iv"), "metric", "interval_start")
+        rest = df if rest is None else rest.unionByName(df)
+    rest.write.mode("overwrite").format("noop").save()
 
 
 def build_levels(raw: DataFrame, meta: Meta,

@@ -118,6 +118,33 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.4,
             .filter(F.col("cos_sim") >= F.lit(threshold)))
 
 
+def _collect_matrix_guarded(emb: DataFrame, id_col: str, vec_col: str,
+                            max_broadcast_mb: int, hint: str):
+    """Size-guarded driver collect of (ids, matrix) for the exact GEMM
+    paths.  The guard runs BEFORE the collect, from one count/size
+    aggregate (n * dim * 8 bytes): collecting first would materialize the
+    oversized frame as driver Row objects — several times the numpy
+    matrix the guard measures — and OOM the driver instead of raising the
+    clean ValueError (ADVICE r3).  Returns (ids, mat) sorted by id, or
+    None for an empty frame."""
+    est = emb.agg(F.count(F.lit(1)).alias("n"),
+                  F.max(F.size(F.col(vec_col))).alias("d")).collect()[0]
+    n, d = est["n"], est["d"]
+    if not n:
+        return None
+    mb = n * (d or 0) * 8 / 2 ** 20
+    if mb > max_broadcast_mb:
+        raise ValueError(
+            f"embedding matrix is {mb:.0f} MiB > {max_broadcast_mb} MiB: "
+            + hint)
+    rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
+    # ascending-id order makes a STABLE argsort on -cos break ties by id
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
 def cosine_pairs_gemm(emb: DataFrame, threshold: float = 0.4,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       max_broadcast_mb: int = 256,
@@ -145,19 +172,15 @@ def cosine_pairs_gemm(emb: DataFrame, threshold: float = 0.4,
     queries_pipeline; the exact-integer convention is reserved for
     order-dependent SUMS, which these per-pair scalars are not.
     """
-    rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
-    schema = f"a long, b long, cos_sim double"
+    schema = "a long, b long, cos_sim double"
     spark = emb.sparkSession
-    if not rows:
+    got = _collect_matrix_guarded(
+        emb, id_col, vec_col, max_broadcast_mb,
+        "exact all-pairs no longer fits a broadcast — use "
+        "hyperplane_lsh_pairs for candidate generation at this scale")
+    if got is None:
         return spark.createDataFrame([], schema)
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mb = mat.nbytes / 2 ** 20
-    if mb > max_broadcast_mb:
-        raise ValueError(
-            f"embedding matrix is {mb:.0f} MiB > {max_broadcast_mb} MiB: "
-            "exact all-pairs no longer fits a broadcast — use "
-            "hyperplane_lsh_pairs for candidate generation at this scale")
+    ids, mat = got
     norms = np.linalg.norm(mat, axis=1)
     bc = spark.sparkContext.broadcast((ids, mat, norms))
     thr = float(threshold)
@@ -200,22 +223,17 @@ def knn_join(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     by (-round(cos, 4), neighbor id).  Output: ``a, b, cos_sim, rank``
     with rank 1..k.  Beyond the broadcast guard, route through
     :func:`ivf_index_topk` probes instead."""
-    rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
     schema = "a long, b long, cos_sim double, rank long"
     spark = emb.sparkSession
-    if not rows:
+    # ascending-id order (via the guarded collect) makes a STABLE argsort
+    # on -cos break ties by b id exactly like lexsort((id, -cos)) — the
+    # vectorized per-block top-k below depends on it
+    got = _collect_matrix_guarded(
+        emb, id_col, vec_col, max_broadcast_mb,
+        "use the IVF index probes for knn at this scale")
+    if got is None:
         return spark.createDataFrame([], schema)
-    # ascending-id order makes a STABLE argsort on -cos break ties by b
-    # id exactly like lexsort((id, -cos)) — the vectorized per-block
-    # top-k below depends on it
-    rows.sort(key=lambda r: r[0])
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mb = mat.nbytes / 2 ** 20
-    if mb > max_broadcast_mb:
-        raise ValueError(
-            f"embedding matrix is {mb:.0f} MiB > {max_broadcast_mb} MiB: "
-            "use the IVF index probes for knn at this scale")
+    ids, mat = got
     norms = np.linalg.norm(mat, axis=1)
     bc = spark.sparkContext.broadcast((ids, mat, norms))
     kk = int(k)

@@ -1,0 +1,136 @@
+"""BPE merge training — the tokenizer-construction stage of an LLM data
+pipeline (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+with Subword Units").
+
+The classic algorithm iterates: count adjacent symbol pairs over the
+corpus, merge the most frequent pair everywhere, repeat K times; the
+ordered merge list IS the tokenizer.  The standard scaling trick applies
+unchanged here: merges operate on the *distinct-word* table weighted by
+word frequency, never on the corpus itself — so every round is one
+map-side-combined aggregate over vocabulary-sized data (the corpus is
+scanned exactly once, up front, to build the weighted vocab).
+
+Spark-first shape per round (driver loop of K rounds, like
+:mod:`.kmeans`):
+
+- pair counts: explode each word's adjacent symbol pairs (higher-order
+  ``transform`` over an index sequence — JVM-side, no UDF), weighted
+  grouped sum;
+- top pair: ``orderBy(count desc, pair asc).limit(1)`` —
+  TakeOrderedAndProject, never a global sort;
+- merge: symbols live as a space-separated, space-padded string
+  (`` h e l l o ``), so merging pair (l, r) is a literal
+  ``replace(' l r ', ' lr ')`` — map-only, whole-stage codegen.
+
+Merge-application semantics (DOCUMENTED DEVIATION): literal replace
+scans left-to-right non-overlapping and consumes the trailing separator,
+so a run of repeated symbols (``l == r``) merges one pair per
+application rather than every alternate pair in one pass.  Each round
+applies the replace exactly ``MERGE_PASSES`` (2) times, which resolves
+runs up to length 5 like canonical greedy BPE; longer same-symbol runs
+(rare in natural text) may defer some merges to a later round where the
+same pair wins again.  The semantics are exactly reproducible in any
+engine with leftmost non-overlapping ``replace`` — the property the
+DuckDB oracle gate needs — unlike canonical run-parity merging, whose
+per-run alternation has no portable declarative form.
+
+Reference parity note: the reference engine (metricq/hta) has no
+tokenizer surface; this extends the pipeline family per the build brief
+(VERDICT r3 item 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import tokens_col
+
+__all__ = ["MERGE_PASSES", "weighted_vocab", "symbolize", "pair_counts",
+           "apply_merge", "bpe_train"]
+
+#: literal-replace applications per merge round (see module docstring)
+MERGE_PASSES = 2
+
+
+def weighted_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, freq) over the corpus — the one corpus-sized scan.
+    Empty tokens (consecutive separators) are dropped."""
+    return (docs.select(F.explode(tokens_col(F.col(text_col)))
+                        .alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+
+
+def symbolize(vocab: DataFrame) -> DataFrame:
+    """Initial symbol sequence per word as a space-padded string:
+    ``"abc" -> " a b c "`` (one regexp pass; every symbol is surrounded
+    by single spaces, the invariant every merge preserves)."""
+    rep = F.concat(F.lit(" "),
+                   F.regexp_replace(F.col("token"), "(.)", "$1 "))
+    return vocab.select(rep.alias("repr"), "freq")
+
+
+def pair_counts(reprs: DataFrame) -> DataFrame:
+    """Adjacent-pair weighted counts: ``lhs, rhs, pair_count``.
+    The explode is bounded by total symbol count of the VOCAB (not the
+    corpus); the grouped sum partial-aggregates map-side."""
+    syms = F.split(F.trim(F.col("repr")), " ")
+    # guard single-symbol words: F.sequence(1, 0) DESCENDS in Spark, it
+    # does not produce an empty list (explode then drops the empty array)
+    idx = F.when(F.size(syms) > 1,
+                 F.sequence(F.lit(1), F.size(syms) - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    pair = F.explode(F.transform(
+        idx,
+        lambda i: F.struct(F.element_at(syms, i).alias("l"),
+                           F.element_at(syms, i + 1).alias("r"))))
+    return (reprs.select(pair.alias("p"), "freq")
+            .select(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"),
+                    "freq")
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("freq").cast("long").alias("pair_count")))
+
+
+def apply_merge(reprs: DataFrame, left: str, right: str,
+                passes: int = MERGE_PASSES) -> DataFrame:
+    """Merge pair (left, right) everywhere: ``passes`` applications of the
+    literal space-bounded replace (see module docstring)."""
+    col = F.col("repr")
+    pat = F.lit(f" {left} {right} ")
+    rep = F.lit(f" {left}{right} ")
+    for _ in range(int(passes)):
+        col = F.replace(col, pat, rep)
+    return reprs.select(col.alias("repr"), "freq")
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8,
+              text_col: str = "text") -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the ordered merge table
+    ``step, lhs, rhs, pair_count`` (step 1..n).
+
+    Each round runs one distributed pair-count aggregate + a driver-side
+    top-1 (TakeOrdered); the evolving vocab is cached per round and the
+    previous round unpersisted, so lineage stays one-round deep (same
+    loop discipline as :func:`.kmeans.kmeans_lite`).  Ties break by
+    (lhs, rhs) ascending — binary collation in both engines."""
+    spark = docs.sparkSession
+    reprs = symbolize(weighted_vocab(docs, text_col)).cache()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for step in range(1, int(n_merges) + 1):
+            top = (pair_counts(reprs)
+                   .orderBy(F.desc("pair_count"), "lhs", "rhs")
+                   .limit(1).collect())
+            if not top:
+                break
+            l, r, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
+            merges.append((step, l, r, int(cnt)))
+            nxt = apply_merge(reprs, l, r).cache()
+            nxt.count()          # materialize before dropping the parent
+            reprs.unpersist()
+            reprs = nxt
+    finally:
+        reprs.unpersist()
+    return spark.createDataFrame(
+        merges, "step long, lhs string, rhs string, pair_count long")

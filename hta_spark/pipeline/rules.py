@@ -51,18 +51,22 @@ def rule_signals(docs: DataFrame, text_col: str = "text",
     symbol_chars = F.length(
         F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", ""))\
         .cast("long")
+    # 0/0 is NULL in Spark (tri-state poison: ~keep / keep == False
+    # filters then disagree with filter(keep), ADVICE r3) — an
+    # empty/whitespace-only doc gets ratio 0.0 and a definite verdict
+    def _frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double"))\
+            .otherwise(F.lit(0.0))
+
     return base.select(
         F.col(id_col),
         n_words.alias("n_words"),
         word_chars.alias("word_chars"),
-        (word_chars.cast("double") / n_words.cast("double"))
-        .alias("mean_word_len"),
+        _frac(word_chars, n_words).alias("mean_word_len"),
         n_alpha.alias("n_alpha_words"),
-        (n_alpha.cast("double") / n_words.cast("double"))
-        .alias("alpha_frac"),
+        _frac(n_alpha, n_words).alias("alpha_frac"),
         symbol_chars.alias("symbol_chars"),
-        (symbol_chars.cast("double") / n_chars.cast("double"))
-        .alias("symbol_frac"),
+        _frac(symbol_chars, n_chars).alias("symbol_frac"),
         _count(F.col(text_col), URL_RE).alias("n_urls"),
         _count(F.col(text_col), EMAIL_RE).alias("n_emails"),
         _count(F.col(text_col), BPE_ISH).alias("n_bpe_tokens"),
@@ -85,4 +89,5 @@ def rule_filter(docs: DataFrame, text_col: str = "text",
             & (F.col("mean_word_len") <= F.lit(float(max_mean_word_len)))
             & (F.col("alpha_frac") >= F.lit(float(min_alpha_frac)))
             & (F.col("symbol_frac") <= F.lit(float(max_symbol_frac))))
-    return s.withColumn("keep", keep)
+    # the verdict is always a definite boolean (never NULL)
+    return s.withColumn("keep", F.coalesce(keep, F.lit(False)))

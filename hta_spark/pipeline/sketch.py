@@ -86,6 +86,11 @@ def hist_quantiles(df: DataFrame, value_col: str,
     at 100 TB the bounds pass is metadata-cheap (parquet min/max) or the
     bounds are known a priori and passed through a pre-aggregated frame.
     """
+    bad = [q for q in qs if not 0.0 < float(q) <= 1.0]
+    if bad:
+        # q=0 has no rank-1-satisfying bin (target_rank 0 < every _cum)
+        # and q>1 exceeds the data — both would silently drop rows
+        raise ValueError(f"quantiles must be in (0, 1], got {bad}")
     v = F.round(F.col(value_col).cast("double") * F.lit(int(scale)))\
         .cast("long")
     ints = df.select(v.alias("_v"))
@@ -103,7 +108,14 @@ def hist_quantiles(df: DataFrame, value_col: str,
                       "_lo", (width).alias("_w"), "_total")
               .groupBy("_bin", "_lo", "_w", "_total")
               .agg(F.count("*").cast("long").alias("_n")))
-    wcum = Window.orderBy("_bin").rowsBetween(
+    # partitionBy(_total): the cumulative window runs over the AGGREGATED
+    # frame (<= n_bins rows), so one partition is fine — but an empty
+    # partition spec makes WindowExec emit a scale WARN per run, and the
+    # bench tail is now the parse surface.  ``_total`` is constant across
+    # the frame (one group, same plan) yet a genuine attribute, so the
+    # optimizer can't fold it away like a literal key; the broadcast
+    # self-join alternative would execute the full-data aggregate twice.
+    wcum = Window.partitionBy("_total").orderBy("_bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
     cum = (binned.withColumn("_cum", F.sum("_n").over(wcum))
            .withColumn("_below", F.col("_cum") - F.col("_n")))

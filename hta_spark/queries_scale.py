@@ -290,8 +290,8 @@ WITH toks AS (
 s AS (
   SELECT doc_id,
          CAST(len(t) AS BIGINT) AS n_words,
-         CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
-             AS word_chars,
+         CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0)
+              AS BIGINT) AS word_chars,
          CAST(len(list_filter(t, x -> regexp_full_match(x, '[a-z]+')))
               AS BIGINT) AS n_alpha_words,
          CAST(len(text) AS BIGINT) AS n_chars,
@@ -308,20 +308,28 @@ s AS (
   FROM toks
 )
 SELECT doc_id, n_words, word_chars,
-       CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
-           AS mean_word_len,
+       CASE WHEN n_words > 0
+            THEN CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+            ELSE 0.0 END AS mean_word_len,
        n_alpha_words,
-       CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
-           AS alpha_frac,
+       CASE WHEN n_words > 0
+            THEN CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+            ELSE 0.0 END AS alpha_frac,
        symbol_chars,
-       CAST(symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
-           AS symbol_frac,
+       CASE WHEN n_chars > 0
+            THEN CAST(symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+            ELSE 0.0 END AS symbol_frac,
        n_urls, n_emails, n_bpe_tokens,
-       (n_words >= 5 AND n_words <= 100000
-        AND CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) >= 2.0
-        AND CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) <= 12.0
-        AND CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.6
-        AND CAST(symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.2)
+       COALESCE(n_words >= 5 AND n_words <= 100000
+        AND CASE WHEN n_words > 0
+             THEN CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END BETWEEN 2.0 AND 12.0
+        AND CASE WHEN n_words > 0
+             THEN CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END >= 0.6
+        AND CASE WHEN n_chars > 0
+             THEN CAST(symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             ELSE 0.0 END <= 0.2, FALSE)
            AS keep
 FROM s
 """
@@ -381,7 +389,14 @@ def q_text_vocab(spark, sf_dir):
     fractions — the heavy-hitters pass behind tokenizer/vocab builds.
     Exact via one map-side-combined token count (distinct tokens, not
     corpus size, bound the shuffle); ranks break ties by token for
-    determinism."""
+    determinism.
+
+    Scale note (VERDICT r3 #1): the global top-k is orderBy().limit(),
+    which Spark compiles to TakeOrderedAndProject — a per-partition
+    heap top-k merged on the driver, never a single-partition sort of
+    the full distinct-token set.  Only the <= VOCAB_TOP survivors see
+    the rank window (partitioned by a literal so no partitionless-
+    window plan is ever emitted)."""
     from pyspark.sql import Window
     from .pipeline.dedup import tokens_col
     docs = _docs(spark, sf_dir)
@@ -390,10 +405,13 @@ def q_text_vocab(spark, sf_dir):
             .groupBy("token")
             .agg(F.count("*").cast("long").alias("cnt")))
     total = toks.agg(F.sum("cnt").cast("long").alias("_total"))
-    w = Window.orderBy(F.desc("cnt"), F.col("token"))
-    return (toks.crossJoin(F.broadcast(total))
+    top = toks.orderBy(F.desc("cnt"), F.col("token")).limit(VOCAB_TOP)
+    # ``_total`` is constant over the <= VOCAB_TOP survivors: one window
+    # group via a real attribute (a literal key would be folded away and
+    # the empty spec makes WindowExec WARN)
+    w = Window.partitionBy("_total").orderBy(F.desc("cnt"), F.col("token"))
+    return (top.crossJoin(F.broadcast(total))
             .withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= F.lit(VOCAB_TOP))
             .select("rank", "token", "cnt",
                     (F.col("cnt").cast("double")
                      / F.col("_total").cast("double")).alias("coverage")))
@@ -417,6 +435,68 @@ SELECT rank, token, cnt,
            AS coverage
 FROM r WHERE rank <= {VOCAB_TOP}
 """
+
+
+# -- BPE merge training (tokenizer construction) ----------------------------
+
+BPE_MERGES = 8
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer training: the first ``BPE_MERGES`` BPE merges over the
+    corpus (pair counting -> merge top pair -> re-segment, unrolled-rounds
+    oracle like ann_kmeans_lite; see :mod:`hta_spark.pipeline.bpe` for the
+    scale shape and the documented replace-semantics convention)."""
+    from .pipeline.bpe import bpe_train
+    return bpe_train(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    """Independent DuckDB restatement of q_bpe_merges: rounds unrolled
+    into chained CTEs.  Pair extraction is a list-transform over symbol
+    positions (vs Spark's HOF explode); the merge is the same literal
+    space-bounded replace applied MERGE_PASSES (2) times, with the round's
+    winning pair injected via scalar subqueries."""
+    parts = ["""WITH toks AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+  FROM documents
+),
+v0 AS (
+  SELECT ' ' || regexp_replace(token, '(.)', '\\1 ', 'g') AS repr,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM toks WHERE token <> '' GROUP BY 1
+)"""]
+    round_tpl = """
+p{i} AS (
+  SELECT p.l AS lhs, p.r AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(syms)),
+                  j -> struct_pack(l := syms[j], r := syms[j+1]))) AS p
+    FROM (SELECT string_split(trim(repr), ' ') AS syms, freq FROM v{prev})
+  ) GROUP BY 1, 2
+),
+t{i} AS MATERIALIZED (
+  SELECT lhs, rhs, pair_count FROM p{i}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+),
+v{i} AS MATERIALIZED (
+  SELECT replace(replace(repr,
+           (SELECT ' ' || lhs || ' ' || rhs || ' ' FROM t{i}),
+           (SELECT ' ' || lhs || rhs || ' ' FROM t{i})),
+           (SELECT ' ' || lhs || ' ' || rhs || ' ' FROM t{i}),
+           (SELECT ' ' || lhs || rhs || ' ' FROM t{i})) AS repr, freq
+  FROM v{prev}
+)"""
+    for i in range(1, n_merges + 1):
+        parts.append(round_tpl.format(i=i, prev=i - 1))
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, pair_count FROM t{i}"
+        for i in range(1, n_merges + 1))
+    return ",".join(parts) + "\n" + finals
+
+
+SQL_BPE_MERGES = _bpe_sql()
 
 
 # -- unigram LM surprisal ---------------------------------------------------
@@ -636,6 +716,68 @@ FROM r WHERE rk <= {KNN_K}
 """
 
 
+# -- IVF-probed kNN join (the beyond-broadcast scale path) ------------------
+
+KNN_NPROBE = 2
+
+
+def q_knn_join_ivf(spark, sf_dir):
+    """:func:`knn_join` routed through the IVF probe path — the plan 100 TB
+    actually uses (centroid equi-join candidates + WindowGroupLimit
+    top-k), oracle-gated so the driver sees the beyond-broadcast path,
+    not just the exact GEMM baseline (VERDICT r3 item 4).  Centroids are
+    the fixed seeded codebook (vec_id < 10) shared with ann_ivf_assign;
+    nprobe=2 keeps the probe approximate (recall < 1), which the oracle
+    mirrors candidate-for-candidate."""
+    from .pipeline.ann import knn_join_ivf
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") < 10)
+             .select("vec_id", "embedding").collect()]
+    return knn_join_ivf(emb, cents, k=KNN_K, nprobe=KNN_NPROBE)
+
+
+SQL_KNN_JOIN_IVF = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 10
+),
+sim_c AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS s
+  FROM embeddings e CROSS JOIN c
+),
+member AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+    FROM sim_c) t WHERE rk = 1
+),
+probe AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+    FROM sim_c) t WHERE rk <= {KNN_NPROBE}
+),
+cand AS (
+  SELECT p.vec_id AS a, m.vec_id AS b,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 4) AS cs
+  FROM probe p
+  JOIN member m ON p.cid = m.cid AND p.vec_id <> m.vec_id
+  JOIN embeddings ea ON ea.vec_id = p.vec_id
+  JOIN embeddings eb ON eb.vec_id = m.vec_id
+),
+r AS (
+  SELECT a, b, cs,
+         row_number() OVER (PARTITION BY a ORDER BY cs DESC, b) AS rk
+  FROM cand
+)
+SELECT a, b, cs AS cos_sim, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= {KNN_K}
+"""
+
+
 # -- end-to-end curation funnel --------------------------------------------
 
 SAMPLE_BP = 5000  # final deterministic 50% sample
@@ -777,10 +919,12 @@ SCALE_QUERIES: dict[str, tuple] = {
     "q_bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
     "ann_knn_join": (q_knn_join, SQL_KNN_JOIN),
+    "ann_knn_join_ivf": (q_knn_join_ivf, SQL_KNN_JOIN_IVF),
     "q_range_frame": (q_range_frame, SQL_RANGE_FRAME),
     "q_json_props": (q_json_props, SQL_JSON_PROPS),
     "q_unpivot": (q_unpivot, SQL_UNPIVOT),
     "q_dense_ids": (q_dense_ids, SQL_DENSE_IDS),
     "text_vocab": (q_text_vocab, SQL_TEXT_VOCAB),
+    "text_bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "text_unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
 }

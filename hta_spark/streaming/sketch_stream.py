@@ -8,10 +8,13 @@ each micro-batch folds its own minima in, and the emitted estimate after
 any prefix of batches equals :func:`hta_spark.pipeline.sketch.kmv_distinct`
 over the same rows (equivalence-tested in tests/test_streaming_sketch.py).
 
-Hashes are the same engine-portable md5 construction as the batch side
-(``pipeline.dedup.md5_long``: first 15 hex chars of ``md5(seed|value)``),
-computed here in Python — bit-identical, so stream, batch and the DuckDB
-oracle all agree on the estimate.
+Hashes are computed by the SAME Spark expression as the batch side
+(``pipeline.dedup.md5_long`` over ``CAST(value AS STRING)``) *before* the
+stateful operator — the state fold only ever sees longs.  Hashing in
+Python looked bit-identical but wasn't (ADVICE r3): ``str(v)`` renders
+doubles differently from Spark's cast (``1e-07`` vs ``1.0E-7``) and a
+NaN skipped Python-side IS hashed batch-side (only NULLs are excluded).
+JVM-side hashing makes stream ≡ batch by construction for every type.
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -58,6 +62,8 @@ def stream_kmv_distinct(stream_df: DataFrame, value_col: str,
     rows seen so far (same columns/arithmetic as the batch
     ``kmv_distinct``).  State is exactly the k-minima array — constant
     size per group, so no watermark or timeout is required."""
+    from ..pipeline.dedup import md5_long
+
     kk = int(k)
     _h = 2.0 ** 60
 
@@ -66,10 +72,10 @@ def stream_kmv_distinct(stream_df: DataFrame, value_col: str,
         minima = list(state.get[0]) if state.exists else []
         have = set(minima)
         for pdf in pdfs:
-            for v in pdf[value_col]:
-                if v is None or (isinstance(v, float) and v != v):
-                    continue   # NULL/NaN excluded, matching batch kmv
-                h = md5_long_py(v, seed)
+            for h in pdf["_h"]:
+                if h is None or h != h:
+                    continue   # NULL value hashed to NULL, excluded
+                h = int(h)
                 if h not in have:
                     have.add(h)
                     minima.append(h)
@@ -83,8 +89,10 @@ def stream_kmv_distinct(stream_df: DataFrame, value_col: str,
                             "n_kept": [n], "kth_hash": [kth],
                             "kmv_distinct": [est]})
 
-    return (stream_df
-            .select(group_col, value_col)
+    hashed = stream_df.select(
+        group_col,
+        md5_long(F.col(value_col).cast("string"), seed).alias("_h"))
+    return (hashed
             .groupBy(group_col)
             .applyInPandasWithState(_update,
                                     _out_schema(stream_df, group_col),

@@ -1,0 +1,72 @@
+"""BPE merge training: semantics on constructed corpora.
+
+Pins the documented conventions of hta_spark.pipeline.bpe: weighted
+vocab counting, (count desc, lhs, rhs) tie-break, space-bounded literal
+replace with MERGE_PASSES applications, single-symbol word safety.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hta_spark.pipeline.bpe import (apply_merge, bpe_train, pair_counts,
+                                    symbolize, weighted_vocab)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+
+
+def test_bpe_learns_frequent_pair(spark):
+    # "ab" appears in every word of every doc; (a, b) must be merge 1
+    docs = _docs(spark, ["abc abd abc", "abe abc"])
+    merges = bpe_train(docs, n_merges=2).collect()
+    assert (merges[0]["lhs"], merges[0]["rhs"]) == ("a", "b")
+    assert merges[0]["pair_count"] == 5   # 5 word occurrences
+    # after merging, "ab"+"c" dominates (3 of 5 words)
+    assert (merges[1]["lhs"], merges[1]["rhs"]) == ("ab", "c")
+    assert merges[1]["step"] == 2
+
+
+def test_bpe_single_char_words_safe(spark):
+    # single-symbol words contribute no pairs and must not error
+    docs = _docs(spark, ["a b c a b", "a a"])
+    merges = bpe_train(docs, n_merges=1).collect()
+    assert merges == []   # no adjacent pairs anywhere
+
+
+def test_bpe_tiebreak_lexicographic(spark):
+    # (x,y) and (y,z) both appear twice -> (x,y) wins on lhs order
+    docs = _docs(spark, ["xy xy yz yz"])
+    merges = bpe_train(docs, n_merges=1).collect()
+    assert (merges[0]["lhs"], merges[0]["rhs"]) == ("x", "y")
+
+
+def test_apply_merge_run_semantics(spark):
+    # documented deviation: l == r runs merge one pair per replace pass,
+    # MERGE_PASSES=2 passes per round; run of 4 fully pairs up, run of 5
+    # leaves a lone symbol mid-run per the literal-replace scan
+    reprs = spark.createDataFrame(
+        [(" a a a a ", 1), (" a a a a a ", 1), (" b a a b ", 1)],
+        "repr string, freq long")
+    got = {r["repr"] for r in apply_merge(reprs, "a", "a").collect()}
+    assert " aa aa " in got
+    assert " aa a aa " in got          # 5-run: pass1 merges pos 1+3
+    assert " b aa b " in got
+
+
+def test_pair_counts_weighted(spark):
+    docs = _docs(spark, ["to to to", "ton"])
+    pc = {(r["lhs"], r["rhs"]): r["pair_count"]
+          for r in pair_counts(symbolize(weighted_vocab(docs))).collect()}
+    # vocab: to(freq 3), ton(freq 1) -> (t,o) weighted 3+1
+    assert pc[("t", "o")] == 4
+    assert pc[("o", "n")] == 1
+
+
+def test_bpe_rerun_deterministic(spark):
+    docs = _docs(spark, ["the cat the mat", "the hat"])
+    a = [tuple(r) for r in bpe_train(docs, n_merges=4).collect()]
+    b = [tuple(r) for r in
+         bpe_train(docs.repartition(7), n_merges=4).collect()]
+    assert a == b and len(a) == 4

@@ -83,6 +83,24 @@ def test_scoped_retrieve_pushdown(events_native):
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(time,1704844800", plan)
     assert re.search(r"PushedFilters:.*LessThan\(time,1704931200", plan)
 
+def test_text_vocab_distributed_topk(spark):
+    """The vocabulary global top-k must compile to TakeOrderedAndProject
+    (per-partition heap top-k) — never an Exchange SinglePartition sort
+    of the full distinct-token set (VERDICT r3 #1: at 100 TB the token
+    set is billions of rows; a partitionless row_number window funnels
+    all of them through one task)."""
+    from hta_spark.queries_scale import q_text_vocab
+    plan = _plan(q_text_vocab(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    # exactly ONE SinglePartition exchange is legitimate: the 1-row global
+    # total aggregate feeding the broadcast.  The pre-fix plan had a
+    # second one — the partitionless row_number window funnelling the full
+    # token set through one task.  (formatted explain puts the partitioning
+    # on an Arguments: line, so match the word, not "Exchange SinglePar...")
+    assert plan.count("SinglePartition") <= 1, plan[:3000]
+    assert "WindowGroupLimit" not in plan  # rank runs AFTER the limit
+
+
 def test_dedup_max_equals_groupby(spark):
     """The window-keeper dedup must emit exactly the rows of
     groupBy(metric, time).agg(max(value)) — including duplicate values and
