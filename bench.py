@@ -200,7 +200,9 @@ def _pipeline_latency(spark, qs) -> dict:
                  "text_rules", "q_range_join_incidents", "q_bucketed_join",
                  "mix_weights", "pipeline_funnel", "ann_knn_join",
                  "text_vocab", "text_unigram_surprisal", "q_range_frame",
-                 "q_json_props", "q_unpivot", "q_dense_ids"):
+                 "q_json_props", "q_unpivot", "q_dense_ids",
+                 "ann_knn_join_ivf", "text_bpe_merges", "text_bpe_segment",
+                 "ann_knn_label_accuracy", "sketch_hist_by_group"):
         fn = qs.get(name)
         if fn is None:
             continue

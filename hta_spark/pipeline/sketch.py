@@ -30,11 +30,12 @@ scales where exact distincts are themselves a cost center.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import md5_long
 
-__all__ = ["kmv_distinct", "hist_quantiles", "hist_quantiles_grouped"]
+__all__ = ["kmv_distinct", "hist_quantiles", "hist_quantiles_grouped",
+           "hist_width", "hist_bin_col", "hist_counts_to_quantiles"]
 
 _H = 2.0 ** 60  # md5_long hash range (15 hex chars)
 
@@ -71,9 +72,30 @@ def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str],
     return agg.withColumn("kmv_distinct", est)
 
 
+def hist_width(lo: int, hi: int, n_bins: int) -> int:
+    """The shared bin-width rule: ``max(1, floor((hi-lo)/n_bins) + 1)``
+    on SCALED integer bounds — one definition for the batch aggregate,
+    the explicit-bounds path, the streaming state fn and any oracle."""
+    return max(1, (int(hi) - int(lo)) // int(n_bins) + 1)
+
+
+def hist_bin_col(value_col: str, lo: int, hi: int, n_bins: int,
+                 scale: int) -> Column:
+    """Bin index of a value under EXPLICIT scaled bounds, clamped to the
+    edge bins (out-of-range values land in bin 0 / n_bins-1) — computed
+    JVM-side so batch and streaming assign identically."""
+    w = hist_width(lo, hi, n_bins)
+    v = F.round(F.col(value_col).cast("double") * F.lit(int(scale)))\
+        .cast("long")
+    raw_bin = F.floor((v - F.lit(int(lo))) / F.lit(w)).cast("long")
+    return F.least(F.greatest(raw_bin, F.lit(0).cast("long")),
+                   F.lit(int(n_bins) - 1).cast("long"))
+
+
 def hist_quantiles(df: DataFrame, value_col: str,
                    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
-                   n_bins: int = 64, scale: int = 100) -> DataFrame:
+                   n_bins: int = 64, scale: int = 100,
+                   bounds: tuple[int, int] | None = None) -> DataFrame:
     """Quantile estimates from a fixed-width integer histogram.
 
     ``scale`` lifts values to integers (100 = cent precision) so the bin
@@ -82,15 +104,19 @@ def hist_quantiles(df: DataFrame, value_col: str,
     multiply and one divide, identical in any IEEE engine.
 
     Output: one row per q — ``q, target_rank, est`` (est back on the
-    original value scale).  Two scans of the column (bounds, then counts);
-    at 100 TB the bounds pass is metadata-cheap (parquet min/max) or the
-    bounds are known a priori and passed through a pre-aggregated frame.
+    original value scale).  Two scans of the column (bounds, then counts)
+    by default; pass ``bounds=(lo, hi)`` in SCALED integer units to skip
+    the bounds pass entirely (ONE scan — the 100 TB shape when bounds are
+    known a priori; out-of-range values clamp to the edge bins).
     """
     bad = [q for q in qs if not 0.0 < float(q) <= 1.0]
     if bad:
         # q=0 has no rank-1-satisfying bin (target_rank 0 < every _cum)
         # and q>1 exceeds the data — both would silently drop rows
         raise ValueError(f"quantiles must be in (0, 1], got {bad}")
+    if bounds is not None:
+        return _hist_quantiles_fixed(df, value_col, qs, n_bins, scale,
+                                     int(bounds[0]), int(bounds[1]))
     v = F.round(F.col(value_col).cast("double") * F.lit(int(scale)))\
         .cast("long")
     ints = df.select(v.alias("_v"))
@@ -136,6 +162,70 @@ def hist_quantiles(df: DataFrame, value_col: str,
     return (hit.select(F.col("q"), F.col("target_rank"),
                        (interp / F.lit(float(scale))).alias("est"))
             .orderBy("q"))
+
+
+def _hist_quantiles_fixed(df: DataFrame, value_col: str,
+                          qs: tuple[float, ...], n_bins: int, scale: int,
+                          lo: int, hi: int) -> DataFrame:
+    """Explicit-bounds histogram quantiles: ONE data scan (one grouped
+    bin count), then windows over the <= n_bins aggregated rows.  The
+    windows partition by a constant ATTRIBUTE obtained from a broadcast
+    1-row range frame — a literal key would be constant-folded away and
+    WindowExec would warn about the (intentional, 64-row) single
+    partition."""
+    w = hist_width(lo, hi, n_bins)
+    binned = (df.select(hist_bin_col(value_col, lo, hi, n_bins, scale)
+                        .alias("_bin"))
+              .groupBy("_bin").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("_n")))
+    one = df.sparkSession.range(1).select(F.col("id").alias("_one"))
+    b1 = binned.crossJoin(F.broadcast(one))
+    wall = Window.partitionBy("_one")
+    wcum = wall.orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = (b1.withColumn("_total", F.sum("_n").over(wall))
+           .withColumn("_cum", F.sum("_n").over(wcum))
+           .withColumn("_below", F.col("_cum") - F.col("_n")))
+    targets = F.broadcast(df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"))
+    tr = F.ceil(F.col("_total") * F.col("q")).cast("long")
+    hit = (cum.crossJoin(targets)
+           .withColumn("target_rank", tr)
+           .filter((F.col("_below") < F.col("target_rank"))
+                   & (F.col("target_rank") <= F.col("_cum"))))
+    edge = (F.lit(int(lo)) + F.col("_bin") * F.lit(w)).cast("double")
+    interp = edge + F.lit(float(w)) * (
+        (F.col("target_rank") - F.col("_below")).cast("double")
+        / F.col("_n").cast("double"))
+    return (hit.select(F.col("q"), F.col("target_rank"),
+                       (interp / F.lit(float(scale))).alias("est"))
+            .orderBy("q"))
+
+
+def hist_counts_to_quantiles(counts: list[int], lo: int, w: int,
+                             qs: tuple[float, ...],
+                             scale: int) -> list[tuple[float, int, float]]:
+    """Python twin of the interpolation (for the streaming state fn):
+    identical integer target ranks and the identical single
+    float-multiply/divide, so stream == batch bit-for-bit."""
+    import math
+    total = sum(counts)
+    out = []
+    for q in qs:
+        tr = int(math.ceil(total * float(q)))
+        below = 0
+        for b, n in enumerate(counts):
+            if n == 0:
+                continue
+            cum = below + n
+            if below < tr <= cum:
+                edge = float(lo + b * w)
+                est = (edge + float(w) * float(tr - below) / float(n)) \
+                    / float(scale)
+                out.append((float(q), tr, est))
+                break
+            below = cum
+    return out
 
 
 def hist_quantiles_grouped(df: DataFrame, value_col: str,

@@ -12,8 +12,12 @@ statistics, then handed to Catalyst as ordinary DataFrame plans:
   ``_per_metric_level_choice``.
 - **telescoping decomposition** — raw ragged edges + per-level aligned
   chunks for exact aggregates (/root/reference/src/metric.cpp:184-227);
-  implemented in :func:`hta_spark.operators.aggregate._telescope_plan` /
-  :func:`hta_spark.operators.aggregate.aggregate_telescope`.
+  the literal-bounds spec lives in
+  :func:`hta_spark.operators.aggregate._telescope_plan` (exported here as
+  :func:`telescope_plan`); since round 4 the execution path
+  (:func:`hta_spark.operators.aggregate.aggregate_telescope`) carries the
+  SAME recurrence as per-metric bound columns
+  (``_telescope_bounds``) — fully declarative, no driver collect.
 
 Everything below the decision (pruned scans, partial aggregation, join
 strategy) is Catalyst's job — see SCALE.md for the shuffle budgets and

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["md5_long_py", "stream_kmv_distinct"]
+__all__ = ["md5_long_py", "stream_kmv_distinct", "stream_hist_quantiles"]
 
 
 def md5_long_py(value, seed: str = "kmv") -> int:
@@ -97,4 +97,71 @@ def stream_kmv_distinct(stream_df: DataFrame, value_col: str,
             .applyInPandasWithState(_update,
                                     _out_schema(stream_df, group_col),
                                     _STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+_HIST_STATE = T.StructType([
+    T.StructField("counts", T.ArrayType(T.LongType()), True)])
+
+
+def _hist_out_schema(df: DataFrame, group_col: str) -> T.StructType:
+    gtype = df.schema[group_col].dataType
+    return T.StructType([
+        T.StructField(group_col, gtype, True),
+        T.StructField("q", T.DoubleType(), True),
+        T.StructField("target_rank", T.LongType(), True),
+        T.StructField("est", T.DoubleType(), True),
+    ])
+
+
+def stream_hist_quantiles(stream_df: DataFrame, value_col: str,
+                          group_col: str, bounds: tuple[int, int],
+                          qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                          n_bins: int = 64, scale: int = 100) -> DataFrame:
+    """Per-group histogram quantiles maintained over a stream — the
+    fixed-bounds histogram's per-bin counts ARE the state (``n_bins``
+    longs per group, constant size, no watermark), and per-bin counts add
+    across micro-batches, so after any prefix of batches the emitted
+    quantiles equal the batch ``hist_quantiles(..., bounds=...)`` over
+    the same rows (equivalence-tested in tests/test_streaming_sketch.py).
+
+    Like the KMV stream, everything value-dependent happens JVM-side
+    BEFORE the stateful operator: the bin index is the shared
+    :func:`hta_spark.pipeline.sketch.hist_bin_col` expression, and the
+    Python state fn only increments longs and replays the shared
+    interpolation twin (:func:`...sketch.hist_counts_to_quantiles`)."""
+    from ..pipeline.sketch import (hist_bin_col, hist_counts_to_quantiles,
+                                   hist_width)
+
+    bad = [q for q in qs if not 0.0 < float(q) <= 1.0]
+    if bad:
+        raise ValueError(f"quantiles must be in (0, 1], got {bad}")
+    lo, hi = int(bounds[0]), int(bounds[1])
+    w = hist_width(lo, hi, n_bins)
+    nb = int(n_bins)
+    qtuple = tuple(float(q) for q in qs)
+    sc = int(scale)
+
+    def _update(key, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        counts = list(state.get[0]) if state.exists else [0] * nb
+        for pdf in pdfs:
+            vc = pdf["_bin"].value_counts()
+            for b, n in vc.items():
+                counts[int(b)] += int(n)
+        state.update((counts,))
+        rows = hist_counts_to_quantiles(counts, lo, w, qtuple, sc)
+        yield pd.DataFrame({group_col: [key[0]] * len(rows),
+                            "q": [r[0] for r in rows],
+                            "target_rank": [r[1] for r in rows],
+                            "est": [r[2] for r in rows]})
+
+    binned = stream_df.select(
+        group_col,
+        hist_bin_col(value_col, lo, hi, nb, sc).alias("_bin"))
+    return (binned
+            .groupBy(group_col)
+            .applyInPandasWithState(_update,
+                                    _hist_out_schema(stream_df, group_col),
+                                    _HIST_STATE, "update",
                                     GroupStateTimeout.NoTimeout))

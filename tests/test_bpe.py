@@ -64,6 +64,39 @@ def test_pair_counts_weighted(spark):
     assert pc[("o", "n")] == 1
 
 
+def test_bpe_segment_counts(spark):
+    from hta_spark.pipeline.bpe import bpe_segment_counts
+    docs = _docs(spark, ["abab ab", "abab"])
+    # no merges: every char is a subword
+    none = {r["doc_id"]: (r["n_tokens"], r["n_subwords"])
+            for r in bpe_segment_counts(docs, []).collect()}
+    assert none == {0: (2, 6), 1: (1, 4)}
+    # merge (a,b) then (ab,ab): "abab" -> 1 subword, "ab" -> 1
+    got = {r["doc_id"]: (r["n_tokens"], r["n_subwords"])
+           for r in bpe_segment_counts(
+               docs, [("a", "b"), ("ab", "ab")]).collect()}
+    assert got == {0: (2, 2), 1: (1, 1)}
+
+
+def test_grouped_hist_quantiles_matches_global_per_group(spark):
+    """Per-group histogram quantiles must equal running the global sketch
+    on each group's rows alone (same bins, same interpolation)."""
+    from hta_spark.pipeline.sketch import (hist_quantiles,
+                                           hist_quantiles_grouped)
+    rows = [("a", float(i)) for i in range(100)] \
+        + [("b", float(i * 3)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    grouped = {(r["g"], r["q"]): (r["target_rank"], r["est"])
+               for r in hist_quantiles_grouped(df, "v", ["g"]).collect()}
+    for g in ("a", "b"):
+        solo = {r["q"]: (r["target_rank"], r["est"]) for r in
+                hist_quantiles(df.filter(F.col("g") == g), "v").collect()}
+        for q, want in solo.items():
+            assert grouped[(g, q)] == want, (g, q)
+    with pytest.raises(ValueError):
+        hist_quantiles_grouped(df, "v", ["g"], qs=(0.0, 0.5))
+
+
 def test_bpe_rerun_deterministic(spark):
     docs = _docs(spark, ["the cat the mat", "the hat"])
     a = [tuple(r) for r in bpe_train(docs, n_merges=4).collect()]

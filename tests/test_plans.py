@@ -101,6 +101,38 @@ def test_text_vocab_distributed_topk(spark):
     assert "WindowGroupLimit" not in plan  # rank runs AFTER the limit
 
 
+def test_pipeline_scans_prune_columns(spark):
+    """Column pruning must reach the parquet scan: a query that only
+    needs `text` must not read the whole documents row (at 100 TB the
+    payload columns dominate scan bytes)."""
+    import re as _re
+    from hta_spark.queries_scale import q_text_vocab
+    plan = _plan(q_text_vocab(spark, "/root/testdata/sf0.001"))
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"text"}, cols
+
+
+def test_dedup_scan_prunes_columns(spark):
+    import re as _re
+    from hta_spark.pipeline.dedup import exact_dedup
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"doc_id", "text"}, cols
+
+
+def test_knn_label_accuracy_windowgrouplimit(spark):
+    """The majority-vote rank filter must compile to WindowGroupLimit
+    (map-side top-1 per vector), not a full per-group sort retained."""
+    from hta_spark.queries_scale import q_knn_label_accuracy
+    plan = _plan(q_knn_label_accuracy(spark, "/root/testdata/sf0.001"))
+    assert "WindowGroupLimit" in plan, plan[:3000]
+
+
 def test_dedup_max_equals_groupby(spark):
     """The window-keeper dedup must emit exactly the rows of
     groupBy(metric, time).agg(max(value)) — including duplicate values and

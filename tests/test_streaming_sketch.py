@@ -84,3 +84,65 @@ def test_stream_kmv_skips_nulls_and_long_group_col(spark, tmp_path):
     got = {r["g"]: r["n_kept"]
            for r in spark.sql("SELECT * FROM kmv_nulls").collect()}
     assert got == {1: 2, 2: 1}      # the null contributed nothing
+
+
+def test_stream_hist_equals_batch_fixed_bounds(spark, tmp_path):
+    """Streaming per-group histogram quantiles after all batches must
+    equal the batch fixed-bounds sketch over the same rows, bit-for-bit
+    (shared bin expression + shared interpolation twin)."""
+    from pyspark.sql import functions as F
+    from hta_spark.pipeline.sketch import hist_quantiles
+    from hta_spark.streaming.sketch_stream import stream_hist_quantiles
+
+    rows = [("a", i / 7.0) for i in range(400)] \
+        + [("b", i * 1.5) for i in range(90)] \
+        + [("a", 999.0), ("b", -50.0)]       # out-of-range -> edge bins
+    bounds = (0, 5000)                        # scaled ints (scale=100)
+    src = tmp_path / "hist_src"
+    src.mkdir()
+    n = len(rows)
+    for i in range(3):
+        chunk = rows[i * n // 3:(i + 1) * n // 3]
+        (spark.createDataFrame(chunk, "g string, v double")
+         .coalesce(1).write.parquet(str(src / f"b{i}")))
+
+    stream = (spark.readStream.schema("g string, v double")
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "b*")))
+    out = stream_hist_quantiles(stream, "v", "g", bounds=bounds)
+    q = (out.writeStream.outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "hist_ckpt"))
+         .format("memory").queryName("hist_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    # last emission per (group, q): target_rank is monotone in rows seen,
+    # so the final state row is the max-target_rank one
+    per: dict[tuple, list] = {}
+    for r in spark.sql("SELECT * FROM hist_stream").collect():
+        per.setdefault((r["g"], r["q"]), []).append(r)
+    last = {k: max(rs, key=lambda r: r["target_rank"]) for k, rs in per.items()}
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    for g in ("a", "b"):
+        batch = {r["q"]: (r["target_rank"], r["est"]) for r in
+                 hist_quantiles(df.filter(F.col("g") == g), "v",
+                                bounds=bounds).collect()}
+        for qv, (tr, est) in batch.items():
+            got = last[(g, qv)]
+            assert (got["target_rank"], got["est"]) == (tr, est), (g, qv)
+
+
+def test_hist_fixed_bounds_matches_data_bounds_when_equal(spark):
+    """With bounds set to the data's own scaled min/max, the one-scan
+    fixed path must reproduce the two-scan default path exactly."""
+    from hta_spark.pipeline.sketch import hist_quantiles
+    df = spark.createDataFrame([(float(i * i % 977),) for i in range(500)],
+                               "v double")
+    lo_hi = df.selectExpr(
+        "min(cast(round(v * 100) as bigint)) lo",
+        "max(cast(round(v * 100) as bigint)) hi").collect()[0]
+    a = [tuple(r) for r in hist_quantiles(df, "v").collect()]
+    b = [tuple(r) for r in
+         hist_quantiles(df, "v", bounds=(lo_hi["lo"], lo_hi["hi"]))
+         .collect()]
+    assert a == b
