@@ -447,12 +447,14 @@ def materialize_levels(levels: dict[int, DataFrame]) -> None:
     ~0.5 s/level of pure overhead on the 16.7M-point single-metric build
     (levels 2-4 hold 559k/56k/5.6k rows).  Instead: job 1 materializes
     level 1 (the only expensive lineage) into cache; job 2 forces the
-    UNION of all higher levels in one action.  Branch k of the union
-    recomputes levels 2..k-1 from the cached level 1 rather than waiting
-    on its sibling's cache — that duplicate work is bounded by
-    ``sum(|level_i|) / factor`` rows of re-grouping (≪ one job's
-    overhead), and each level's own ``cache()`` still populates as its
-    branch computes, so callers keep per-level cached frames."""
+    UNION of all higher levels in one action.  Branches start
+    concurrently, so branch k typically recomputes levels 2..k-1 from
+    the cached level 1 rather than reading a sibling's not-yet-populated
+    cache — worst-case duplicate work is O(n_levels * |level 1|) row
+    re-grouping (every branch re-aggregating the cached level 1), which
+    for factor-10 ladders is still well under one job's scheduling
+    overhead; each level's own ``cache()`` populates as its branch
+    computes, so callers keep per-level cached frames."""
     if not levels:
         return
     ivs = sorted(levels)

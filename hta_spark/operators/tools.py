@@ -17,7 +17,7 @@ from ..chrono import SECOND
 from ..meta import Meta
 from .rollup import build_levels
 
-__all__ = ["check_raw", "check_levels", "repair", "throttle",
+__all__ = ["check_raw", "check_levels", "check_store", "repair", "throttle",
            "throttle_parallel", "clone", "dummy"]
 
 # plausibility bounds from check.cpp:76-101
@@ -102,6 +102,53 @@ def check_levels(raw: DataFrame, levels: dict[int, DataFrame]) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def check_store(store, now_ns: int | None = None,
+                order_col: str | None = None) -> DataFrame:
+    """Whole-store consistency report — the
+    ``helpers/check_db_directory.sh`` fan-out (the reference forks one
+    ``hta_check`` per metric directory) as ONE Spark job: every metric's
+    raw scan and every materialized level's invariant check run as
+    parallel tasks of a single unioned plan.
+
+    Output: ``metric, table, time, issue`` — one row per finding, where
+    ``table`` is ``raw`` or ``levels/<interval>``.  Empty frame = clean
+    store."""
+    raw = store.raw()
+    if raw is None:
+        return store.spark.createDataFrame(
+            [], "metric string, table string, time long, issue string")
+    raw_issues = (check_raw(raw, now_ns=now_ns, order_col=order_col)
+                  .select("metric", F.lit("raw").alias("table"),
+                          F.col("time"),
+                          F.explode("issues").alias("issue")))
+    # per-interval metric membership: a metric is only expected dense at
+    # the intervals ITS meta builds — checking every metric against the
+    # union ladder would report spurious missing_row for any store with
+    # heterogeneous metas (review r4 finding)
+    by_interval: dict[int, list[str]] = {}
+    for m in store.metric_names():
+        for iv in store.meta_for(m).level_intervals():
+            by_interval.setdefault(iv, []).append(m)
+    spark = store.spark
+    out = raw_issues
+    for iv in sorted(by_interval):
+        lvl = store.level(iv)
+        if lvl is None:
+            continue
+        members = F.broadcast(spark.createDataFrame(
+            [(m,) for m in by_interval[iv]], "metric string"))
+        sub_raw = raw.join(members, "metric", "left_semi")
+        lvl_issues = (check_levels(sub_raw, {iv: lvl})
+                      .select("metric",
+                              F.concat(F.lit("levels/"),
+                                       F.col("interval").cast("string"))
+                              .alias("table"),
+                              F.col("interval_start").alias("time"),
+                              "issue"))
+        out = out.unionByName(lvl_issues)
     return out
 
 

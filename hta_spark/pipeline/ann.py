@@ -426,11 +426,17 @@ def probe_set(centroids: list[tuple[int, list[float]]],
 
 def ivf_topk(emb: DataFrame, centroids: list[tuple[int, list[float]]],
              query_vec: list[float], k: int = 10, nprobe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_ids: list[int] | None = None) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` clusters whose centroid
-    is nearest the query, then exact cosine within them."""
+    is nearest the query, then exact cosine within them.
+    ``exclude_ids`` drops ids BEFORE the top-k (same contract as
+    :func:`cosine_topk` — a post-limit filter would let the excluded id
+    consume one of the k slots)."""
     probe_ids = probe_set(centroids, query_vec, nprobe)
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    if exclude_ids:
+        assigned = assigned.filter(~F.col(id_col).isin(exclude_ids))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_sim(_as_double(F.col(vec_col)), q)
     return (assigned.filter(F.col("centroid_id").isin(probe_ids))

@@ -613,8 +613,14 @@ def extract_features(df: DataFrame, dim: int = 16,
 
     def _real_vec(raw: bytes):
         import numpy as np
-        if raw[:4] == b"RIFF":
-            samples = decode_wav_samples(raw)           # (frames, ch)
+        if raw[:4] == b"RIFF" or (
+                _SOUNDFILE is not None
+                and raw[:4] in (b"fLaC", b"OggS")):
+            # routes non-PCM / compressed audio through the soundfile
+            # import gate when present (review r4: _real_vec previously
+            # called decode_wav_samples directly, making the gate
+            # unreachable from the end-to-end path)
+            samples = decode_audio_samples(raw)         # (frames, ch)
             return signal_features(samples.mean(axis=1), dim)
         if raw[:9] == b"YUV4MPEG2":
             # temporal signal: concatenated per-frame luma, frame order

@@ -88,8 +88,13 @@ def hist_bin_col(value_col: str, lo: int, hi: int, n_bins: int,
     v = F.round(F.col(value_col).cast("double") * F.lit(int(scale)))\
         .cast("long")
     raw_bin = F.floor((v - F.lit(int(lo))) / F.lit(w)).cast("long")
-    return F.least(F.greatest(raw_bin, F.lit(0).cast("long")),
-                   F.lit(int(n_bins) - 1).cast("long"))
+    # guard BEFORE clamping: greatest/least IGNORE nulls, so an
+    # unguarded clamp would silently map NULL values to bin 0 instead of
+    # propagating NULL for the callers' isNotNull exclusion filters
+    return F.when(
+        v.isNotNull(),
+        F.least(F.greatest(raw_bin, F.lit(0).cast("long")),
+                F.lit(int(n_bins) - 1).cast("long")))
 
 
 def hist_quantiles(df: DataFrame, value_col: str,
@@ -119,7 +124,10 @@ def hist_quantiles(df: DataFrame, value_col: str,
                                      int(bounds[0]), int(bounds[1]))
     v = F.round(F.col(value_col).cast("double") * F.lit(int(scale)))\
         .cast("long")
-    ints = df.select(v.alias("_v"))
+    # NULL values are excluded (count/percentile semantics; a NULL bin
+    # would inflate _total, sort FIRST in Spark's window but LAST in
+    # DuckDB's, and diverge from the NaN-dropping streaming twin)
+    ints = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
     bounds = ints.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"),
                       F.count("*").cast("long").alias("_total"))
     # floor(), not cast: Spark's double->long cast truncates but DuckDB's
@@ -141,12 +149,26 @@ def hist_quantiles(df: DataFrame, value_col: str,
     # the frame (one group, same plan) yet a genuine attribute, so the
     # optimizer can't fold it away like a literal key; the broadcast
     # self-join alternative would execute the full-data aggregate twice.
-    wcum = Window.partitionBy("_total").orderBy("_bin").rowsBetween(
+    return _quantiles_from_binned(binned, ["_total"], qs, scale, [])
+
+
+def _quantiles_from_binned(binned: DataFrame, part_cols: list[str],
+                           qs: tuple[float, ...], scale: int,
+                           out_cols: list[str]) -> DataFrame:
+    """The ONE rank/interpolation definition shared by every batch path
+    (global, fixed-bounds, grouped; the streaming twin replays it in
+    Python via :func:`hist_counts_to_quantiles`).
+
+    ``binned``: ``part_cols..., _bin, _lo, _w, _total, _n`` — cumulates
+    per partition key, targets ``ceil(q * _total)`` as exact integer
+    ranks, interpolates inside the hit bin with one float multiply and
+    one divide.  ``out_cols``: caller columns to carry into the result
+    (the group keys; empty for the global paths)."""
+    wcum = Window.partitionBy(*part_cols).orderBy("_bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
     cum = (binned.withColumn("_cum", F.sum("_n").over(wcum))
            .withColumn("_below", F.col("_cum") - F.col("_n")))
-    spark = df.sparkSession
-    targets = F.broadcast(spark.createDataFrame(
+    targets = F.broadcast(binned.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double"))
     # target rank = ceil(q * total) as exact integer arithmetic on the
     # decimal-scaled q (qs are given to <= 6 decimals)
@@ -159,9 +181,9 @@ def hist_quantiles(df: DataFrame, value_col: str,
     interp = edge + F.col("_w").cast("double") * (
         (F.col("target_rank") - F.col("_below")).cast("double")
         / F.col("_n").cast("double"))
-    return (hit.select(F.col("q"), F.col("target_rank"),
+    return (hit.select(*out_cols, F.col("q"), F.col("target_rank"),
                        (interp / F.lit(float(scale))).alias("est"))
-            .orderBy("q"))
+            .orderBy(*out_cols, "q"))
 
 
 def _hist_quantiles_fixed(df: DataFrame, value_col: str,
@@ -176,30 +198,15 @@ def _hist_quantiles_fixed(df: DataFrame, value_col: str,
     w = hist_width(lo, hi, n_bins)
     binned = (df.select(hist_bin_col(value_col, lo, hi, n_bins, scale)
                         .alias("_bin"))
+              .filter(F.col("_bin").isNotNull())     # NULL values excluded
               .groupBy("_bin").agg(F.count(F.lit(1)).cast("long")
                                    .alias("_n")))
     one = df.sparkSession.range(1).select(F.col("id").alias("_one"))
-    b1 = binned.crossJoin(F.broadcast(one))
-    wall = Window.partitionBy("_one")
-    wcum = wall.orderBy("_bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    cum = (b1.withColumn("_total", F.sum("_n").over(wall))
-           .withColumn("_cum", F.sum("_n").over(wcum))
-           .withColumn("_below", F.col("_cum") - F.col("_n")))
-    targets = F.broadcast(df.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double"))
-    tr = F.ceil(F.col("_total") * F.col("q")).cast("long")
-    hit = (cum.crossJoin(targets)
-           .withColumn("target_rank", tr)
-           .filter((F.col("_below") < F.col("target_rank"))
-                   & (F.col("target_rank") <= F.col("_cum"))))
-    edge = (F.lit(int(lo)) + F.col("_bin") * F.lit(w)).cast("double")
-    interp = edge + F.lit(float(w)) * (
-        (F.col("target_rank") - F.col("_below")).cast("double")
-        / F.col("_n").cast("double"))
-    return (hit.select(F.col("q"), F.col("target_rank"),
-                       (interp / F.lit(float(scale))).alias("est"))
-            .orderBy("q"))
+    b1 = (binned.crossJoin(F.broadcast(one))
+          .withColumn("_total", F.sum("_n").over(Window.partitionBy("_one")))
+          .withColumn("_lo", F.lit(int(lo)))
+          .withColumn("_w", F.lit(int(w))))
+    return _quantiles_from_binned(b1, ["_one"], qs, scale, [])
 
 
 def hist_counts_to_quantiles(counts: list[int], lo: int, w: int,
@@ -246,7 +253,8 @@ def hist_quantiles_grouped(df: DataFrame, value_col: str,
         raise ValueError(f"quantiles must be in (0, 1], got {bad}")
     v = F.round(F.col(value_col).cast("double") * F.lit(int(scale)))\
         .cast("long")
-    ints = df.select(*group_cols, v.alias("_v"))
+    ints = df.select(*group_cols, v.alias("_v")) \
+        .filter(F.col("_v").isNotNull())             # NULL values excluded
     bounds = ints.groupBy(*group_cols).agg(
         F.min("_v").alias("_lo"), F.max("_v").alias("_hi"),
         F.count(F.lit(1)).cast("long").alias("_total"))
@@ -261,22 +269,5 @@ def hist_quantiles_grouped(df: DataFrame, value_col: str,
                       "_lo", width.alias("_w"), "_total")
               .groupBy(*group_cols, "_bin", "_lo", "_w", "_total")
               .agg(F.count(F.lit(1)).cast("long").alias("_n")))
-    wcum = Window.partitionBy(*group_cols).orderBy("_bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    cum = (binned.withColumn("_cum", F.sum("_n").over(wcum))
-           .withColumn("_below", F.col("_cum") - F.col("_n")))
-    spark = df.sparkSession
-    targets = F.broadcast(spark.createDataFrame(
-        [(float(q),) for q in qs], "q double"))
-    tr = F.ceil(F.col("_total") * F.col("q")).cast("long")
-    hit = (cum.crossJoin(targets)
-           .withColumn("target_rank", tr)
-           .filter((F.col("_below") < F.col("target_rank"))
-                   & (F.col("target_rank") <= F.col("_cum"))))
-    edge = (F.col("_lo") + F.col("_bin") * F.col("_w")).cast("double")
-    interp = edge + F.col("_w").cast("double") * (
-        (F.col("target_rank") - F.col("_below")).cast("double")
-        / F.col("_n").cast("double"))
-    return (hit.select(*group_cols, F.col("q"), F.col("target_rank"),
-                       (interp / F.lit(float(scale))).alias("est"))
-            .orderBy(*group_cols, "q"))
+    return _quantiles_from_binned(binned, group_cols, qs, scale,
+                                  list(group_cols))

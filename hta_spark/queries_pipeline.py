@@ -366,10 +366,13 @@ def q_ann_ivf_recall(spark, sf_dir):
              .select("vec_id", "embedding").collect()]
     qv = [float(x) for x in
           emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]]
+    # both sides exclude the query vector BEFORE the top-k: a post-limit
+    # filter would let self (cos 1.0) consume an approx slot and cap
+    # recall@10 at 0.9 structurally (review r4 finding)
     exact = cosine_topk(emb, qv, k=10, exclude_ids=[42]) \
         .select(F.col("vec_id"))
-    approx = ivf_topk(emb, cents, qv, k=10, nprobe=2) \
-        .filter(F.col("vec_id") != 42).select(F.col("vec_id"))
+    approx = ivf_topk(emb, cents, qv, k=10, nprobe=2, exclude_ids=[42]) \
+        .select(F.col("vec_id"))
     hit = exact.join(approx, "vec_id", "left_semi")
     return (exact.agg(F.count(F.lit(1)).cast("long").alias("k"))
             .crossJoin(hit.agg(F.count(F.lit(1)).cast("long")
@@ -422,9 +425,8 @@ approx AS (
                                         (SELECT qv FROM q)), 4) AS cs
     FROM embeddings e
     JOIN best b ON e.vec_id = b.vec_id
-    WHERE b.cid IN (SELECT cid FROM probe)
+    WHERE b.cid IN (SELECT cid FROM probe) AND e.vec_id <> 42
     ORDER BY cs DESC, e.vec_id LIMIT 10)
-  WHERE vec_id <> 42
 )
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS k,
        (SELECT CAST(count(*) AS BIGINT)

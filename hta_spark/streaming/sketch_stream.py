@@ -89,9 +89,15 @@ def stream_kmv_distinct(stream_df: DataFrame, value_col: str,
                             "n_kept": [n], "kth_hash": [kth],
                             "kmv_distinct": [est]})
 
+    # NULL hashes (NULL values) are filtered JVM-SIDE: a nullable long
+    # column crosses Arrow into pandas as float64, and int() on a ~2^60
+    # hash rounded to float64 loses the low ~7 bits — which would silently
+    # break the bit-exact stream == batch contract for every OTHER row in
+    # the same chunk (review r4 finding)
     hashed = stream_df.select(
         group_col,
-        md5_long(F.col(value_col).cast("string"), seed).alias("_h"))
+        md5_long(F.col(value_col).cast("string"), seed).alias("_h")) \
+        .filter(F.col("_h").isNotNull())
     return (hashed
             .groupBy(group_col)
             .applyInPandasWithState(_update,
@@ -156,9 +162,13 @@ def stream_hist_quantiles(stream_df: DataFrame, value_col: str,
                             "target_rank": [r[1] for r in rows],
                             "est": [r[2] for r in rows]})
 
+    # NULL bins (NULL values) filtered JVM-side, matching the batch
+    # paths' NULL-exclusion semantics (bin indices <= n_bins stay exact
+    # across the Arrow crossing either way, unlike the KMV hashes)
     binned = stream_df.select(
         group_col,
-        hist_bin_col(value_col, lo, hi, nb, sc).alias("_bin"))
+        hist_bin_col(value_col, lo, hi, nb, sc).alias("_bin")) \
+        .filter(F.col("_bin").isNotNull())
     return (binned
             .groupBy(group_col)
             .applyInPandasWithState(_update,

@@ -103,3 +103,27 @@ def test_bpe_rerun_deterministic(spark):
     b = [tuple(r) for r in
          bpe_train(docs.repartition(7), n_merges=4).collect()]
     assert a == b and len(a) == 4
+
+
+def test_hist_quantiles_exclude_nulls_all_paths(spark):
+    """NULL values must not shift ranks in any histogram path (they would
+    inflate _total and sort differently in Spark vs DuckDB vs stream)."""
+    from hta_spark.pipeline.sketch import (hist_quantiles,
+                                           hist_quantiles_grouped)
+    clean = [(float(i),) for i in range(200)]
+    df_clean = spark.createDataFrame(clean, "v double")
+    df_nulls = spark.createDataFrame(clean + [(None,)] * 20, "v double")
+    a = [tuple(r) for r in hist_quantiles(df_clean, "v").collect()]
+    b = [tuple(r) for r in hist_quantiles(df_nulls, "v").collect()]
+    assert a == b
+    f1 = [tuple(r) for r in
+          hist_quantiles(df_clean, "v", bounds=(0, 19900)).collect()]
+    f2 = [tuple(r) for r in
+          hist_quantiles(df_nulls, "v", bounds=(0, 19900)).collect()]
+    assert f1 == f2
+    g1 = spark.createDataFrame([("a", v[0]) for v in clean],
+                               "g string, v double")
+    g2 = spark.createDataFrame([("a", v[0]) for v in clean]
+                               + [("a", None)] * 5, "g string, v double")
+    assert [tuple(r) for r in hist_quantiles_grouped(g1, "v", ["g"]).collect()] \
+        == [tuple(r) for r in hist_quantiles_grouped(g2, "v", ["g"]).collect()]

@@ -84,6 +84,17 @@ def test_stream_kmv_skips_nulls_and_long_group_col(spark, tmp_path):
     got = {r["g"]: r["n_kept"]
            for r in spark.sql("SELECT * FROM kmv_nulls").collect()}
     assert got == {1: 2, 2: 1}      # the null contributed nothing
+    # kth_hash must be BIT-exact vs batch even in a chunk containing a
+    # NULL (r4 review: a nullable _h column crosses Arrow as float64 and
+    # int() loses the low ~7 bits of a 2^60 hash — the JVM-side
+    # isNotNull filter keeps the column non-nullable end-to-end)
+    hashes = {r["g"]: r["kth_hash"]
+              for r in spark.sql("SELECT * FROM kmv_nulls").collect()}
+    batch = {r["g"]: r["kth_hash"]
+             for r in kmv_distinct(
+                 spark.createDataFrame(rows, "g long, v string"),
+                 "v", ["g"], k=8).collect()}
+    assert hashes == batch
 
 
 def test_stream_hist_equals_batch_fixed_bounds(spark, tmp_path):

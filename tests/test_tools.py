@@ -177,3 +177,58 @@ def test_throttle_parallel_salted_equivalence(spark):
     salted = {(r["metric"], r["time"]) for r in
               throttle_parallel(df, 12, salt_chunks=16).collect()}
     assert salted == plain == seq
+
+
+def test_check_store_whole_db(spark, tmp_path):
+    """check_store = the check_db_directory.sh fan-out in one job: raw
+    issues + level invariants over every metric of a store."""
+    from tests.conftest import F1_META
+    from hta_spark.chrono import SECOND
+    from hta_spark.operators.tools import check_store
+    from hta_spark.sources.store import HtaStore
+
+    base = str(tmp_path / "db")
+    store = HtaStore(spark, base, configs={"m1": F1_META, "m2": F1_META})
+    t0 = 1_600_000_000 * SECOND
+    rows = [("m1", t0 + i * SECOND, float(i)) for i in range(100)] \
+        + [("m2", t0 + i * SECOND, float(i % 7)) for i in range(50)] \
+        + [("m2", t0 + 3 * SECOND, float("nan"))]     # NaN + dup ts
+    store.write_raw(spark.createDataFrame(
+        rows, "metric string, time long, value double"), validate=False)
+    store.build()
+
+    report = check_store(store).collect()
+    issues = {(r["metric"], r["table"], r["issue"]) for r in report}
+    assert ("m2", "raw", "nan") in issues
+    assert any(i == "duplicate_timestamp" and m == "m2"
+               for (m, t, i) in issues)
+    # the NaN propagates into every level bucket containing it
+    assert any(t.startswith("levels/") and i == "non_finite_aggregate"
+               for (_m, t, i) in issues)
+    # m1 is clean in raw
+    assert not any(m == "m1" and t == "raw" for (m, t, _i) in issues)
+
+
+def test_check_store_heterogeneous_metas(spark, tmp_path):
+    """Metrics with DIFFERENT ladders: a metric must only be checked
+    against the intervals its own meta builds (no spurious missing_row)."""
+    from hta_spark import Meta
+    from hta_spark.chrono import SECOND
+    from hta_spark.operators.tools import check_store
+    from hta_spark.sources.store import HtaStore
+
+    base = str(tmp_path / "db2")
+    m_fine = Meta(interval_min=10 * SECOND, interval_max=1000 * SECOND,
+                  interval_factor=10)
+    m_coarse = Meta(interval_min=100 * SECOND, interval_max=1000 * SECOND,
+                    interval_factor=10)
+    store = HtaStore(spark, base,
+                     configs={"fine": m_fine, "coarse": m_coarse})
+    t0 = 1_600_000_000 * SECOND
+    rows = [("fine", t0 + i * SECOND, float(i)) for i in range(500)] \
+        + [("coarse", t0 + i * SECOND, float(i)) for i in range(500)]
+    store.write_raw(spark.createDataFrame(
+        rows, "metric string, time long, value double"), validate=False)
+    store.build()
+    report = check_store(store).collect()
+    assert report == [], [tuple(r) for r in report[:5]]
