@@ -109,29 +109,35 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     """Learn ``n_merges`` BPE merges; returns the ordered merge table
     ``step, lhs, rhs, pair_count`` (step 1..n).
 
-    Each round runs one distributed pair-count aggregate + a driver-side
-    top-1 (TakeOrdered); the evolving vocab is cached per round and the
-    previous round unpersisted, so lineage stays one-round deep (same
-    loop discipline as :func:`.kmeans.kmeans_lite`).  Ties break by
+    Each round runs EXACTLY ONE action: the pair-count aggregate's
+    driver-side top-1 (TakeOrdered).  The symbolized weighted vocab is
+    cached once; round k's representation is the base column with the
+    k-1 learned merges applied as CHAINED literal-replace expressions
+    (map-only over the cached vocab — re-running k*MERGE_PASSES string
+    replaces per round is far cheaper than the per-round
+    cache+materialize job the naive loop pays, and the expression chain
+    is bounded by 2*n_merges nested replaces).  Ties break by
     (lhs, rhs) ascending — binary collation in both engines."""
     spark = docs.sparkSession
-    reprs = symbolize(weighted_vocab(docs, text_col)).cache()
+    base = symbolize(weighted_vocab(docs, text_col)).cache()
     merges: list[tuple[int, str, str, int]] = []
     try:
         for step in range(1, int(n_merges) + 1):
-            top = (pair_counts(reprs)
+            col = F.col("repr")
+            for _step, l, r, _cnt in merges:
+                pat, rep = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+                for _ in range(MERGE_PASSES):
+                    col = F.replace(col, pat, rep)
+            cur = base.select(col.alias("repr"), "freq")
+            top = (pair_counts(cur)
                    .orderBy(F.desc("pair_count"), "lhs", "rhs")
                    .limit(1).collect())
             if not top:
                 break
             l, r, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
             merges.append((step, l, r, int(cnt)))
-            nxt = apply_merge(reprs, l, r).cache()
-            nxt.count()          # materialize before dropping the parent
-            reprs.unpersist()
-            reprs = nxt
     finally:
-        reprs.unpersist()
+        base.unpersist()
     return spark.createDataFrame(
         merges, "step long, lhs string, rhs string, pair_count long")
 
