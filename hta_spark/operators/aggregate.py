@@ -26,14 +26,10 @@ from ..chrono import interval_begin, interval_end
 from ..errors import InvalidRangeError
 from ..meta import Meta
 from .rollup import raw_range
-from .scopes import IntervalScope, Scope, filter_level
 
 __all__ = ["aggregate_exact", "aggregate_telescope"]
 
 _INF = float("inf")
-
-_AGG_OUT = ["metric", "minimum", "maximum", "sum", "count", "integral",
-            "active_time"]
 
 
 def _identity_fill(joined: DataFrame, exact: bool = False) -> DataFrame:

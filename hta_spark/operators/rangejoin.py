@@ -52,12 +52,21 @@ def range_join_points(points: DataFrame, intervals: DataFrame,
     caller's problem, as with any join).
     """
     keys = list(extra_keys or [])
-    c = F.lit(int(cell)).cast("long")
-    p_cell = F.floor(F.col(point_col).cast("long") / c).alias("_cell")
+    cell = int(cell)
+
+    def _cell_of(col):
+        # exact int64 floor division (chrono.col_bucket's construction):
+        # a double `/` would round ~1e18 ns numerators into the 53-bit
+        # mantissa and could shift a cell index off the semantic grid
+        off = col.cast("long")
+        return F.call_function(
+            "div", off - F.pmod(off, F.lit(cell)), F.lit(cell))
+
+    p_cell = _cell_of(F.col(point_col)).alias("_cell")
     # cells covered by [begin, end): floor(b/c) .. floor((e-1)/c)
     covered = F.sequence(
-        F.floor(F.col(begin_col).cast("long") / c),
-        F.floor((F.col(end_col).cast("long") - F.lit(1)) / c))
+        _cell_of(F.col(begin_col)),
+        _cell_of(F.col(end_col) - F.lit(1)))
     iv = (intervals
           .filter(F.col(end_col).cast("long")
                   > F.col(begin_col).cast("long"))

@@ -55,7 +55,11 @@ def count_via_levels(raw: DataFrame, levels: dict, meta, begin: int,
 
     from .aggregate import aggregate_telescope
     from .rollup import raw_range
-    ranges = raw_range(raw)
+    # one eager metric-count-sized materialization: the lazy ranges plan
+    # would re-execute its full-raw aggregate in the telescope's identity
+    # fill AND the correction join below — 2 extra raw scans in the
+    # operator whose whole point is avoiding raw scans (review r4)
+    ranges = raw_range(raw).localCheckpoint(eager=True)
     agg = aggregate_telescope(raw, levels, meta, begin, end, ranges=ranges)
     corr = F.when((F.lit(begin) <= F.col("t_last"))
                   & (F.col("t_last") < F.lit(end)), 1).otherwise(0)

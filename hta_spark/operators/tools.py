@@ -72,6 +72,10 @@ def check_levels(raw: DataFrame, levels: dict[int, DataFrame]) -> DataFrame:
     the actual rows, plus a finiteness filter.
     """
     from .rollup import raw_range
+    if not levels:
+        return raw.sparkSession.createDataFrame(
+            [], "metric string, interval_start long, interval long, "
+                "issue string")
     parts = []
     ranges = raw_range(raw)
     for interval, lvl in levels.items():

@@ -44,8 +44,17 @@ in small DataFrames joined by broadcast — no per-metric literal predicates
 or driver-side dicts, so a batch carrying 10^5 metrics plans exactly like
 one carrying 5.
 
-Incremental cost per batch: O(points-in-batch + touched-buckets * levels),
-independent of table history size.
+Incremental cost per batch: O(points-in-batch + touched-buckets * levels)
+for the recompute + upsert itself, PLUS the per-batch planning lookups —
+one combined stats aggregate (per-metric max time + rewrite anchor) and,
+for the upsert policy, one duplicate-key anti-join — which scan the
+batch's metrics' raw history.  Those lookups are restricted to the batch's
+metrics by a broadcast semi-join; under the store's metric-partitioned
+layout they prune to those metrics' partitions, and their aggregate shape
+(max of the physically sorted time column) is row-group-stats-friendly —
+but they are NOT history-size-independent on an unpartitioned append-only
+raw table; `compact_raw_every` bounds the file count, and a deployment
+with hot metrics should keep the metric-partitioned layout.
 """
 
 from __future__ import annotations
@@ -63,23 +72,26 @@ __all__ = ["IncrementalRollup", "enforce_monotonic"]
 
 def enforce_monotonic(batch: DataFrame,
                       prev_max: DataFrame | None = None) -> DataFrame:
-    """Keep only strictly-increasing timestamps per metric within the batch,
-    and drop points at/before the stored per-metric max time (the insert
-    guard of src/metric.cpp:519-524 as a batch rule)."""
-    w = Window.partitionBy("metric").orderBy("time")
+    """The insert guard of src/metric.cpp:519-524 as a batch rule: drop
+    points at/before the stored per-metric max time, and collapse
+    duplicate (metric, time) keys to one row (smallest value — a
+    deterministic pick).
+
+    The reference additionally rejects FILE-ORDER regressions within one
+    ingest; an unordered batch DataFrame has no arrival order, so after
+    the duplicate collapse, time order IS the canonical order and there
+    is nothing further to reject (a lag-based "strictly increasing"
+    filter over the time-ordered window is vacuously true — r4 review
+    removed it along with its window pass)."""
     df = batch
     if prev_max is not None:
         df = (df.join(F.broadcast(prev_max), "metric", "left")
               .filter(F.col("_prev_max_t").isNull()
                       | (F.col("time") > F.col("_prev_max_t")))
               .drop("_prev_max_t"))
-    df = df.withColumn("_rn", F.row_number().over(
+    return df.withColumn("_rn", F.row_number().over(
         Window.partitionBy("metric", "time").orderBy("value"))) \
         .filter(F.col("_rn") == 1).drop("_rn")
-    prev_t = F.lag("time").over(w)
-    return (df.withColumn("_pt", prev_t)
-            .filter(F.col("_pt").isNull() | (F.col("time") > F.col("_pt")))
-            .drop("_pt"))
 
 
 class IncrementalRollup:
@@ -169,21 +181,36 @@ class IncrementalRollup:
         if attempted.isEmpty():
             return
         existing = self.raw()
+        stats = None
         if existing is not None:
             existing_b = existing.join(
                 F.broadcast(attempted.select("metric")), "metric", "left_semi")
+            # ONE pre-append stats pass over the batch metrics' history:
+            # per-metric max time (the monotonic guard) AND the
+            # predecessor of the batch's earliest ATTEMPTED point (the
+            # rewrite anchor) — the r3 design scanned history separately
+            # for each, and anchored at the earliest SURVIVING point,
+            # which left levels stale for metrics whose rows had been
+            # appended by a crashed run and then fully deduped on replay
+            # (review r4).  Anchoring at the attempted minimum is always
+            # <= the surviving minimum, so the recomputed region can only
+            # grow — idempotent-rewrite correctness is unchanged.
+            stats = (existing_b.join(F.broadcast(attempted), "metric")
+                     .groupBy("metric")
+                     .agg(F.max("time").alias("_prev_max_t"),
+                          F.max(F.when(F.col("time") < F.col("b_min"),
+                                       F.col("time"))).alias("_pt"))
+                     .localCheckpoint(eager=True))
             if self.policy == "strict":
-                prev_max = existing_b.groupBy("metric").agg(
-                    F.max("time").alias("_prev_max_t"))
-                batch = enforce_monotonic(batch, prev_max)
+                batch = enforce_monotonic(
+                    batch, stats.select("metric", "_prev_max_t"))
             else:
                 # upsert: accept out-of-order points; drop only exact
                 # (metric, time) duplicates vs the store and within batch
-                batch = enforce_monotonic(batch)  # in-batch dedup/sort rules
+                batch = enforce_monotonic(batch)  # in-batch dedup rules
                 batch = batch.join(existing_b.select("metric", "time"),
                                    ["metric", "time"], "left_anti")
         else:
-            existing_b = None
             batch = enforce_monotonic(batch)
         # cut lineage: the enforced batch's plan reads base/raw (monotonic
         # join), which is about to be appended to and refreshed — a plain
@@ -193,25 +220,26 @@ class IncrementalRollup:
         empty = batch.isEmpty()
         if empty and existing is None:
             return
+        # repair scope: every attempted metric that has surviving rows OR
+        # pre-existing raw data (the latter covers crash replay — a prior
+        # run may have appended raw and died before level maintenance, so
+        # even fully-deduped metrics must repair idempotently)
         if empty:
-            # replayed/duplicate batch: repair levels over the attempted
-            # range (idempotent rewrite; no raw append), for metrics that
-            # actually have raw data
-            spans = attempted.join(existing_b.select("metric").distinct(),
+            spans = attempted.join(stats.select("metric"),
                                    "metric", "left_semi")
         else:
-            spans = batch.groupBy("metric").agg(F.min("time").alias("b_min"))
+            keep = batch.select("metric").distinct()
+            if stats is not None:
+                keep = keep.unionByName(stats.select("metric")).distinct()
+            spans = attempted.join(F.broadcast(keep), "metric", "left_semi")
         # rewrite bound per metric: the start of the top level's open
         # interval at the batch's predecessor anchor — everything before it
         # is closed at every level and therefore immutable.  Computed as a
-        # small (metric, _rb) frame, broadcast everywhere below; must be
-        # materialized BEFORE the raw append (it reads pre-append state).
-        if existing_b is not None:
-            prevs = (existing_b.join(F.broadcast(spans), "metric")
-                     .groupBy("metric")
-                     .agg(F.max(F.when(F.col("time") < F.col("b_min"),
-                                       F.col("time"))).alias("_pt")))
-            spans = spans.join(F.broadcast(prevs), "metric", "left")
+        # small (metric, _rb) frame, broadcast everywhere below;
+        # materialized (stats checkpoint) BEFORE the raw append.
+        if stats is not None:
+            spans = spans.join(F.broadcast(stats.select("metric", "_pt")),
+                               "metric", "left")
         else:
             spans = spans.withColumn("_pt", F.lit(None).cast("long"))
         anchor = F.coalesce(F.col("_pt"), F.col("b_min"))

@@ -112,38 +112,48 @@ def _make_fn(intervals: list[int]):
             if start + ivs[j] == p_start + ivs[p]:
                 close(p, p_start)
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values("time")
-            for t, v in zip(pdf["time"].to_list(), pdf["value"].to_list()):
-                t = int(t)
-                if t <= 0 or (last_t is not None and t <= last_t):
-                    continue  # reject invalid / non-monotonic (metric.cpp:513-525)
-                last_t = t
-                if tc is None:
-                    tc = t  # level starts at the first point (metric.cpp:533-535)
-                iv0 = ivs[0]
-                level_end = ((tc + iv0) // iv0) * iv0
-                while t >= level_end:
-                    # boundary partial: count=0/sum=0 but min/max absorb
-                    pd_ns = level_end - tc
-                    mn[0] = min(mn[0], v)
-                    mx[0] = max(mx[0], v)
-                    ig[0] += v * pd_ns
-                    at[0] += pd_ns
-                    tc = level_end
-                    close(0, level_end - iv0)
-                    level_end = tc + iv0
-                # in-interval advance: Aggregate(v, t - tc)
-                dur = t - tc
+        # materialize the group's WHOLE micro-batch before sorting:
+        # applyInPandasWithState delivers it as an iterator of Arrow
+        # chunks with no cross-chunk ordering, so a per-chunk sort with
+        # one global last_t cursor would silently drop chunk-2 points
+        # whose timestamps fall below chunk 1's max as "non-monotonic"
+        # (review r4).  Memory is one group's batch — the same unit the
+        # reference ingests per metric.
+        chunks = [pdf[["time", "value"]] for pdf in pdfs]
+        if not chunks:                     # timeout-style empty invocation
+            chunks = [pd.DataFrame({"time": [], "value": []})]
+        batch = (chunks[0] if len(chunks) == 1
+                 else pd.concat(chunks)).sort_values("time")
+        for t, v in zip(batch["time"].to_list(), batch["value"].to_list()):
+            t = int(t)
+            if t <= 0 or (last_t is not None and t <= last_t):
+                continue  # reject invalid / non-monotonic (metric.cpp:513-525)
+            last_t = t
+            if tc is None:
+                tc = t  # level starts at the first point (metric.cpp:533-535)
+            iv0 = ivs[0]
+            level_end = ((tc + iv0) // iv0) * iv0
+            while t >= level_end:
+                # boundary partial: count=0/sum=0 but min/max absorb
+                pd_ns = level_end - tc
                 mn[0] = min(mn[0], v)
                 mx[0] = max(mx[0], v)
-                sm[0] += v
-                cnt[0] += 1
-                ig[0] += v * dur
-                at[0] += dur
-                if os_[0] < 0:
-                    os_[0] = level_end - iv0
-                tc = t
+                ig[0] += v * pd_ns
+                at[0] += pd_ns
+                tc = level_end
+                close(0, level_end - iv0)
+                level_end = tc + iv0
+            # in-interval advance: Aggregate(v, t - tc)
+            dur = t - tc
+            mn[0] = min(mn[0], v)
+            mx[0] = max(mx[0], v)
+            sm[0] += v
+            cnt[0] += 1
+            ig[0] += v * dur
+            at[0] += dur
+            if os_[0] < 0:
+                os_[0] = level_end - iv0
+            tc = t
 
         state.update((tc, last_t, os_, mn, mx, sm, cnt, ig, at))
         yield pd.DataFrame(closed, columns=_COLS)
