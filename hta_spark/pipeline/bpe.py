@@ -45,7 +45,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import tokens_col
 
-__all__ = ["MERGE_PASSES", "weighted_vocab", "symbolize", "pair_counts",
+__all__ = ["MERGE_PASSES", "weighted_vocab", "symbolize",
+           "symbolize_col", "chain_merges", "pair_counts",
            "apply_merge", "bpe_train", "bpe_segment_counts"]
 
 #: literal-replace applications per merge round (see module docstring)
@@ -62,13 +63,33 @@ def weighted_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("freq")))
 
 
+def symbolize_col(token=None):
+    """Space-padded symbol string of a token column:
+    ``"abc" -> " a b c "`` (every symbol surrounded by single spaces, the
+    invariant every merge preserves) — the ONE definition shared by
+    training and segmentation."""
+    token = token if token is not None else F.col("token")
+    return F.concat(F.lit(" "), F.regexp_replace(token, "(.)", "$1 "))
+
+
 def symbolize(vocab: DataFrame) -> DataFrame:
-    """Initial symbol sequence per word as a space-padded string:
-    ``"abc" -> " a b c "`` (one regexp pass; every symbol is surrounded
-    by single spaces, the invariant every merge preserves)."""
-    rep = F.concat(F.lit(" "),
-                   F.regexp_replace(F.col("token"), "(.)", "$1 "))
-    return vocab.select(rep.alias("repr"), "freq")
+    """Initial symbol sequences of a (token, freq) vocab as a
+    (repr, freq) frame (see :func:`symbolize_col`)."""
+    return vocab.select(symbolize_col().alias("repr"), "freq")
+
+
+def chain_merges(col, merges, passes: int = MERGE_PASSES):
+    """Apply an ordered merge list to a repr column as chained literal
+    space-bounded replaces — the ONE merge-application definition shared
+    by apply_merge, bpe_train's per-round re-derivation and
+    bpe_segment_counts (drift here would break the train/segment parity
+    the oracle gate depends on)."""
+    for left, right in merges:
+        pat = F.lit(f" {left} {right} ")
+        rep = F.lit(f" {left}{right} ")
+        for _ in range(int(passes)):
+            col = F.replace(col, pat, rep)
+    return col
 
 
 def pair_counts(reprs: DataFrame) -> DataFrame:
@@ -96,11 +117,7 @@ def apply_merge(reprs: DataFrame, left: str, right: str,
                 passes: int = MERGE_PASSES) -> DataFrame:
     """Merge pair (left, right) everywhere: ``passes`` applications of the
     literal space-bounded replace (see module docstring)."""
-    col = F.col("repr")
-    pat = F.lit(f" {left} {right} ")
-    rep = F.lit(f" {left}{right} ")
-    for _ in range(int(passes)):
-        col = F.replace(col, pat, rep)
+    col = chain_merges(F.col("repr"), [(left, right)], passes)
     return reprs.select(col.alias("repr"), "freq")
 
 
@@ -123,11 +140,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     merges: list[tuple[int, str, str, int]] = []
     try:
         for step in range(1, int(n_merges) + 1):
-            col = F.col("repr")
-            for _step, l, r, _cnt in merges:
-                pat, rep = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
-                for _ in range(MERGE_PASSES):
-                    col = F.replace(col, pat, rep)
+            col = chain_merges(
+                F.col("repr"), [(l, r) for _s, l, r, _c in merges])
             cur = base.select(col.alias("repr"), "freq")
             top = (pair_counts(cur)
                    .orderBy(F.desc("pair_count"), "lhs", "rhs")
@@ -163,17 +177,8 @@ def bpe_segment_counts(docs: DataFrame,
                         .alias("token"))
             .filter(F.col("token") != ""))
     vocab = toks.select("token").distinct()
-    seg = vocab.select(
-        "token",
-        F.concat(F.lit(" "),
-                 F.regexp_replace(F.col("token"), "(.)", "$1 "))
-        .alias("repr"))
-    col = F.col("repr")
-    for left, right in merges:
-        pat = F.lit(f" {left} {right} ")
-        rep = F.lit(f" {left}{right} ")
-        for _ in range(MERGE_PASSES):
-            col = F.replace(col, pat, rep)
+    seg = vocab.select("token", symbolize_col().alias("repr"))
+    col = chain_merges(F.col("repr"), merges)
     lut = seg.select(
         "token",
         F.size(F.split(F.trim(col), " ")).cast("long").alias("n_sub"))

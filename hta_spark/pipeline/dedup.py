@@ -241,10 +241,13 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     document per cluster instead of dropping both ends of every pair.
 
     Each round is one shuffle: push every node's current label across its
-    edges, fold with ``min``, and compare the monotone ``sum(component)``
-    against the previous round to detect the fixpoint (labels only ever
-    decrease, so the sum strictly decreases until convergence — a 1-row
-    action, no join against the previous labels).  Labels are
+    edges, fold with ``min``, and detect the fixpoint with an existence
+    check for any ``(id, comp)`` that changed this round — an equi-join
+    on the (checkpointed, node-count-sized) previous labels with
+    ``limit(1)``.  TYPE-AGNOSTIC by construction: the earlier
+    ``sum(component)`` comparison silently returned unconverged labels
+    for string node ids (SUM over strings is NULL, and NULL == NULL
+    "converged" after one round — review r4).  Labels are
     ``localCheckpoint``-ed per round so plan depth stays constant in the
     iteration count (same discipline as ``kmeans_lite``).
 
@@ -266,9 +269,9 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
              .localCheckpoint(eager=False))
     labels = (edges.select(F.col("s").alias("id")).distinct()
               .withColumn("comp", F.col("id")))
-    prev_sum = None
     for _ in range(max_iters):
-        labels = labels.localCheckpoint(eager=True)
+        base = labels.localCheckpoint(eager=True)
+        labels = base
         # hash-min: every node adopts the smallest label seen across edges
         prop = (edges.join(labels, edges["s"] == labels["id"])
                 .groupBy(F.col("d").alias("id"))
@@ -284,10 +287,12 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
                   .select("id",
                           F.least(F.col("comp"),
                                   F.coalesce("pcomp", "comp")).alias("comp")))
-        cur = labels.agg(F.sum("comp")).first()[0]
-        if cur == prev_sum:
+        changed = (labels.join(base.select("id",
+                                           F.col("comp").alias("_pc")), "id")
+                   .filter(F.col("comp") != F.col("_pc"))
+                   .limit(1).count())
+        if changed == 0:
             return labels
-        prev_sum = cur
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
         f"(graph diameter > ~2^{max_iters}); raise max_iters")

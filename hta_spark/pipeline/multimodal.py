@@ -613,9 +613,12 @@ def extract_features(df: DataFrame, dim: int = 16,
 
     def _real_vec(raw: bytes):
         import numpy as np
-        if raw[:4] == b"RIFF" or (
+        if (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE") or (
                 _SOUNDFILE is not None
                 and raw[:4] in (b"fLaC", b"OggS")):
+            # RIFF alone is ambiguous (WEBP/AVI share it): only
+            # RIFF/WAVE routes to audio; other RIFF payloads fall
+            # through to the image/video decoders' own diagnostics
             # routes non-PCM / compressed audio through the soundfile
             # import gate when present (review r4: _real_vec previously
             # called decode_wav_samples directly, making the gate
@@ -741,7 +744,17 @@ def decode_video_meta(df: DataFrame, payload_col: str = "payload",
             rows = []
             for payload in pdf[payload_col]:
                 raw = bytes(payload or b"")
-                hdr = parse_y4m_header(raw)
+                try:
+                    hdr = parse_y4m_header(raw)
+                except (ValueError, NotImplementedError):
+                    # fake=True must stub MALFORMED Y4M too (truncated
+                    # stream, unsupported colorspace), matching the
+                    # image/audio paths where the parser returns None and
+                    # falls through — one bad asset must not kill the job
+                    # in a stubbed pipeline (review r4)
+                    if not fake:
+                        raise
+                    hdr = None
                 if hdr is not None:
                     w, h, fn, fd, cs, _sz, nf = hdr
                     rows.append((f"y4m/{cs}", w, h, fn, fd, nf))
@@ -833,6 +846,10 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
     """Video frame sampling plumbing: one output row per sampled frame index
     (decode stubbed — the frame payload is the asset payload slice marker).
     Keeps fan-out declarative (explode), so Spark sizes tasks by frames."""
+    if int(n_frames) < 1:
+        # F.sequence(0, -1) DESCENDS in Spark (emitting frames 0 and -1),
+        # it does not produce an empty fan-out
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
     idx = F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx")
     return df.select(F.col(asset_col), F.col("media_type"), idx) \
              .withColumn("frame_key",

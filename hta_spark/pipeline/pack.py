@@ -30,6 +30,10 @@ def pack_contiguous(df: DataFrame, budget: int, size_col: str = "n_chars",
     concatenate-and-slice token-stream packing.  ``shard_col=None`` packs
     one global stream (single window task — small corpora only).
     """
+    if int(budget) < 1:
+        # div-by-zero yields NULL bin_id under non-ANSI SQL — every doc
+        # would collapse into one NULL bin with no error
+        raise ValueError(f"budget must be >= 1, got {budget}")
     part = [shard_col] if shard_col else []
     w = (Window.partitionBy(*part).orderBy(key_col)
          .rowsBetween(Window.unboundedPreceding, -1))

@@ -169,10 +169,16 @@ def _quantiles_from_binned(binned: DataFrame, part_cols: list[str],
     cum = (binned.withColumn("_cum", F.sum("_n").over(wcum))
            .withColumn("_below", F.col("_cum") - F.col("_n")))
     targets = F.broadcast(binned.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double"))
-    # target rank = ceil(q * total) as exact integer arithmetic on the
-    # decimal-scaled q (qs are given to <= 6 decimals)
-    tr = F.ceil(F.col("_total") * F.col("q")).cast("long")
+        [(float(q), int(round(float(q) * 1_000_000))) for q in qs],
+        "q double, _qm long"))
+    # target rank = ceil(q * total) in EXACT integer arithmetic: q scaled
+    # to micro-units, ceil-div by 10^6.  A double ceil(total * q) shifts
+    # the rank by one whenever the product rounds up across an integer
+    # (e.g. 10^6 * 0.1 = 100000.00000000001 -> rank 100001; review r4).
+    # Exact for total < ~9.2e12 (int64 headroom over the 10^6 scale).
+    tr = F.call_function(
+        "div", F.col("_total") * F.col("_qm") + F.lit(999_999),
+        F.lit(1_000_000))
     hit = (cum.crossJoin(targets)
            .withColumn("target_rank", tr)
            .filter((F.col("_below") < F.col("target_rank"))
@@ -213,13 +219,14 @@ def hist_counts_to_quantiles(counts: list[int], lo: int, w: int,
                              qs: tuple[float, ...],
                              scale: int) -> list[tuple[float, int, float]]:
     """Python twin of the interpolation (for the streaming state fn):
-    identical integer target ranks and the identical single
-    float-multiply/divide, so stream == batch bit-for-bit."""
-    import math
+    identical EXACT integer target ranks (micro-scaled q, ceil-div) and
+    the identical single float-multiply/divide, so stream == batch
+    bit-for-bit."""
     total = sum(counts)
     out = []
     for q in qs:
-        tr = int(math.ceil(total * float(q)))
+        qm = int(round(float(q) * 1_000_000))
+        tr = (total * qm + 999_999) // 1_000_000
         below = 0
         for b, n in enumerate(counts):
             if n == 0:

@@ -174,17 +174,22 @@ cum AS (
              AS cum
   FROM bins
 ),
-qs AS (SELECT CAST(unnest([{', '.join(str(q) for q in HIST_QS)}]) AS DOUBLE)
-           AS q)
-SELECT q, CAST(ceil(total * q) AS BIGINT) AS target_rank,
+qs AS (SELECT CAST(q AS DOUBLE) AS q,
+              CAST(q * 1000000 AS BIGINT) AS qm
+       FROM (SELECT unnest([{', '.join(str(q) for q in HIST_QS)}]) AS q)),
+tr AS (
+  SELECT cum.*, qs.q,
+         (cum.total * qs.qm + 999999) // 1000000 AS target_rank
+  FROM cum, qs
+)
+SELECT q, target_rank,
        (CAST(lo + bin * w AS DOUBLE)
         + CAST(w AS DOUBLE)
-          * (CAST(CAST(ceil(total * q) AS BIGINT) - (cum - n) AS DOUBLE)
+          * (CAST(target_rank - (cum - n) AS DOUBLE)
              / CAST(n AS DOUBLE)))
        / 100.0 AS est
-FROM cum, qs
-WHERE (cum - n) < CAST(ceil(total * q) AS BIGINT)
-  AND CAST(ceil(total * q) AS BIGINT) <= cum
+FROM tr
+WHERE (cum - n) < target_rank AND target_rank <= cum
 ORDER BY q
 """
 
@@ -224,16 +229,22 @@ cum AS (
              AS cum
   FROM bins
 ),
-qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
-SELECT event_type, q, CAST(ceil(total * q) AS BIGINT) AS target_rank,
+qs AS (SELECT CAST(q AS DOUBLE) AS q,
+              CAST(q * 1000000 AS BIGINT) AS qm
+       FROM (SELECT unnest([0.5, 0.9, 0.99]) AS q)),
+tr AS (
+  SELECT cum.*, qs.q,
+         (cum.total * qs.qm + 999999) // 1000000 AS target_rank
+  FROM cum, qs
+)
+SELECT event_type, q, target_rank,
        (CAST(lo + bin * w AS DOUBLE)
         + CAST(w AS DOUBLE)
-          * (CAST(CAST(ceil(total * q) AS BIGINT) - (cum - n) AS DOUBLE)
+          * (CAST(target_rank - (cum - n) AS DOUBLE)
              / CAST(n AS DOUBLE)))
        / 100.0 AS est
-FROM cum, qs
-WHERE (cum - n) < CAST(ceil(total * q) AS BIGINT)
-  AND CAST(ceil(total * q) AS BIGINT) <= cum
+FROM tr
+WHERE (cum - n) < target_rank AND target_rank <= cum
 ORDER BY event_type, q
 """
 

@@ -458,8 +458,13 @@ class HtaStore:
         monotonicity across appends is the ingest job's contract (see
         streaming.ingest for the stateful enforcement)."""
         if validate:
-            if df.filter(F.col("time") <= 0).limit(1).count() > 0:
-                raise InvalidTimestampError("cannot insert invalid (<= 0) time")
+            # NULL must be caught explicitly: NULL <= 0 is NULL, which the
+            # filter drops — a NULL-time row would otherwise persist and
+            # silently vanish from every time-range read (review r4)
+            bad = df.filter(F.col("time").isNull() | (F.col("time") <= 0))
+            if bad.limit(1).count() > 0:
+                raise InvalidTimestampError(
+                    "cannot insert invalid (NULL or <= 0) time")
         w = df.select("metric", "time", "value")
         parts = []
         if self.partition_by_metric:
@@ -548,6 +553,7 @@ class HtaStore:
         raw = self.raw()
         if raw is None:
             return
+        subset = metas is not None
         metas = metas or {m: self.meta_for(m) for m in self.metric_names()}
         by_params: dict[tuple, list[str]] = {}
         for m, meta in metas.items():
@@ -556,9 +562,27 @@ class HtaStore:
         per_level: dict[int, list[DataFrame]] = {}
         for (imin, imax, ifac), metrics in by_params.items():
             meta = Meta(interval_min=imin, interval_max=imax, interval_factor=ifac)
-            sub = raw.filter(F.col("metric").isin(metrics))
+            members = F.broadcast(self.spark.createDataFrame(
+                [(m,) for m in metrics], "metric string"))
+            sub = raw.join(members, "metric", "left_semi")
             for iv, df in build_levels(sub, meta).items():
                 per_level.setdefault(iv, []).append(df)
+        # subset rebuild: every level republish must CARRY FORWARD the
+        # rows of metrics not being rebuilt — publishing only the
+        # subset's aggregates would silently destroy everyone else's
+        # rollups behind the manifest flip (review r4).  Levels on disk
+        # that the subset's new ladders no longer produce still need a
+        # republish that strips the rebuilt metrics' stale rows.
+        from ..schemas import AGG_SCHEMA
+        LEVEL_COLUMNS = [f.name for f in AGG_SCHEMA.fields]
+        rebuilt = F.broadcast(self.spark.createDataFrame(
+            [(m,) for m in metas], "metric string"))
+        if subset:
+            lv_dir = f"{self.base}/levels"
+            if os.path.isdir(lv_dir):
+                for name in os.listdir(lv_dir):
+                    if name.isdigit() and int(name) not in per_level:
+                        per_level[int(name)] = []
         # one atomic republish per level table (param groups sharing an
         # interval are unioned first) — a rebuild racing readers flips the
         # manifest instead of overwriting in place.  Levels are written
@@ -567,10 +591,18 @@ class HtaStore:
         # intermediate levels from level 1: O(levels^2) aggregations).
         cached = []
         for iv in sorted(per_level):
-            dfs = per_level[iv]
-            out = dfs[0]
+            dfs = list(per_level[iv])
+            if subset:
+                existing_lvl = self.level(iv)
+                if existing_lvl is not None:
+                    dfs.append(existing_lvl
+                               .join(rebuilt, "metric", "left_anti")
+                               .select(*LEVEL_COLUMNS))
+            if not dfs:
+                continue
+            out = dfs[0].select(*LEVEL_COLUMNS)
             for d in dfs[1:]:
-                out = out.unionByName(d)
+                out = out.unionByName(d.select(*LEVEL_COLUMNS))
             for d in dfs:
                 d.cache()
                 cached.append(d)
@@ -655,6 +687,10 @@ class Metric:
               scope: IntervalScope = RAW_DEFAULT) -> int:
         if begin is None:
             return self._raw().count()
+        if end is None:
+            # open-ended count: everything from begin through the tail
+            # (an int64 sentinel keeps check_range's int comparison valid)
+            end = 2 ** 63 - 1
         rows = count_scoped(self._raw(), begin, end, scope).collect()
         return rows[0]["n"] if rows else 0
 
