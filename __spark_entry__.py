@@ -26,8 +26,17 @@ def _conf(spark: SparkSession) -> SparkSession:
     for k, v in _REQUIRED_CONF.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass
+        except Exception as e:
+            # verify-and-warn instead of swallowing: a silently missing
+            # nanosAsLong / non-UTC zone surfaces much later as an
+            # unrelated-looking schema error or shifted ns values
+            try:
+                current = spark.conf.get(k, None)
+            except Exception:
+                current = None
+            if current != v:
+                print(f"WARNING: required conf {k}={v!r} could not be "
+                      f"set (current: {current!r}): {e}", file=sys.stderr)
     return spark
 
 

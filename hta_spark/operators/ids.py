@@ -43,19 +43,24 @@ def dense_ids(df: DataFrame, order_cols: list[str], path: str,
 
     import pyarrow.parquet as pq
 
+    import re
+
     spark = df.sparkSession
-    dup = (df.groupBy(*order_cols).count()
-           .filter(F.col("count") > 1).limit(1).collect())
-    if dup:
-        raise ValueError(
-            f"order_cols {order_cols} are not a total order: duplicate "
-            f"key {tuple(dup[0])[:-1]} — dense ids would be "
-            "partition-dependent")
     n = num_partitions or spark.sparkContext.defaultParallelism
     (df.repartitionByRange(n, *[F.col(c) for c in order_cols])
        .sortWithinPartitions(*order_cols)
        .write.mode("overwrite").parquet(path))
-    files = sorted(glob.glob(os.path.join(path, "part-*")))
+
+    def _part_idx(fname: str) -> int:
+        m = re.match(r"part-(\d+)-", os.path.basename(fname))
+        return int(m.group(1)) if m else -1
+
+    # sort by the PARSED partition index: Spark zero-pads to 5 digits, so
+    # at >= 100000 partitions (the stated design point) a lexicographic
+    # sort puts part-100000 before part-20000 and every offset lands on
+    # the wrong range partition — silently breaking the total order
+    # (review r4)
+    files = sorted(glob.glob(os.path.join(path, "part-*")), key=_part_idx)
     if not files:
         raise ValueError(
             f"no part files found under {path!r} after the sorted write — "
@@ -72,6 +77,16 @@ def dense_ids(df: DataFrame, order_cols: list[str], path: str,
     rd = (spark.read.parquet(path)
           .withColumn("_fname",
                       F.element_at(F.split(F.input_file_name(), "/"), -1)))
+    # uniqueness check runs on the WRITTEN copy (one cheap parquet scan),
+    # not the unmaterialized input — checking first would execute the
+    # whole upstream lineage twice (review r4)
+    dup = (rd.groupBy(*order_cols).count()
+           .filter(F.col("count") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"order_cols {order_cols} are not a total order: duplicate "
+            f"key {tuple(dup[0])[:-1]} — dense ids would be "
+            "partition-dependent")
     w = Window.partitionBy("_fname").orderBy(*order_cols)
     return (rd.join(off, "_fname")
             .withColumn(id_name,

@@ -37,9 +37,9 @@ from pyspark.sql import functions as F
 
 from .chrono import HOUR, SECOND
 from .meta import Meta
-from .operators import (IntervalScope, Scope, aggregate_exact, build_levels,
+from .operators import (IntervalScope, Scope, aggregate_exact,
                         count_scoped, filter_raw, last_point, metric_range)
-from .operators.rollup import build_level1, build_next_level, raw_range
+from .operators.rollup import build_level1, build_next_level
 from .operators.tools import throttle
 
 # query window constants (ns, UTC) — inside the events span (2024-01)
@@ -478,9 +478,18 @@ lag_raw AS (
          lag(time) OVER (PARTITION BY metric ORDER BY time) AS prev
   FROM raw
 )
-SELECT metric, 'duplicate_timestamp' AS issue, CAST(count(*) AS BIGINT) AS n
-FROM lag_raw WHERE prev IS NOT NULL AND time = prev
-GROUP BY 1, 2
+SELECT metric, issue, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT metric, 'duplicate_timestamp' AS issue
+  FROM lag_raw WHERE prev IS NOT NULL AND time = prev
+  UNION ALL SELECT metric, 'nan' FROM raw WHERE isnan(value)
+  UNION ALL SELECT metric, 'inf' FROM raw WHERE value = 'infinity'::DOUBLE
+  UNION ALL SELECT metric, '-inf' FROM raw
+  WHERE value = '-infinity'::DOUBLE
+  UNION ALL SELECT metric, 'implausible_magnitude' FROM raw
+  WHERE NOT isnan(value) AND abs(value) > 1e20
+  UNION ALL SELECT metric, 'timestamp_too_old' FROM raw
+  WHERE time < 946684800000000000
+) GROUP BY 1, 2
 """
 
 
@@ -507,7 +516,6 @@ def q_hta_smooth_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     into begin-anchored synthetic intervals with LAST weighting, pre-begin
     overhang folded into bucket 0."""
     from .operators.retrieve import smooth_raw
-    from .operators.scopes import IntervalScope, Scope, filter_raw
     raw = events_raw(spark, sf_dir)
     pts = filter_raw(raw, RET_BEGIN, RET_END,
                      IntervalScope(Scope.extended, Scope.open))

@@ -628,18 +628,22 @@ def q_session_window(spark, sf_dir):
 
 SQL_SESSION_WINDOW = """
 WITH l AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events),
 s AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN prev_ts IS NULL
                    OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
               THEN 1 ELSE 0 END AS new_sess
   FROM l),
 g AS (
+  -- the cumulative frame must share the lag window's FULL tie-break
+  -- (ts, event_id): ordering by ts alone lets a duplicate-timestamp row
+  -- at a session boundary land in the previous session depending on the
+  -- engine's tie order (review r4)
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS sid
   FROM s)

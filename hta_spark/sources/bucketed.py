@@ -41,7 +41,19 @@ def ensure_bucketed(spark: SparkSession, table: str, path: str,
                     build: DataFrame, keys: list[str],
                     n_buckets: int) -> DataFrame:
     """Return the bucketed table, materializing it on first use in this
-    session (idempotent per session — the catalog remembers)."""
-    if not spark.catalog.tableExists(table):
-        write_bucketed(build, table, path, keys, n_buckets)
+    session (idempotent per session — the catalog remembers).
+
+    Idempotence is keyed on (table name, STORAGE PATH): a cached catalog
+    entry whose location differs from the requested ``path`` is rebuilt —
+    name-only keying silently returned the FIRST materialization for a
+    same-named request against different data (review r4)."""
+    if spark.catalog.tableExists(table):
+        loc = (spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+               .filter("col_name = 'Location'")
+               .collect())
+        have = loc[0]["data_type"] if loc else None
+        want = path if "://" in path else f"file:{path}"
+        if have is not None and have.rstrip("/") == want.rstrip("/"):
+            return spark.table(table)
+    write_bucketed(build, table, path, keys, n_buckets)
     return spark.table(table)

@@ -127,3 +127,46 @@ def test_extract_features_riff_webp_not_audio(spark):
     with pytest.raises(Exception) as ei:
         extract_features(df).collect()
     assert "image container" in str(ei.value)   # image-path diagnostics
+
+
+def test_check_dups_oracle_covers_all_issue_kinds(spark, tmp_path):
+    """The hta_check_dups oracle must model EVERY issue kind check_raw can
+    emit on this query's inputs (nan/inf/-inf/magnitude/too-old/dup), not
+    just duplicates — verified on constructed data containing all of
+    them."""
+    import datetime
+
+    import duckdb
+
+    from hta_spark.queries_hta import SQL_HTA_CHECK_DUPS, q_hta_check_dups
+
+    def us(sec):
+        return datetime.datetime.fromtimestamp(
+            sec, tz=datetime.timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        (1, us(1_704_000_000), 7, "m", 1.0, "{}"),
+        (2, us(1_704_000_000), 7, "m", 2.0, "{}"),      # duplicate ts
+        (3, us(1_704_000_100), 7, "m", float("nan"), "{}"),
+        (4, us(1_704_000_200), 7, "m", float("inf"), "{}"),
+        (5, us(1_704_000_300), 7, "m", float("-inf"), "{}"),
+        (6, us(1_704_000_400), 7, "m", 1e21, "{}"),     # magnitude
+        (7, us(100_000), 7, "m", 1.0, "{}"),            # pre-2000
+        (8, us(1_704_000_500), 7, "n", 1.0, "{}"),      # clean metric
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(p)
+
+    got = sorted(tuple(r) for r in
+                 q_hta_check_dups(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{p}/*.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.sql(SQL_HTA_CHECK_DUPS).fetchall())
+    assert got == want
+    kinds = {k for (_m, k, _n) in got}
+    assert kinds == {"duplicate_timestamp", "nan", "inf", "-inf",
+                     "implausible_magnitude", "timestamp_too_old"}
