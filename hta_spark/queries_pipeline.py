@@ -136,6 +136,70 @@ ORDER BY a, b
 """
 
 
+LSH_RECALL_THRESHOLD = 0.15
+
+
+def q_lsh_recall(spark, sf_dir):
+    """Recall of the banded-LSH candidate generator against the exact
+    n-gram-Jaccard pairs above threshold — the dedup-path analog of
+    ann_ivf_recall: the quality number that justifies running the
+    bucketed scale path instead of the exact inverted-index join."""
+    docs = _docs(spark, sf_dir)
+    exact = (ngram_jaccard_pairs(docs, shingle_n=3, min_shared=2)
+             .filter(F.col("jaccard") >= F.lit(LSH_RECALL_THRESHOLD))
+             .select("a", "b"))
+    sigs = minhash_signatures(docs, k=MINHASH_K, shingle_n=3)
+    cand = lsh_pairs(sigs, k=MINHASH_K,
+                     rows_per_band=LSH_ROWS_PER_BAND).select("a", "b")
+    hit = exact.join(cand, ["a", "b"], "left_semi")
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (n_true.crossJoin(n_hit)
+            .select("n_true", "n_hit",
+                    F.when(F.col("n_true") > 0,
+                           F.round(F.col("n_hit").cast("double")
+                                   / F.col("n_true").cast("double"), 4))
+                    .otherwise(F.lit(1.0)).alias("recall")))
+
+
+def _sql_lsh_recall() -> str:
+    base = _sql_minhash()
+    # reuse the minhash chain up to `buckets`, drop its final SELECT
+    chain = base[:base.index("\nSELECT DISTINCT")]
+    return f"""{chain},
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY 1),
+shared AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM ex l JOIN ex r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+exact AS (
+  SELECT s.a, s.b
+  FROM shared s
+  JOIN sizes sa ON s.a = sa.doc_id
+  JOIN sizes sb ON s.b = sb.doc_id
+  WHERE round(s.shared / (sa.sz + sb.sz - s.shared), 4)
+        >= {LSH_RECALL_THRESHOLD}
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM exact JOIN cand USING (a, b)) AS n_hit,
+       CASE WHEN (SELECT count(*) FROM exact) > 0
+            THEN round(CAST((SELECT count(*)
+                             FROM exact JOIN cand USING (a, b)) AS DOUBLE)
+                       / CAST((SELECT count(*) FROM exact) AS DOUBLE), 4)
+            ELSE 1.0 END AS recall
+"""
+
+
+SQL_LSH_RECALL = _sql_lsh_recall()
+
+
 # -- simhash ---------------------------------------------------------------
 
 def q_simhash(spark, sf_dir):
@@ -814,6 +878,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_prefix": (q_dedup_prefix, SQL_DEDUP_PREFIX),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_minhash()),
+    "dedup_lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "text_lang_id": (q_lang_id, _sql_lang_id()),
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
