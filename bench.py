@@ -223,7 +223,11 @@ PREV_ROUND = {
     "q_asof_signup": 0.442, "dedup_exact": 1.337,
     "dedup_minhash_lsh": 2.509, "dedup_embedding_cosine": 1.248,
     "dedup_simhash": 1.102, "text_quality": 0.455,
-    "ann_cosine_topk": 0.557, "rollup_build_16m": 4.482,
+    "ann_cosine_topk": 0.557,
+    # r3 insert_throughput cold_sec (first materialization incl. codegen)
+    # — matches the cold entry recorded since r4; r3's 4.482 was its best
+    # full-recompute figure, which maps to `queries`/`value`, not cold
+    "rollup_build_16m": 7.508,
 }
 
 
@@ -293,7 +297,10 @@ def main() -> None:
         timings[name] = round(min(cold, steady), 3)
     insert = _insert_throughput(spark)
     timings["rollup_build_16m"] = insert["sec"]
-    cold_timings["rollup_build_16m"] = insert["sec"]
+    # the COLD entry is the first materialization (codegen included) so
+    # the cold delta vs prior rounds compares first-pass to first-pass;
+    # `sec` (best warm full-recompute, plan excluded) is the steady figure
+    cold_timings["rollup_build_16m"] = insert["cold_sec"]
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold_timings.values()), 3)
     matrix = _insert_matrix(spark)
@@ -318,8 +325,8 @@ def main() -> None:
         "insert_throughput": insert,
         "insert_matrix": matrix,
         "pipeline_latency_sec": pipeline,
-        # deltas compare COLD (first-pass) numbers to the judge's r2
-        # single-shot measurements — like for like
+        # deltas compare COLD (first-pass) numbers to the r3 cold
+        # figures in PREV_ROUND — like for like
         "delta_vs_prev_sec": {
             k: round(cold_timings[k] - PREV_ROUND[k], 3)
             for k in cold_timings if k in PREV_ROUND},

@@ -28,6 +28,18 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _scratch_path(sf_dir: str, prefix: str) -> str:
+    """Fixed per-(pid, sf) scratch path for materializing queries — ONE
+    sanitization rule for every such query (two hand copies could drift
+    into colliding cache paths)."""
+    import os
+    import tempfile
+    tag = (os.path.basename(sf_dir.rstrip("/"))
+           .replace(".", "_").replace("-", "_"))
+    return os.path.join(tempfile.gettempdir(),
+                        f"{prefix}_{os.getpid()}_{tag}")
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -153,6 +165,7 @@ def q_hist_quantiles(spark, sf_dir):
 SQL_HIST_QUANTILES = f"""
 WITH v AS (
   SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+  WHERE value IS NOT NULL
 ),
 b AS (SELECT min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS total
       FROM v),
@@ -205,6 +218,7 @@ def q_hist_by_group(spark, sf_dir):
 SQL_HIST_BY_GROUP = f"""
 WITH v AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+  WHERE value IS NOT NULL
 ),
 b AS (
   SELECT event_type, min(v) AS lo, max(v) AS hi,
@@ -409,13 +423,10 @@ def q_bucketed_join(spark, sf_dir):
     biggest recurring join.  Tables materialize once per session at a
     fixed per-(pid, sf) path, like the streaming ingest query."""
     import os
-    import tempfile
 
     from .sources.bucketed import ensure_bucketed
-    tag = (os.path.basename(sf_dir.rstrip("/"))
-           .replace(".", "_").replace("-", "_"))
-    base = os.path.join(tempfile.gettempdir(),
-                        f"hta_bucketed_{os.getpid()}_{tag}")
+    base = _scratch_path(sf_dir, "hta_bucketed")
+    tag = os.path.basename(base).split("_", 2)[2]
     li = ensure_bucketed(
         spark, f"bkt_lineitem_{tag}", f"{base}/lineitem",
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
@@ -424,16 +435,22 @@ def q_bucketed_join(spark, sf_dir):
         spark, f"bkt_orders_{tag}", f"{base}/orders",
         spark.read.parquet(f"{sf_dir}/orders.parquet"),
         ["o_orderkey"], N_BUCKETS)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # per-row cent quantization -> exact integer sum (the module's
+    # order-robust convention; a double SUM's partial-aggregation order
+    # differs between engines and can flip round(.,2) at a boundary)
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .groupBy("o_orderpriority", "l_returnflag")
-            .agg(F.round(F.sum(rev), 2).alias("revenue"),
+            .agg((F.sum(cents).cast("double") / F.lit(100.0))
+                 .alias("revenue"),
                  F.count("*").cast("long").alias("n_items")))
 
 
 SQL_BUCKETED_JOIN = """
 SELECT o_orderpriority, l_returnflag,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1, 2
@@ -456,8 +473,9 @@ def q_text_vocab(spark, sf_dir):
     which Spark compiles to TakeOrderedAndProject — a per-partition
     heap top-k merged on the driver, never a single-partition sort of
     the full distinct-token set.  Only the <= VOCAB_TOP survivors see
-    the rank window (partitioned by a literal so no partitionless-
-    window plan is ever emitted)."""
+    the rank window, partitioned by the constant `_total` ATTRIBUTE (a
+    literal key would be constant-folded away, re-creating the
+    partitionless-window plan)."""
     from pyspark.sql import Window
     from .pipeline.dedup import tokens_col
     docs = _docs(spark, sf_dir)
@@ -677,14 +695,8 @@ def q_dense_ids(spark, sf_dir):
     window: sorted durable write + parquet-footer offsets + per-file
     windows (`operators/ids.py`).  Writes to a fixed per-(pid, sf) path
     like the other materializing queries."""
-    import os
-    import tempfile
-
     from .operators.ids import dense_ids
-    tag = (os.path.basename(sf_dir.rstrip("/"))
-           .replace(".", "_").replace("-", "_"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"hta_dense_ids_{os.getpid()}_{tag}")
+    path = _scratch_path(sf_dir, "hta_dense_ids")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return (dense_ids(o, ["o_orderkey"], path)
             .select("o_orderkey", "o_orderpriority", "row_id"))
@@ -808,8 +820,10 @@ def q_knn_join(spark, sf_dir):
     return knn_join(emb, k=KNN_K)
 
 
-SQL_KNN_JOIN = f"""
-WITH p AS (
+#: the exact-kNN ranking CTEs — ONE definition shared by the knn join and
+#: the label-accuracy oracle built on it (two copies could silently
+#: diverge on the ranking convention)
+_KNN_CTES = """p AS (
   SELECT a.vec_id AS a, b.vec_id AS b,
          round(list_cosine_similarity(a.embedding::DOUBLE[],
                                       b.embedding::DOUBLE[]), 4) AS cs
@@ -819,7 +833,10 @@ r AS (
   SELECT a, b, cs,
          row_number() OVER (PARTITION BY a ORDER BY cs DESC, b) AS rk
   FROM p
-)
+)"""
+
+SQL_KNN_JOIN = f"""
+WITH {_KNN_CTES}
 SELECT a, b, cs AS cos_sim, CAST(rk AS BIGINT) AS rank
 FROM r WHERE rk <= {KNN_K}
 """
@@ -861,17 +878,7 @@ def q_knn_label_accuracy(spark, sf_dir):
 
 
 SQL_KNN_LABEL_ACCURACY = f"""
-WITH p AS (
-  SELECT a.vec_id AS a, b.vec_id AS b,
-         round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                      b.embedding::DOUBLE[]), 4) AS cs
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-),
-r AS (
-  SELECT a, b, cs,
-         row_number() OVER (PARTITION BY a ORDER BY cs DESC, b) AS rk
-  FROM p
-),
+WITH {_KNN_CTES},
 nn AS (SELECT a, b FROM r WHERE rk <= {KNN_K}),
 votes AS (
   SELECT nn.a, e.label AS nb_label, CAST(count(*) AS BIGINT) AS n_votes
