@@ -245,10 +245,14 @@ def retrieve_rows(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
                   begin: int, end: int, interval_upper_limit: int,
                   scope: IntervalScope = ROW_DEFAULT) -> DataFrame:
     """R2 — Row-returning retrieve: flex without smoothing; raw results are
-    converted to interval=0 rows (/root/reference/src/metric.cpp:414-439)."""
-    if begin > end:
-        raise InvalidRangeError(
-            f"invalid request: begin timestamp {begin} larger than end {end}")
+    converted to interval=0 rows (/root/reference/src/metric.cpp:414-439).
+    Range validation follows the scope algebra (check_range): an
+    infinity scope exempts begin > end, exactly as the reference's
+    Row-retrieve does via its flex check (metric.cpp:358-363) —
+    retrieve_min_samples keeps its UNCONDITIONAL check per
+    metric.cpp:246-253."""
+    from .scopes import check_range
+    check_range(begin, end, scope)
     kind, df = retrieve_flex(raw, levels, meta, begin, end,
                              interval_upper_limit, scope, smooth=False)
     if kind == "rows":

@@ -183,10 +183,7 @@ def level_start_bounds(begin: int, end: int, interval: int,
 def filter_level(level: DataFrame, begin: int, end: int, interval: int,
                  scope: IntervalScope = ROW_DEFAULT) -> DataFrame:
     """Scoped read of one rollup level (R7 in SURVEY.md §2.1)."""
-    if not (end >= begin or scope.begin == Scope.infinity
-            or scope.end == Scope.infinity):
-        raise InvalidRangeError(
-            f"invalid request: begin timestamp {begin} larger than end {end}")
+    check_range(begin, end, scope)
     min_start, max_start, empty = level_start_bounds(begin, end, interval, scope)
     if empty:
         return level.filter(F.lit(False))

@@ -7,11 +7,19 @@ benchmark is contaminated and must be dropped or cleaned before training.
 
 100 TB shape: the eval side is always tiny (benchmarks are thousands of
 documents; the training corpus is billions), so the eval n-gram set ships
-as a BROADCAST frame and the whole check is one map-side hash-semi-join on
-the training shingle stream — no shuffle of training data at all.  The
-per-document overlap fraction needs one grouped count (map-side combined).
-Everything is built-in JVM expressions (split / transform / explode); no
-Python in the hot path.
+as a BROADCAST frame and the CONTAINMENT test itself is a map-side hash
+join on the training shingle stream.  Honest shuffle accounting (review
+r4): the per-document DISTINCT (``doc_ngrams``) and the per-document
+overlap count are each one hash exchange of the exploded gram stream —
+keyed by doc id, partial-aggregated map-side, never all-pairs.  A fully
+map-only form exists for the scan-bound regime (per-row
+``size(array_distinct(shingles))`` + a broadcast-set membership fold with
+array expressions, no explode) and is the drop-in upgrade if those two
+exchanges ever dominate; the exploded form is kept because it reuses the
+dedup module's shingle stream and its partial aggregation is already
+bandwidth-bound, not shuffle-bound, at the tested scales.  Everything is
+built-in JVM expressions (split / transform / explode); no Python in the
+hot path.
 
 The reference has no text surface; this extends the training-data pipeline
 surface (BASELINE.json) alongside dedup / sampling / quality scoring.

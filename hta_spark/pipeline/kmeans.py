@@ -70,9 +70,20 @@ def kmeans_lite(emb: DataFrame, k: int = 8, iterations: int = 3,
                 .groupBy("cluster")
                 .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
                 .collect())
-        centroids = [(int(r["cluster"]),
-                      [round(float(p["m"]), quantize) if quantize is not None
-                       else float(p["m"]) for p in r["dm"]]) for r in sums]
+        # half-AWAY-from-zero quantization: Python round() is half-even
+        # (banker's), but Spark F.round and DuckDB round() are both
+        # half-away — a dyadic mean landing exactly on a quantum midpoint
+        # would diverge from the oracle from round 1 onward (review r4)
+        def _q(x: float) -> float:
+            if quantize is None:
+                return float(x)
+            scale = 10 ** quantize
+            import math
+            return math.copysign(
+                math.floor(abs(x) * scale + 0.5), x) / scale
+
+        centroids = [(int(r["cluster"]), [_q(float(p["m"]))
+                                          for p in r["dm"]]) for r in sums]
         centroids.sort(key=lambda cv: cv[0])
         assigned = _assign(emb, centroids, id_col, vec_col)
     return assigned.select(id_col, "cluster", F.round("sim", 4).alias("sim"))

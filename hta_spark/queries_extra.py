@@ -8,7 +8,6 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .functions import mean, mean_integral, mean_sum
 from .queries_hta import EVT, LEVEL1, events_raw
 from .operators.rollup import build_level1
 
@@ -20,12 +19,23 @@ def _t(spark, sf_dir, name):
 # -- derived means over the rollup (types.hpp:72-89 surface) ----------------
 
 def q_hta_means(spark, sf_dir):
-    lvl = build_level1(events_raw(spark, sf_dir), LEVEL1)
+    """Derived means over an EXACT (micro-integer) level build: the
+    accumulated sum/integral are order-free integers on both engines, so
+    the single shared division + round(4) is bit-reproducible (an
+    exact=False build's double sums are partial-aggregation-order
+    dependent and can flip the 4th decimal at a boundary — the module
+    convention the sibling level queries already follow)."""
+    lvl = build_level1(events_raw(spark, sf_dir), LEVEL1, exact=True)
+    ms = (F.col("sum").cast("double") / F.lit(1_000_000.0)) \
+        / F.col("count").cast("double")
+    mi = (F.col("integral").cast("double") / F.lit(1_000_000.0)) \
+        / F.col("active_time").cast("double")
+    pref = F.when(F.col("active_time") > 0, mi).otherwise(ms)
     return lvl.select(
         "metric", "interval_start",
-        F.round(mean_sum(), 4).alias("mean_sum"),
-        F.round(mean_integral() * F.lit(1.0), 4).alias("mean_integral"),
-        F.round(mean(), 4).alias("mean_pref"),
+        F.round(ms, 4).alias("mean_sum"),
+        F.round(mi, 4).alias("mean_integral"),
+        F.round(pref, 4).alias("mean_pref"),
     ).filter(F.col("count") > 0)
 
 
@@ -57,19 +67,27 @@ pieces AS (
 ),
 lvl AS (
   SELECT p.metric, p.k * {LEVEL1} AS interval_start,
-         sum(CASE WHEN p.cnt = 1 THEN p.value ELSE 0 END) AS sum_val,
+         CAST(sum(CASE WHEN p.cnt = 1
+                       THEN CAST(round(p.value * 1e6) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sum_micro,
          CAST(sum(p.cnt) AS BIGINT) AS cnt_val,
-         sum(p.value * p.dur) AS integral_val,
+         sum(CAST(CAST(round(p.value * 1e6) AS BIGINT) AS HUGEINT)
+             * p.dur) AS integral_micro,
          CAST(sum(p.dur) AS BIGINT) AS active_time
   FROM pieces p JOIN rng r ON p.metric = r.metric
   WHERE (p.k + 1) * {LEVEL1} <= r.t_last
   GROUP BY 1, 2
 )
 SELECT metric, interval_start,
-       round(sum_val / cnt_val, 4) AS mean_sum,
-       round(integral_val / active_time, 4) AS mean_integral,
-       round(CASE WHEN active_time > 0 THEN integral_val / active_time
-                  ELSE sum_val / cnt_val END, 4) AS mean_pref
+       round((CAST(sum_micro AS DOUBLE) / 1000000.0)
+             / CAST(cnt_val AS DOUBLE), 4) AS mean_sum,
+       round((CAST(integral_micro AS DOUBLE) / 1000000.0)
+             / CAST(active_time AS DOUBLE), 4) AS mean_integral,
+       round(CASE WHEN active_time > 0
+                  THEN (CAST(integral_micro AS DOUBLE) / 1000000.0)
+                       / CAST(active_time AS DOUBLE)
+                  ELSE (CAST(sum_micro AS DOUBLE) / 1000000.0)
+                       / CAST(cnt_val AS DOUBLE) END, 4) AS mean_pref
 FROM lvl WHERE cnt_val > 0
 """
 
