@@ -9,15 +9,13 @@ benchmark is contaminated and must be dropped or cleaned before training.
 documents; the training corpus is billions), so the eval n-gram set ships
 as a BROADCAST frame and the CONTAINMENT test itself is a map-side hash
 join on the training shingle stream.  Honest shuffle accounting (review
-r4): the per-document DISTINCT (``doc_ngrams``) and the per-document
-overlap count are each one hash exchange of the exploded gram stream —
-keyed by doc id, partial-aggregated map-side, never all-pairs.  A fully
-map-only form exists for the scan-bound regime (per-row
-``size(array_distinct(shingles))`` + a broadcast-set membership fold with
-array expressions, no explode) and is the drop-in upgrade if those two
-exchanges ever dominate; the exploded form is kept because it reuses the
-dedup module's shingle stream and its partial aggregation is already
-bandwidth-bound, not shuffle-bound, at the tested scales.  Everything is
+r4): the per-document gram SET is computed map-side with
+``array_distinct`` (no exchange), so the only shuffle of training data
+is the per-document overlap count — one hash exchange keyed by doc id,
+partial-aggregated map-side, never all-pairs.  (A zero-shuffle form
+would need the eval set visible inside a row expression; Spark expresses
+a reusable broadcast lookup only through the join, so one grouped count
+is the floor.)  Everything is
 built-in JVM expressions (split / transform / explode); no Python in the
 hot path.
 
@@ -40,14 +38,16 @@ def doc_ngrams(docs: DataFrame, n: int = 5, text_col: str = "text",
 
     Distinct-per-doc so a gram repeated inside one document counts once in
     the overlap fraction (matching the per-doc set semantics of the
-    published decontamination recipes).
-    """
+    published decontamination recipes).  The per-doc set is computed
+    MAP-SIDE with ``array_distinct`` before the explode — dedup within a
+    document never needs a shuffle (the old ``.distinct()`` was a full
+    hash exchange of the exploded gram stream)."""
     toks = tokens_col(F.col(text_col)).alias("_t")
     return (docs.select(F.col(id_col), toks)
             .select(F.col(id_col),
-                    F.explode(shingles_from_tokens(F.col("_t"), n))
-                    .alias("gram"))
-            .distinct())
+                    F.explode(F.array_distinct(
+                        shingles_from_tokens(F.col("_t"), n)))
+                    .alias("gram")))
 
 
 def eval_ngram_set(eval_docs: DataFrame, n: int = 5,
