@@ -458,12 +458,19 @@ def materialize_levels(levels: dict[int, DataFrame]) -> None:
     if not levels:
         return
     ivs = sorted(levels)
-    levels[ivs[0]].cache().write.mode("overwrite").format("noop").save()
+
+    def cached(df: DataFrame) -> DataFrame:
+        # re-materializing an already-cached dict (bench re-runs, repeated
+        # reads) must not re-issue cache(): CacheManager warns "already
+        # cached" per call and the warning tail is a parse surface
+        return df if df.is_cached else df.cache()
+
+    cached(levels[ivs[0]]).write.mode("overwrite").format("noop").save()
     if len(ivs) == 1:
         return
     rest = None
     for iv in ivs[1:]:
-        df = levels[iv].cache().select(
+        df = cached(levels[iv]).select(
             F.lit(iv).alias("_iv"), "metric", "interval_start")
         rest = df if rest is None else rest.unionByName(df)
     rest.write.mode("overwrite").format("noop").save()

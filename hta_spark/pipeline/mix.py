@@ -66,7 +66,12 @@ def mix_weights(docs: DataFrame, targets: dict[str, float] | DataFrame,
             f"target shares sum to {total_share} — the mixture is "
             "undefined; provide at least one positive share")
     have = source_token_counts(docs, source_col, text_col)
-    j = have.join(F.broadcast(targets), source_col, "full")
+    # no broadcast hint: Spark cannot broadcast either side of a FULL
+    # outer join (every unmatched row of both sides must surface), so the
+    # hint is ignored with a HintErrorLogger warning per analysis.  Both
+    # sides are source-count-sized aggregates; the sort-merge join over
+    # them is trivial.
+    j = have.join(targets, source_col, "full")
     tokens = F.coalesce("source_tokens", F.lit(0).cast("long"))
     want = (F.lit(float(budget_tokens)) * F.coalesce("share", F.lit(0.0))
             / F.lit(total_share))
