@@ -268,10 +268,10 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
              .distinct()
              .localCheckpoint(eager=False))
     labels = (edges.select(F.col("s").alias("id")).distinct()
-              .withColumn("comp", F.col("id")))
+              .withColumn("comp", F.col("id"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iters):
-        base = labels.localCheckpoint(eager=True)
-        labels = base
+        base = labels
         # hash-min: every node adopts the smallest label seen across edges
         prop = (edges.join(labels, edges["s"] == labels["id"])
                 .groupBy(F.col("d").alias("id"))
@@ -286,7 +286,13 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
         labels = (stepped.join(parent, stepped["comp"] == parent["pid"], "left")
                   .select("id",
                           F.least(F.col("comp"),
-                                  F.coalesce("pcomp", "comp")).alias("comp")))
+                                  F.coalesce("pcomp", "comp")).alias("comp"))
+                  # checkpoint BEFORE the changed-probe (ADVICE r4): the
+                  # eager checkpoint executes the round's propagation
+                  # exactly once; the probe below and the next round both
+                  # read the materialized frame instead of re-running the
+                  # two-shuffle plan
+                  .localCheckpoint(eager=True))
         changed = (labels.join(base.select("id",
                                            F.col("comp").alias("_pc")), "id")
                    .filter(F.col("comp") != F.col("_pc"))

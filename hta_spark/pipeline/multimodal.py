@@ -613,16 +613,16 @@ def extract_features(df: DataFrame, dim: int = 16,
 
     def _real_vec(raw: bytes):
         import numpy as np
-        if (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE") or (
-                _SOUNDFILE is not None
-                and raw[:4] in (b"fLaC", b"OggS")):
+        if (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE") or \
+                raw[:4] in (b"fLaC", b"OggS"):
             # RIFF alone is ambiguous (WEBP/AVI share it): only
             # RIFF/WAVE routes to audio; other RIFF payloads fall
-            # through to the image/video decoders' own diagnostics
-            # routes non-PCM / compressed audio through the soundfile
-            # import gate when present (review r4: _real_vec previously
-            # called decode_wav_samples directly, making the gate
-            # unreachable from the end-to-end path)
+            # through to the image/video decoders' own diagnostics.
+            # fLaC/OggS route to the audio decoder UNCONDITIONALLY
+            # (ADVICE r4): with soundfile absent they must raise its
+            # honest codec-gate NotImplementedError, not fall through
+            # to the image dispatcher's "not a recognizable image
+            # container" ValueError
             samples = decode_audio_samples(raw)         # (frames, ch)
             return signal_features(samples.mean(axis=1), dim)
         if raw[:9] == b"YUV4MPEG2":

@@ -87,7 +87,12 @@ def hist_bin_col(value_col: str, lo: int, hi: int, n_bins: int,
     w = hist_width(lo, hi, n_bins)
     v = F.round(F.col(value_col).cast("double") * F.lit(int(scale)))\
         .cast("long")
-    raw_bin = F.floor((v - F.lit(int(lo))) / F.lit(w)).cast("long")
+    # exact int64 `div`, never a double division (ADVICE r4): scaled
+    # values beyond 2^53 would misbin through a double.  `div` truncates
+    # toward zero where floor-div rounds down, but the two differ only
+    # for NEGATIVE numerators, which the edge clamp below sends to bin 0
+    # under either convention.
+    raw_bin = F.call_function("div", v - F.lit(int(lo)), F.lit(w))
     # guard BEFORE clamping: greatest/least IGNORE nulls, so an
     # unguarded clamp would silently map NULL values to bin 0 instead of
     # propagating NULL for the callers' isNotNull exclusion filters
@@ -130,15 +135,16 @@ def hist_quantiles(df: DataFrame, value_col: str,
     ints = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
     bounds = ints.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"),
                       F.count("*").cast("long").alias("_total"))
-    # floor(), not cast: Spark's double->long cast truncates but DuckDB's
-    # rounds — an explicit floor is the only construction both agree on.
+    # exact int64 `div`, never a double division (ADVICE r4): totals and
+    # spans beyond 2^53 would misbin through a double.  Numerators are
+    # non-negative here (_lo is the min), so trunc-div == floor-div.
     width = F.greatest(
         F.lit(1).cast("long"),
-        F.floor((F.col("_hi") - F.col("_lo")) / F.lit(int(n_bins)))
-        + F.lit(1))
+        F.call_function("div", F.col("_hi") - F.col("_lo"),
+                        F.lit(int(n_bins))) + F.lit(1))
     binned = (ints.crossJoin(F.broadcast(bounds))
-              .select(F.floor((F.col("_v") - F.col("_lo")) / width)
-                      .alias("_bin"),
+              .select(F.call_function("div", F.col("_v") - F.col("_lo"),
+                                      width).alias("_bin"),
                       "_lo", (width).alias("_w"), "_total")
               .groupBy("_bin", "_lo", "_w", "_total")
               .agg(F.count("*").cast("long").alias("_n")))
@@ -265,14 +271,15 @@ def hist_quantiles_grouped(df: DataFrame, value_col: str,
     bounds = ints.groupBy(*group_cols).agg(
         F.min("_v").alias("_lo"), F.max("_v").alias("_hi"),
         F.count(F.lit(1)).cast("long").alias("_total"))
+    # exact int64 `div` (same convention/rationale as hist_quantiles)
     width = F.greatest(
         F.lit(1).cast("long"),
-        F.floor((F.col("_hi") - F.col("_lo")) / F.lit(int(n_bins)))
-        + F.lit(1))
+        F.call_function("div", F.col("_hi") - F.col("_lo"),
+                        F.lit(int(n_bins))) + F.lit(1))
     binned = (ints.join(F.broadcast(bounds), group_cols)
               .select(*group_cols,
-                      F.floor((F.col("_v") - F.col("_lo")) / width)
-                      .alias("_bin"),
+                      F.call_function("div", F.col("_v") - F.col("_lo"),
+                                      width).alias("_bin"),
                       "_lo", width.alias("_w"), "_total")
               .groupBy(*group_cols, "_bin", "_lo", "_w", "_total")
               .agg(F.count(F.lit(1)).cast("long").alias("_n")))

@@ -172,11 +172,11 @@ b AS (SELECT min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS total
 wd AS (
   SELECT lo, hi, total,
          greatest(CAST(1 AS BIGINT),
-                  CAST(floor((hi - lo) / {HIST_BINS}) AS BIGINT) + 1) AS w
+                  ((hi - lo) // {HIST_BINS}) + 1) AS w
   FROM b
 ),
 bins AS (
-  SELECT CAST(floor((v.v - wd.lo) / wd.w) AS BIGINT) AS bin,
+  SELECT ((v.v - wd.lo) // wd.w) AS bin,
          wd.lo, wd.w, wd.total, CAST(count(*) AS BIGINT) AS n
   FROM v, wd GROUP BY 1, 2, 3, 4
 ),
@@ -228,11 +228,11 @@ b AS (
 wd AS (
   SELECT event_type, lo, hi, total,
          greatest(CAST(1 AS BIGINT),
-                  CAST(floor((hi - lo) / {HIST_BINS}) AS BIGINT) + 1) AS w
+                  ((hi - lo) // {HIST_BINS}) + 1) AS w
   FROM b
 ),
 bins AS (
-  SELECT v.event_type, CAST(floor((v.v - wd.lo) / wd.w) AS BIGINT) AS bin,
+  SELECT v.event_type, ((v.v - wd.lo) // wd.w) AS bin,
          wd.lo, wd.w, wd.total, CAST(count(*) AS BIGINT) AS n
   FROM v JOIN wd USING (event_type) GROUP BY 1, 2, 3, 4, 5
 ),

@@ -52,8 +52,27 @@ def ensure_bucketed(spark: SparkSession, table: str, path: str,
                .filter("col_name = 'Location'")
                .collect())
         have = loc[0]["data_type"] if loc else None
-        want = path if "://" in path else f"file:{path}"
-        if have is not None and have.rstrip("/") == want.rstrip("/"):
+        if have is not None and _norm_location(have) == _norm_location(path):
             return spark.table(table)
     write_bucketed(build, table, path, keys, n_buckets)
     return spark.table(table)
+
+
+def _norm_location(loc: str) -> str:
+    """Canonicalize a catalog Location / requested path for the
+    idempotence compare: parse off any URI scheme (file:, file://,
+    file:///), then realpath the local path component (symlinked tmp
+    dirs, trailing slashes, ``..`` segments).  A normalization mismatch
+    is SAFE but triggers a full drop-and-rewrite per call — exactly what
+    the idempotence exists to avoid (ADVICE r4).  Non-file schemes
+    (hdfs://, s3a://) compare scheme+path textually — realpath would be
+    meaningless for them."""
+    import os.path
+    from urllib.parse import urlparse
+
+    if "://" in loc or loc.startswith("file:"):
+        u = urlparse(loc)
+        if u.scheme in ("", "file"):
+            return os.path.realpath(u.path).rstrip("/")
+        return f"{u.scheme}://{u.netloc}{u.path}".rstrip("/")
+    return os.path.realpath(loc).rstrip("/")
