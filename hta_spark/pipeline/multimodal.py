@@ -360,10 +360,37 @@ def _probe_soundfile():
 _SOUNDFILE = _probe_soundfile()
 
 
+def _g711_tables():
+    """The 256-entry G.711 decode tables (ITU-T G.711 / CCITT g711.c
+    reference arithmetic), built vectorized and cached.  Returns
+    ``(alaw, ulaw)`` float64 arrays scaled by 1/32768 — the same int16
+    range scaling the 16-bit PCM path uses, so a G.711 file and its
+    16-bit transcode decode to identical floats."""
+    import numpy as np
+    global _G711
+    if _G711 is None:
+        u = (~np.arange(256, dtype=np.int64)) & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84) / 32768.0
+        a = np.arange(256, dtype=np.int64) ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        t = np.where(seg == 0, t + 8,
+                     np.where(seg == 1, t + 0x108,
+                              (t + 0x108) << np.maximum(seg - 1, 0)))
+        alaw = np.where(a & 0x80, t, -t) / 32768.0
+        _G711 = (alaw, ulaw)
+    return _G711
+
+
+_G711 = None
+
+
 def decode_wav_samples(b: bytes):
-    """REAL sample decode for RIFF/WAVE integer PCM (8/16-bit, fmt 1) and
-    IEEE-float PCM (32/64-bit, fmt 3) — the data-chunk walk of
-    :func:`parse_wav_header` plus a numpy view.  Returns a
+    """REAL sample decode for RIFF/WAVE integer PCM (8/16-bit, fmt 1),
+    IEEE-float PCM (32/64-bit, fmt 3) and G.711 A-law/µ-law (8-bit,
+    fmt 6/7 — pure table lookup, no codec library) — the data-chunk walk
+    of :func:`parse_wav_header` plus a numpy view.  Returns a
     (frames, channels) float64 array scaled to [-1, 1]."""
     import numpy as np
     if len(b) < 36 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -378,13 +405,18 @@ def decode_wav_samples(b: bytes):
             bits = int.from_bytes(b[i + 22:i + 24], "little")
         elif cid == b"data":
             ok = (fmt == 1 and bits in (8, 16)) or \
-                 (fmt == 3 and bits in (32, 64))
+                 (fmt == 3 and bits in (32, 64)) or \
+                 (fmt in (6, 7) and bits == 8)
             if not ch or not ok:
                 raise NotImplementedError(
-                    f"only PCM 8/16-bit int and 32/64-bit float decode "
-                    f"without a codec (fmt={fmt}, bits={bits})")
+                    f"only PCM 8/16-bit int, 32/64-bit float and G.711 "
+                    f"A-law/µ-law decode without a codec "
+                    f"(fmt={fmt}, bits={bits})")
             body = b[i + 8:i + 8 + size]
-            if fmt == 3:
+            if fmt in (6, 7):
+                table = _g711_tables()[0 if fmt == 6 else 1]
+                x = table[np.frombuffer(body, dtype=np.uint8)]
+            elif fmt == 3:
                 dt = "<f4" if bits == 32 else "<f8"
                 x = np.frombuffer(body, dtype=dt,
                                   count=len(body) // (bits // 8)) \

@@ -557,3 +557,51 @@ def test_extract_features_y4m_real(spark):
     want = signal_features(
         np.concatenate([f.astype(np.float64).ravel() for f in frames]), 8)
     assert max(abs(a - b) for a, b in zip(got, want)) < 1e-6
+
+
+def _g711_wav_bytes(codes: bytes, fmt: int, rate=8000):
+    """Mono 8-bit G.711 WAV (fmt 6 = A-law, 7 = mu-law) from raw codes."""
+    import struct
+    h = struct.pack("<HHIIHH", fmt, 1, rate, rate, 1, 8)
+    return (b"RIFF" + struct.pack("<I", 36 + len(codes)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + h
+            + b"data" + struct.pack("<I", len(codes)) + codes)
+
+
+def test_decode_g711_known_vectors():
+    """ITU-T G.711 spot values (CCITT g711.c reference arithmetic):
+    mu-law 0xFF/0x7F are +/-0, 0x00 is the -32124 extreme; A-law 0x55
+    is -8, 0xAA is the +32256 extreme.  Decoded floats are value/32768
+    (the 16-bit PCM scaling)."""
+    from hta_spark.pipeline.multimodal import decode_wav_samples
+    ul = decode_wav_samples(_g711_wav_bytes(bytes([0xFF, 0x7F, 0x00]), 7))
+    assert [round(v * 32768) for v in ul[:, 0]] == [0, 0, -32124]
+    al = decode_wav_samples(_g711_wav_bytes(bytes([0x55, 0xAA, 0xD5]), 6))
+    assert [round(v * 32768) for v in al[:, 0]] == [-8, 32256, 8]
+
+
+def test_decode_g711_parity_vs_audioop():
+    """Full 256-code parity against the stdlib audioop tables (Python
+    <= 3.12; skipped where audioop was removed)."""
+    audioop = pytest.importorskip("audioop")
+    import numpy as np
+    from hta_spark.pipeline.multimodal import decode_wav_samples
+    codes = bytes(range(256))
+    for fmt, conv in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        got = decode_wav_samples(_g711_wav_bytes(codes, fmt))[:, 0]
+        want = np.frombuffer(conv(codes, 2), dtype="<i2") / 32768.0
+        assert np.array_equal(got, want), fmt
+
+
+def test_decode_g711_float_path_parity():
+    """A mu-law-encoded sine decodes within one quantization step of the
+    float signal (round-trip through our decode tables)."""
+    import numpy as np
+    from hta_spark.pipeline.multimodal import decode_wav_samples, _g711_tables
+    t = np.arange(160) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    ulaw = _g711_tables()[1]
+    codes = bytes(int(np.argmin(np.abs(ulaw - s))) for s in sig)
+    got = decode_wav_samples(_g711_wav_bytes(codes, 7))[:, 0]
+    # mu-law quantization error <= half the largest step near +/-0.5
+    assert np.max(np.abs(got - sig)) < 1024 / 32768.0
