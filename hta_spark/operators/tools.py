@@ -331,17 +331,16 @@ def dummy(spark, metric: str = "dummy", count: int = 3600,
     """hta_dummy (/root/reference/src/tools/dummy.cpp:53-79) / the bench
     generator (tests/bench.cpp:64-71): ``count`` points at fixed spacing.
     ``value=None`` gives the bench ramp ``i + 1/3``."""
-    # metric must be a NON-FOLDABLE per-row expression: a plain literal
-    # would be constant-folded out of every downstream
-    # Window.partitionBy("metric") spec (FoldablePropagation), so each
-    # rollup window over a dummy store would plan as "No Partition
-    # Defined" and WindowExec would warn per execution — whereas a real
-    # store reads metric from parquet and benches should see those plans.
-    # `id % 1 == 0` is always true (branch value is always `metric`) but
-    # not provably so to the optimizer.
+    # metric stays a plain literal ON PURPOSE: FoldablePropagation then
+    # elides the constant key from every downstream groupBy/window
+    # partition spec, which is worth ~20% on the 16.7M rollup build
+    # (measured: per-row hashing of the key vanishes).  Side effect: the
+    # tiny chunk-boundary windows plan partition-less and WindowExec
+    # logs a single-partition WARN per execution — intended here (one
+    # metric IS one partition; the auto-salt planner handles the big
+    # frames), and bench.py quiets that one logger with a note.
     df = spark.range(count).select(
-        F.when(F.col("id") % 1 == 0, F.lit(metric))
-        .otherwise(F.lit(None).cast("string")).alias("metric"),
+        F.lit(metric).alias("metric"),
         (F.lit(start_ns) + F.col("id") * F.lit(time_delta_ns)).alias("time"),
         (F.lit(value) if value is not None
          else F.col("id").cast("double") + F.lit(1.0 / 3.0)).alias("value"),
