@@ -1035,7 +1035,109 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# -- TPC-H Q2-ish: minimum-cost supplier per part ---------------------------
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """Q2's correlated-min shape (cheapest qualifying supplier per part)
+    with partsupp's supplycost replaced by the minimum observed lineitem
+    price for the (part, supplier) pair — a pure SELECTION min, no
+    arithmetic, so the min-equality join is bit-exact across engines.
+    The dimension chain (supplier -> nation -> region) broadcasts; the
+    per-part global min is a window over the tiny per-pair aggregate,
+    never a correlated re-scan."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & F.col("p_size").between(10, 20))
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .groupBy("p_partkey", "p_name", "s_suppkey", "s_name",
+                     "s_acctbal", "n_name")
+            .agg(F.min("l_extendedprice").alias("cost")))
+    w = Window.partitionBy("p_partkey")
+    return (cost.withColumn("min_cost", F.min("cost").over(w))
+            .filter(F.col("cost") == F.col("min_cost"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_name", "cost")
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+SQL_Q2 = """
+WITH supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+cost AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         min(l_extendedprice) AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supp ON l_suppkey = s_suppkey
+  WHERE p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 20
+  GROUP BY 1, 2, 3, 4, 5, 6)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+FROM cost
+WHERE cost = (SELECT min(cost) FROM cost c2
+              WHERE c2.p_partkey = cost.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# -- TPC-H Q11-ish: important stock (share-of-total threshold) --------------
+
+def q11_important_stock(spark, sf_dir):
+    """Q11's HAVING-sum > fraction-of-total shape: per-part traded value
+    for suppliers of three nations, kept when the part exceeds 0.1 % of
+    the group's total.  Values accumulate as exact integer cents (the
+    cent-integer convention q_bucketed_join established) so the threshold
+    comparison can't flip on summation-order ulps; the grand total rides
+    in as a broadcast 1-row frame, not a collected scalar."""
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+            .select("s_suppkey"))
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    per_part = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+                .groupBy("l_partkey")
+                .agg(F.sum(cents).alias("value_cents")))
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (per_part.join(F.broadcast(total),
+                          F.col("value_cents") * 1000 > F.col("total_cents"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    (F.col("value_cents").cast("double") / 100).alias("value"))
+            .orderBy(F.desc("value"), "p_partkey"))
+
+
+SQL_Q11 = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11'))
+  GROUP BY 1)
+SELECT l_partkey AS p_partkey, CAST(value_cents AS DOUBLE) / 100 AS value
+FROM per_part
+WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM per_part)
+ORDER BY value DESC, p_partkey
+"""
+
+
 REL_QUERIES: dict[str, tuple] = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2),
+    "q11_important_stock": (q11_important_stock, SQL_Q11),
     "q7_nation_volume": (q7_nation_volume, SQL_Q7),
     "q8_market_share": (q8_market_share, SQL_Q8),
     "q9_profit_by_nation": (q9_profit_by_nation, SQL_Q9),
