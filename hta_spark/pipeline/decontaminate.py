@@ -12,12 +12,18 @@ join on the training shingle stream.  Honest shuffle accounting (review
 r4): the per-document gram SET is computed map-side with
 ``array_distinct`` (no exchange), so the only shuffle of training data
 is the per-document overlap count — one hash exchange keyed by doc id,
-partial-aggregated map-side, never all-pairs.  (A zero-shuffle form
-would need the eval set visible inside a row expression; Spark expresses
-a reusable broadcast lookup only through the join, so one grouped count
-is the floor.)  Everything is
+partial-aggregated map-side, never all-pairs.  Everything is
 built-in JVM expressions (split / transform / explode); no Python in the
 hot path.
+
+:func:`bloom_decontaminate` goes one step further to the true zero-shuffle
+form: the eval set compiles into a Bloom-filter BITSET (one
+``array<bigint>`` row, broadcast), the per-document gram array is probed
+IN PLACE with array expressions — the training corpus is never exploded,
+joined, or re-grouped.  At 100 TB that is the difference between one full
+shuffle of the shingle stream and none at all; the price is a
+deterministic, oracle-mirrored false-positive rate
+(:func:`~hta_spark.queries_scale` ``decontaminate_bloom_fp`` measures it).
 
 The reference has no text surface; this extends the training-data pipeline
 surface (BASELINE.json) alongside dedup / sampling / quality scoring.
@@ -29,7 +35,15 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import shingles_from_tokens, tokens_col
 
-__all__ = ["doc_ngrams", "eval_ngram_set", "decontaminate"]
+__all__ = ["doc_ngrams", "eval_ngram_set", "decontaminate",
+           "bloom_bitset", "bloom_decontaminate"]
+
+#: Bloom geometry: m = 2^20 bits (16384 longs = 128 KiB broadcast), k = 7
+#: probes.  At the benchmark-decontamination scale (eval sets are a few
+#: 10^4..10^5 grams) the false-positive rate is well under 1e-3; both knobs
+#: are parameters for bigger eval suites.
+BLOOM_M_LOG2 = 20
+BLOOM_K = 7
 
 
 def doc_ngrams(docs: DataFrame, n: int = 5, text_col: str = "text",
@@ -93,6 +107,117 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 5,
                     F.coalesce("n_hit", F.lit(0).cast("long"))
                     .alias("n_hit"),
                     F.when(F.coalesce("n_grams", F.lit(0)) > 0, frac)
+                    .otherwise(F.lit(0.0)).alias("overlap_frac"))
+            .withColumn("contaminated",
+                        F.col("overlap_frac") >= F.lit(float(threshold))))
+
+
+def _bloom_hash_pair(md5_col, m: int):
+    """(h1, h2) Kirsch–Mitzenmacher pair from ONE md5 digest, both reduced
+    mod ``m`` so the probe arithmetic ``h1 + i*h2`` stays far from int64
+    overflow.  h2 is forced odd BEFORE the mod (m is a power of two, so
+    oddness survives) — an even stride over a power-of-two table would
+    visit only half the slots.  Every step is reproducible in any engine
+    with md5 + integer ops (the ``md5_long`` convention, both digest
+    halves)."""
+    h1 = F.pmod(F.conv(F.substring(md5_col, 1, 15), 16, 10).cast("long"),
+                F.lit(m))
+    h2 = F.pmod(F.conv(F.substring(md5_col, 17, 15), 16, 10).cast("long")
+                * 2 + 1, F.lit(m))
+    return h1, h2
+
+
+def bloom_bitset(eval_docs: DataFrame, n: int = 5,
+                 m_log2: int = BLOOM_M_LOG2, k: int = BLOOM_K,
+                 text_col: str = "text") -> DataFrame:
+    """Compile the eval benchmark's n-gram set into a ONE-ROW Bloom bitset
+    frame (``bits``: array<bigint> of length ``2^m_log2 / 64``).
+
+    Fully declarative: gram -> k bit positions (explode over the tiny eval
+    side only), per-word ``bit_or`` of the single-bit masks, then a dense
+    word vector via a range frame so absent words materialize as 0.  The
+    result broadcasts as ~``2^m_log2 / 8`` bytes regardless of corpus size.
+    """
+    m = 1 << m_log2
+    grams = eval_ngram_set(eval_docs, n, text_col)
+    h1, h2 = _bloom_hash_pair(
+        F.md5(F.concat(F.lit("bloom|"), F.col("gram"))), m)
+    pos = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m))))
+    words = (grams.select(pos.alias("pos"))
+             .select(F.expr("pos div 64").alias("w"),
+                     F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))")
+                     .alias("mask"))
+             .groupBy("w").agg(F.bit_or("mask").alias("mask")))
+    dense = (eval_docs.sparkSession.range(m // 64)
+             .withColumnRenamed("id", "w")
+             .join(words, "w", "left")
+             .select("w", F.coalesce("mask", F.lit(0).cast("long"))
+                     .alias("mask")))
+    return (dense.groupBy()
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("w", "mask"))),
+                lambda s: s["mask"]).alias("bits")))
+
+
+def _bloom_probe_exprs(m: int, k: int, grams_col: str = "_g",
+                       bits_col: str = "bits"):
+    """(hash-pair array expr, bloom-hit count expr) over a per-row gram
+    array and an attached bitset column — pure SQL-lambda expressions (the
+    Python ``shiftleft``/``shiftright`` wrappers only take literal shift
+    amounts; the SQL functions take expressions).  Two-level transform so
+    each gram's md5 is computed ONCE (lambda bodies are not
+    common-subexpression-eliminated — see shingles_from_tokens)."""
+    pairs = (f"transform(transform({grams_col}, "
+             f"x -> md5(concat('bloom|', x))), "
+             f"h -> struct("
+             f"pmod(cast(conv(substring(h, 1, 15), 16, 10) as bigint), {m})"
+             f" as a, "
+             f"pmod(cast(conv(substring(h, 17, 15), 16, 10) as bigint)"
+             f" * 2 + 1, {m}) as b))")
+    probe_one = (f"((element_at({bits_col}, "
+                 f"cast(pmod(p.a + i * p.b, {m}) div 64 as int) + 1) "
+                 f">> cast(pmod(pmod(p.a + i * p.b, {m}), 64) as int))"
+                 f" & 1) = 1")
+    n_hit = (f"size(filter(_hp, p -> "
+             f"forall(sequence(0, {k - 1}), i -> {probe_one})))")
+    return pairs, n_hit
+
+
+def bloom_decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 5,
+                        threshold: float = 0.1,
+                        m_log2: int = BLOOM_M_LOG2, k: int = BLOOM_K,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Zero-shuffle decontamination: same report shape as
+    :func:`decontaminate` (id, n_grams, n_hit, overlap_frac, contaminated)
+    but the training side is ONE map-only pass — the per-document distinct
+    gram ARRAY is probed against the broadcast Bloom bitset inside row
+    expressions; no explode, no join on training data, no per-doc groupBy.
+
+    ``n_hit`` over-counts by the filter's false positives (never
+    under-counts: a Bloom filter has no false negatives), so
+    ``contaminated`` errs toward dropping — the safe direction for
+    benchmark hygiene.  The FP rate is deterministic (md5) and measured by
+    the ``decontaminate_bloom_fp`` registry query.
+    """
+    m = 1 << m_log2
+    bits = F.broadcast(bloom_bitset(eval_docs, n, m_log2, k, text_col))
+    toks = tokens_col(F.col(text_col)).alias("_t")
+    g = (train.select(F.col(id_col), toks)
+         .select(F.col(id_col),
+                 F.array_distinct(shingles_from_tokens(F.col("_t"), n))
+                 .alias("_g")))
+    pairs, n_hit = _bloom_probe_exprs(m, k)
+    frac = F.col("n_hit").cast("double") / F.col("n_grams").cast("double")
+    return (g.crossJoin(bits)
+            .withColumn("_hp", F.expr(pairs))
+            .select(F.col(id_col),
+                    F.size("_g").cast("long").alias("n_grams"),
+                    F.expr(n_hit).cast("long").alias("n_hit"))
+            .select(F.col(id_col), "n_grams", "n_hit",
+                    F.when(F.col("n_grams") > 0, frac)
                     .otherwise(F.lit(0.0)).alias("overlap_frac"))
             .withColumn("contaminated",
                         F.col("overlap_frac") >= F.lit(float(threshold))))
