@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators.rangejoin import range_join_points
-from .pipeline.decontaminate import decontaminate
+from .pipeline.decontaminate import (BLOOM_K, BLOOM_M_LOG2,
+                                     bloom_decontaminate, decontaminate)
 from .pipeline.mix import mix_weights
 from .pipeline.rules import rule_filter
 from .pipeline.sample import BP, hash_bucket
@@ -100,6 +101,176 @@ SELECT t.doc_id,
              THEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)
              ELSE 0.0 END) >= {DECON_THRESHOLD} AS contaminated
 FROM tr t LEFT JOIN per USING (doc_id)
+"""
+
+
+# -- Bloom-filter decontamination -------------------------------------------
+#
+# Oracle-parity model: a bit of the 2^BLOOM_M_LOG2-bit filter is set iff
+# SOME eval gram's Kirsch–Mitzenmacher probe lands on it, so the bitset IS
+# the distinct set of eval probe positions — DuckDB never needs the packed
+# long-array representation, only the same md5/conv/% position arithmetic
+# (both digest halves, h2 forced odd BEFORE the power-of-two mod).
+
+_BLOOM_M = 1 << BLOOM_M_LOG2
+
+
+def _bloom_pos_sql(hash_cte: str) -> str:
+    """Positions CTE body: ``hash_cte`` must expose (gram, h=md5('bloom|'||
+    gram)); emits one row per (gram, probe i) with the probed bit index —
+    the exact integer recurrence of ``_bloom_hash_pair`` (a + i*b mod m on
+    mod-reduced a, odd-forced b: values < 2^23, no overflow in either
+    engine)."""
+    return f"""
+  SELECT gram,
+         ((('0x' || substr(h, 1, 15))::BIGINT % {_BLOOM_M})
+          + i.range * ((('0x' || substr(h, 17, 15))::BIGINT * 2 + 1)
+                       % {_BLOOM_M})) % {_BLOOM_M} AS pos
+  FROM {hash_cte}, range({BLOOM_K}) i"""
+
+
+_SQL_BLOOM_COMMON = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {DECON_N - 2}),
+                               i -> array_to_string(t[i:i+{DECON_N - 1}], ' ')))
+             AS gram
+  FROM toks WHERE len(t) >= {DECON_N}
+),
+split AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('eval|' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % {BP} AS b
+  FROM documents
+),
+ev AS (
+  SELECT DISTINCT g.gram FROM grams g JOIN split s USING (doc_id)
+  WHERE s.b < {EVAL_BP}
+),
+tr AS (SELECT doc_id FROM split WHERE b >= {EVAL_BP}),
+epos AS (
+  SELECT DISTINCT pos FROM ({_bloom_pos_sql(
+      "(SELECT gram, md5('bloom|' || gram) AS h FROM ev)")})
+),
+tg AS (SELECT DISTINCT g.gram FROM grams g JOIN tr USING (doc_id)),
+tprobe AS ({_bloom_pos_sql(
+    "(SELECT gram, md5('bloom|' || gram) AS h FROM tg)")}),
+hitg AS (
+  SELECT p.gram FROM tprobe p LEFT JOIN epos e ON p.pos = e.pos
+  GROUP BY p.gram HAVING count(e.pos) = {BLOOM_K}
+),
+perb AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(h.gram) AS BIGINT) AS n_hit
+  FROM grams g JOIN tr USING (doc_id)
+  LEFT JOIN hitg h ON g.gram = h.gram
+  GROUP BY 1
+)"""
+
+
+def q_decontaminate_bloom(spark, sf_dir):
+    """The exact same train/eval split as ``decontaminate_overlap``,
+    answered by the ZERO-SHUFFLE Bloom path: per-train-doc report where
+    ``n_hit`` may over-count by the filter's deterministic false positives
+    (never under-counts — contamination errs toward dropping)."""
+    docs = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), "eval")
+    train = docs.filter(b >= F.lit(EVAL_BP))
+    ev = docs.filter(b < F.lit(EVAL_BP))
+    return bloom_decontaminate(train, ev, n=DECON_N,
+                               threshold=DECON_THRESHOLD)
+
+
+SQL_DECONTAMINATE_BLOOM = _SQL_BLOOM_COMMON + f"""
+SELECT t.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_hit, 0) AS n_hit,
+       CASE WHEN coalesce(n_grams, 0) > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)
+            ELSE 0.0 END AS overlap_frac,
+       (CASE WHEN coalesce(n_grams, 0) > 0
+             THEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             ELSE 0.0 END) >= {DECON_THRESHOLD} AS contaminated
+FROM tr t LEFT JOIN perb USING (doc_id)
+"""
+
+
+def q_decontaminate_bloom_fp(spark, sf_dir):
+    """The Bloom path's measured false-positive rate against the exact
+    path, as one summary row — the quality gate for the approximate
+    operator (same pattern as ``dedup_lsh_recall`` / ``ann_ivf_recall``):
+    gram-level FP rate over truly-clean probes plus the doc-level flag
+    flips the over-count causes."""
+    docs = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), "eval")
+    train = docs.filter(b >= F.lit(EVAL_BP))
+    ev = docs.filter(b < F.lit(EVAL_BP))
+    exact = (decontaminate(train, ev, n=DECON_N, threshold=DECON_THRESHOLD)
+             .select("doc_id", "n_grams", F.col("n_hit").alias("_xh"),
+                     F.col("contaminated").alias("_xc")))
+    bloom = (bloom_decontaminate(train, ev, n=DECON_N,
+                                 threshold=DECON_THRESHOLD)
+             .select("doc_id", F.col("n_hit").alias("_bh"),
+                     F.col("contaminated").alias("_bc")))
+    g, xh, bh = (F.sum("n_grams").cast("long"), F.sum("_xh").cast("long"),
+                 F.sum("_bh").cast("long"))
+    return (exact.join(bloom, "doc_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        g.alias("n_grams"),
+        xh.alias("n_hit_exact"),
+        bh.alias("n_hit_bloom"),
+        (bh - xh).alias("fp_grams"),
+        F.when(g - xh > 0, (bh - xh).cast("double")
+               / (g - xh).cast("double"))
+        .otherwise(F.lit(0.0)).alias("fp_rate"),
+        F.sum(F.col("_xc").cast("long")).cast("long")
+        .alias("n_contaminated_exact"),
+        F.sum(F.col("_bc").cast("long")).cast("long")
+        .alias("n_contaminated_bloom"),
+        F.sum((F.col("_bc") & ~F.col("_xc")).cast("long")).cast("long")
+        .alias("n_flag_flips")))
+
+
+SQL_DECONTAMINATE_BLOOM_FP = _SQL_BLOOM_COMMON + f""",
+perx AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(ev.gram) AS BIGINT) AS n_hit
+  FROM grams g JOIN tr USING (doc_id)
+  LEFT JOIN ev ON g.gram = ev.gram
+  GROUP BY 1
+),
+docs_j AS (
+  SELECT t.doc_id,
+         coalesce(x.n_grams, 0) AS ng,
+         coalesce(x.n_hit, 0) AS xh,
+         coalesce(bb.n_hit, 0) AS bh,
+         (CASE WHEN coalesce(x.n_grams, 0) > 0
+               THEN CAST(x.n_hit AS DOUBLE) / CAST(x.n_grams AS DOUBLE)
+               ELSE 0.0 END) >= {DECON_THRESHOLD} AS xc,
+         (CASE WHEN coalesce(bb.n_grams, 0) > 0
+               THEN CAST(bb.n_hit AS DOUBLE) / CAST(bb.n_grams AS DOUBLE)
+               ELSE 0.0 END) >= {DECON_THRESHOLD} AS bc
+  FROM tr t LEFT JOIN perx x USING (doc_id) LEFT JOIN perb bb USING (doc_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ng) AS BIGINT) AS n_grams,
+       CAST(sum(xh) AS BIGINT) AS n_hit_exact,
+       CAST(sum(bh) AS BIGINT) AS n_hit_bloom,
+       CAST(sum(bh) - sum(xh) AS BIGINT) AS fp_grams,
+       CASE WHEN sum(ng) - sum(xh) > 0
+            THEN CAST(CAST(sum(bh) - sum(xh) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(sum(ng) - sum(xh) AS BIGINT) AS DOUBLE)
+            ELSE 0.0 END AS fp_rate,
+       CAST(sum(CASE WHEN xc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated_exact,
+       CAST(sum(CASE WHEN bc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated_bloom,
+       CAST(sum(CASE WHEN bc AND NOT xc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flag_flips
+FROM docs_j
 """
 
 
@@ -1097,6 +1268,9 @@ GROUP BY 1
 
 SCALE_QUERIES: dict[str, tuple] = {
     "decontaminate_overlap": (q_decontaminate, SQL_DECONTAMINATE),
+    "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
+    "decontaminate_bloom_fp": (q_decontaminate_bloom_fp,
+                               SQL_DECONTAMINATE_BLOOM_FP),
     "sketch_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "sketch_hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     "sketch_hist_by_group": (q_hist_by_group, SQL_HIST_BY_GROUP),

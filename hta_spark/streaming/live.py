@@ -82,10 +82,15 @@ def _make_fn(intervals: list[int]):
         per-point while-loop becomes numpy per batch: boundary-split
         segments (repeat/arange expansion — the same O(crossed
         boundaries) work the loop does), dense per-interval stats via
-        ``reduceat``/``bincount`` (both accumulate in array order =
-        time order, so float sums associate exactly like the
-        sequential loop within a batch), then a per-LEVEL cascade over
-        the dense closed children (levels iterations, not rows).
+        ``reduceat``/``bincount`` (grouped in array order = time order;
+        NOTE ``np.add.reduceat`` sums pairwise and the carried open
+        accumulator merges after the batch reduction, so float
+        sum/integral agree with the sequential per-point loop only
+        within association tolerance (~1e-13 relative) — parity tests
+        must compare those two fields with a relative epsilon, never
+        bit-exact; min/max/count/active_time stay exact), then a
+        per-LEVEL cascade over the dense closed children (levels
+        iterations, not rows).
         ~40x the per-row-Python loop's throughput at 1 MHz spacing."""
         import numpy as np
 

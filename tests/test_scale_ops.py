@@ -285,6 +285,44 @@ def test_knn_join_ivf_full_probe_equals_exact(spark):
     assert one == exact
 
 
+def test_knn_join_ivf_hot_centroid_subblocks(spark):
+    """VERDICT r5 item 2: a hot centroid (here: ONE centroid holding every
+    vector) must split into bounded sub-blocks instead of one O(n) cogroup
+    task — and the per-block top-k merge keeps the output bit-identical to
+    the exact join (each pair lands in exactly the block holding b; global
+    top-k membership implies top-k within that block under the strict
+    (-cos, b) order)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from hta_spark.pipeline.ann import (_as_double, _subblock_clusters,
+                                        ivf_assign, knn_join, knn_join_ivf)
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 6))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0])]
+    exact = sorted(map(tuple, knn_join(emb, k=3).collect()))
+    hot = sorted(map(tuple, knn_join_ivf(emb, cents, k=3, nprobe=1,
+                                         max_cluster_rows=8).collect()))
+    assert hot == exact
+    # the blocking itself: ceil(60/8) = 8 sub-blocks, md5-near-uniform
+    # member spread, probes replicated once per block
+    members = ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("b"), _as_double(F.col("embedding")).alias("_vb"),
+        F.col("centroid_id").alias("_c"))
+    probes = members.select(F.col("b").alias("a"),
+                            F.col("_vb").alias("_va"), "_c")
+    m2, p2 = _subblock_clusters(members, probes, 8)
+    counts = {(r["_c"], r["_blk"]): r["n"] for r in
+              m2.groupBy("_c", "_blk").agg(F.count("*").alias("n")).collect()}
+    assert all(blk in range(8) for (_c, blk) in counts)
+    assert sum(counts.values()) == 60            # a partition, not a sample
+    assert max(counts.values()) <= 3 * 8         # near-uniform, never O(n)
+    assert len(counts) >= 4
+    assert p2.count() == 60 * 8                  # one probe copy per block
+
+
 def test_knn_join_ivf_plan_uses_window_group_limit(spark):
     from hta_spark.pipeline.ann import knn_join_ivf
     emb = spark.createDataFrame(
