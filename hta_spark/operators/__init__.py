@@ -1,4 +1,4 @@
-from .aggregate import aggregate_exact, aggregate_telescope
+from .aggregate import aggregate_auto, aggregate_exact, aggregate_telescope
 from .retrieve import (retrieve_flex, retrieve_min_samples, retrieve_raw,
                        retrieve_rows, rows_from_timevalues, smooth_raw)
 from .rollup import (build_level1, build_levels, build_next_level,
@@ -10,7 +10,7 @@ from .stats import (count_scoped, count_total, count_via_levels,
                     last_point, metric_range)
 
 __all__ = [
-    "aggregate_exact", "aggregate_telescope",
+    "aggregate_auto", "aggregate_exact", "aggregate_telescope",
     "retrieve_flex", "retrieve_min_samples", "retrieve_raw", "retrieve_rows",
     "rows_from_timevalues", "smooth_raw",
     "build_level1", "build_levels", "build_next_level",

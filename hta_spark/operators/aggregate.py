@@ -27,7 +27,7 @@ from ..errors import InvalidRangeError
 from ..meta import Meta
 from .rollup import raw_range
 
-__all__ = ["aggregate_exact", "aggregate_telescope"]
+__all__ = ["aggregate_exact", "aggregate_telescope", "aggregate_auto"]
 
 _INF = float("inf")
 
@@ -117,6 +117,95 @@ def aggregate_exact(raw: DataFrame, begin: int, end: int,
     )
     return _identity_fill(ranges.select("metric").join(agg, "metric", "left"),
                           exact=exact)
+
+
+def _auto_choice(levels: dict[int, DataFrame], meta: Meta,
+                 begin: int, end: int, ranges: DataFrame,
+                 row_floor: int, row_ratio: int) -> tuple[str, int, int]:
+    """The planner probe behind :func:`aggregate_auto`: estimate the raw
+    rows the exact path would window (from the COARSEST materialized
+    rollup's ``count`` sums — O(range/interval_max) rows read, never the
+    raw store) against the rows the telescope would touch (the static
+    decomposition's chunk widths x metric count + density-scaled ragged
+    edges).  Returns (choice, est_raw_rows, est_telescope_rows).
+
+    Decision rule: telescope iff ``est_raw > max(row_floor,
+    row_ratio * est_tel)``.  ``row_floor`` encodes the telescope's fixed
+    per-branch stage overhead (~2 + 2/level plan branches) against the
+    exact path's single windowed scan: on the measured 16.7M-point
+    crossover (BENCH_DETAIL aggregate_crossover_16m) exact wins at 1% of
+    range (~167k rows: 0.86 s vs 3.76 s) and telescope wins from 10% up
+    (~1.7M rows: 1.13 s vs 2.36 s), putting the breakeven near half a
+    million windowed rows; stage dispatch vs per-row cost keeps the same
+    order on a multi-executor cluster.  ``row_ratio`` guards the regime
+    where levels are barely smaller than raw (sf0.1's 30-points-per-
+    bucket store: reading levels is not much cheaper than raw)."""
+    usable = [iv for iv in meta.level_intervals() if iv in levels]
+    if not usable:
+        return "exact", -1, -1
+    got = ranges.select(F.min("t_first"), F.max("t_last")).collect()[0]
+    lo, hi = got[0], got[1]
+    if lo is None:
+        return "exact", 0, 0
+    n_metrics = ranges.count()
+    b, e = max(begin, lo), min(end, hi)
+    if b >= e:
+        return "exact", 0, 0
+    coarse = max(usable)
+    s = F.col("interval_start")
+    # partially-overlapped boundary buckets contribute pro-rata (a
+    # sub-bucket range must not be costed at full-bucket weight); the
+    # open tail past the last CLOSED bucket is not materialized, so the
+    # estimate is a mild lower bound at the data tail — a planning-only
+    # error in the direction of the cheap exact path
+    ov = ((F.least(F.lit(e), s + F.lit(coarse)) - F.greatest(F.lit(b), s))
+          / F.lit(float(coarse)))
+    probe = (levels[coarse]
+             .filter((s > F.lit(b - coarse)) & (s < F.lit(e)))
+             .agg(F.sum(F.col("count") * ov).alias("n")).collect()[0])
+    est_raw = int(probe["n"] or 0)
+    raw_edges, chunks = _telescope_plan(b, e, meta)
+    chunk_rows = sum((ce - cb) // iv for iv, cb, ce in chunks
+                     if iv in levels)
+    # levels absent from the dict fall back to raw chunk scans — count
+    # them at raw density, like the edges
+    raw_spans = sum(e2 - b2 for b2, e2 in raw_edges)
+    raw_spans += sum(ce - cb for iv, cb, ce in chunks if iv not in levels)
+    density = est_raw / max(e - b, 1)
+    est_tel = int(chunk_rows * n_metrics + raw_spans * density)
+    choice = ("telescope"
+              if est_raw > max(row_floor, row_ratio * est_tel)
+              else "exact")
+    return choice, est_raw, est_tel
+
+
+def aggregate_auto(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
+                   begin: int, end: int, ranges: DataFrame | None = None,
+                   row_floor: int = 512_000,
+                   row_ratio: int = 8) -> DataFrame:
+    """Cost-based exact-vs-telescope choice (VERDICT r5 item 6): the
+    reference always telescopes (metric.cpp:160-231) because its level
+    reads are pointer-cheap; in Spark each telescope branch is a stage,
+    so small ranges are faster as one raw windowed scan (measured
+    crossover: BENCH_DETAIL aggregate_crossover_16m).  This entry point
+    estimates both sides from the ROLLUPS (one O(range/interval_max)
+    probe — the raw store is never scanned for planning) and dispatches;
+    results are path-independent (equivalence-tested), so a planning miss
+    costs time, never correctness."""
+    if begin >= end:
+        raise InvalidRangeError(
+            f"invalid request: begin timestamp {begin} >= end timestamp {end}")
+    ranges = ranges if ranges is not None else raw_range(raw)
+    # both paths broadcast/reuse the bounds repeatedly; one eager
+    # metric-count-sized materialization stops the planner probe and the
+    # chosen path from re-running the full-raw ranges aggregate
+    ranges = ranges.localCheckpoint(eager=True)
+    choice, _r, _t = _auto_choice(levels, meta, begin, end, ranges,
+                                  int(row_floor), int(row_ratio))
+    if choice == "telescope":
+        return aggregate_telescope(raw, levels, meta, begin, end,
+                                   ranges=ranges)
+    return aggregate_exact(raw, begin, end, ranges=ranges)
 
 
 def _telescope_plan(begin: int, end: int, meta: Meta) -> tuple[
