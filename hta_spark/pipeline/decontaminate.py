@@ -201,6 +201,12 @@ def bloom_decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 5,
     ``contaminated`` errs toward dropping — the safe direction for
     benchmark hygiene.  The FP rate is deterministic (md5) and measured by
     the ``decontaminate_bloom_fp`` registry query.
+
+    Because the training side is map-only, ``train`` may be a STREAMING
+    DataFrame: the probe runs per micro-batch against the static
+    broadcast bitset (stream ≡ batch, pinned in
+    tests/test_bloom_decontaminate.py) — ingest-time hygiene with no
+    stateful operator.
     """
     m = 1 << m_log2
     bits = F.broadcast(bloom_bitset(eval_docs, n, m_log2, k, text_col))

@@ -668,20 +668,41 @@ class Metric:
         return retrieve_flex(self._raw(), self._levels(), self.meta,
                              begin, end, interval_upper, scope, smooth)
 
-    def aggregate(self, begin: int, end: int, use_levels: bool = True) -> DataFrame:
-        if use_levels:
-            levels = self._levels()
-            if levels:
-                return aggregate_telescope(self._raw(), levels, self.meta,
-                                           begin, end)
+    def aggregate(self, begin: int, end: int,
+                  use_levels: bool | str = "auto") -> DataFrame:
+        """Exact range aggregate.  ``use_levels``: ``"auto"`` (default)
+        estimates both paths from the coarsest rollup and dispatches
+        (aggregate_auto's cost model — the reference always telescopes,
+        metric.cpp:160-231, but Spark's per-branch stage overhead makes
+        small ranges faster as one raw windowed scan); ``True`` forces
+        the telescope, ``False`` the raw-exact scan.  Results are
+        path-independent."""
+        from ..operators.aggregate import _auto_choice
+        from ..operators.rollup import raw_range
+        if begin >= end:
+            from ..errors import InvalidRangeError
+            raise InvalidRangeError(
+                f"invalid request: begin timestamp {begin} >= "
+                f"end timestamp {end}")
+        levels = self._levels() if use_levels in (True, "auto") else {}
+        ranges = None
+        if use_levels == "auto" and levels:
+            ranges = raw_range(self._raw()).localCheckpoint(eager=True)
+            choice, _r, _t = _auto_choice(levels, self.meta, begin, end,
+                                          ranges, 512_000, 8)
+            use_levels = choice == "telescope"
+        if use_levels is True and levels:
+            return aggregate_telescope(self._raw(), levels, self.meta,
+                                       begin, end, ranges=ranges)
         # lower day-bound is safe for the scan (only points >= clamped begin
         # contribute) — but per-metric ranges must come from the *unpruned*
         # table, or clamping would see a false t_first; the upper boundary
         # point may be days later, so no upper bound.
-        from ..operators.rollup import raw_range
         raw = self._raw()
         return aggregate_exact(HtaStore.day_pruned(raw, begin, None),
-                               begin, end, ranges=raw_range(raw))
+                               begin, end,
+                               ranges=ranges if ranges is not None
+                               else raw_range(raw))
 
     def count(self, begin: int | None = None, end: int | None = None,
               scope: IntervalScope = RAW_DEFAULT) -> int:

@@ -105,6 +105,29 @@ def test_auto_choice_tracks_range_size(store):
     assert choice5 == "exact" and er5 == 0
 
 
+def test_store_aggregate_auto_default(spark, tmp_path):
+    """HtaMetric.aggregate defaults to the auto dispatch: all three
+    use_levels modes agree (path-independence at the user API)."""
+    from hta_spark.sources.store import HtaStore
+    pts = spark.createDataFrame(
+        [("foo", (50_000 + 7 * i) * SECOND, float(i % 11)) for i in range(400)],
+        "metric string, time long, value double")
+    meta = Meta(interval_min=70 * SECOND, interval_max=7000 * SECOND,
+                interval_factor=10)
+    store = HtaStore(spark, str(tmp_path / "db"), configs={"foo": meta})
+    store["foo"].insert(pts)
+    store.build()
+    m = store["foo"]
+    b, e = 50_100 * SECOND, 52_500 * SECOND
+    want = _rows(m.aggregate(b, e, use_levels=False))
+    for mode in ("auto", True):
+        got = _rows(m.aggregate(b, e, use_levels=mode))
+        assert got.keys() == want.keys()
+        for k in want:
+            for x, g in zip(want[k], got[k]):
+                assert x == g or math.isclose(x, g, rel_tol=1e-9), (mode, k)
+
+
 def test_auto_plans_from_rollups_not_raw(store, monkeypatch):
     """The planner probe must read the coarsest LEVEL, never the raw
     frame: monkeypatch-poison raw collection during choice computation."""

@@ -101,6 +101,27 @@ def test_bloom_zero_gram_docs_reported(spark):
             r["contaminated"]) == (0, 0, 0.0, False)
 
 
+def test_bloom_streaming_equals_batch(spark, tmp_path, corpus):
+    """The map-only training side means bloom_decontaminate runs on a
+    STREAMING frame unchanged (per-micro-batch probe against the static
+    broadcast bitset) — ingest-time decontamination, stream ≡ batch."""
+    train, ev = corpus
+    src = tmp_path / "src"
+    train.coalesce(2).write.parquet(str(src))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    out = bloom_decontaminate(stream, ev)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("bloom_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple,
+                     spark.sql("SELECT * FROM bloom_stream").collect()))
+    want = sorted(map(tuple, bloom_decontaminate(train, ev).collect()))
+    assert got == want
+
+
 def test_bloom_training_side_shuffle_free(corpus):
     """The plan must add ZERO exchanges beyond the (tiny, eval-side)
     bitset build: the training corpus is probed in-row — no explode, no
