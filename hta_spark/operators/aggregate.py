@@ -198,8 +198,18 @@ def aggregate_auto(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
     ranges = ranges if ranges is not None else raw_range(raw)
     # both paths broadcast/reuse the bounds repeatedly; one eager
     # metric-count-sized materialization stops the planner probe and the
-    # chosen path from re-running the full-raw ranges aggregate
-    ranges = ranges.localCheckpoint(eager=True)
+    # chosen path from re-running the full-raw ranges aggregate.  Skip it
+    # when the caller already persisted the frame (cache/checkpoint) — a
+    # second copy measured ~2 s of pure planning overhead on the 16.7M
+    # bench store
+    from pyspark import StorageLevel
+    already = (ranges.storageLevel != StorageLevel.NONE
+               # a checkpointed frame reports StorageLevel.NONE but its
+               # plan root is the materialized LogicalRDD — free to rerun
+               or ranges._jdf.queryExecution().analyzed()
+               .nodeName() in ("LogicalRDD",))
+    if not already:
+        ranges = ranges.localCheckpoint(eager=True)
     choice, _r, _t = _auto_choice(levels, meta, begin, end, ranges,
                                   int(row_floor), int(row_ratio))
     if choice == "telescope":

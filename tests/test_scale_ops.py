@@ -283,6 +283,12 @@ def test_knn_join_ivf_full_probe_equals_exact(spark):
     one = sorted(map(tuple,
                      knn_join_ivf(emb, cents, k=3, nprobe=1).collect()))
     assert one == exact
+    # aggressive sub-blocking (every 8-member cluster split into 4-member
+    # blocks) must not change a single row: per-block top-k merges exactly
+    blocked = sorted(map(tuple,
+                         knn_join_ivf(emb, cents, k=3, nprobe=4,
+                                      max_cluster_rows=4).collect()))
+    assert blocked == exact
 
 
 def test_knn_join_ivf_hot_centroid_subblocks(spark):
