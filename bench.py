@@ -265,7 +265,8 @@ def _aggregate_crossover(spark, n: int = 2 ** 24) -> dict:
     from pyspark.sql import functions as F
     from hta_spark import Meta
     from hta_spark.operators import build_levels, materialize_levels
-    from hta_spark.operators.aggregate import (_auto_choice, aggregate_auto,
+    from hta_spark.operators.aggregate import (AUTO_ROW_FLOOR, AUTO_ROW_RATIO,
+                                               _auto_choice, aggregate_auto,
                                                aggregate_exact,
                                                aggregate_telescope)
     from hta_spark.operators.rollup import raw_range
@@ -289,7 +290,7 @@ def _aggregate_crossover(spark, n: int = 2 ** 24) -> dict:
         # separately (auto_plan_sec) — the timed runs re-execute the
         # chosen plan, same convention as every other cell here.
         choices[f"{pct}pct"] = _auto_choice(
-            levels, meta, lo, end, ranges, 512_000, 8)[0]
+            levels, meta, lo, end, ranges, AUTO_ROW_FLOOR, AUTO_ROW_RATIO)[0]
         for label, mk in (
                 ("exact", lambda e=end: aggregate_exact(
                     raw, lo, e, ranges=ranges)),

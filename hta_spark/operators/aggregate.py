@@ -27,7 +27,18 @@ from ..errors import InvalidRangeError
 from ..meta import Meta
 from .rollup import raw_range
 
-__all__ = ["aggregate_exact", "aggregate_telescope", "aggregate_auto"]
+__all__ = ["aggregate_exact", "aggregate_telescope", "aggregate_auto",
+           "AUTO_ROW_FLOOR", "AUTO_ROW_RATIO"]
+
+#: aggregate_auto decision knobs (shared by every dispatch site so they
+#: cannot drift): telescope iff est_raw > max(AUTO_ROW_FLOOR,
+#: AUTO_ROW_RATIO * est_tel).  The floor encodes the telescope's fixed
+#: per-branch stage overhead against the exact path's single windowed
+#: scan (breakeven near half a million windowed rows on the measured
+#: 16.7M crossover); the ratio guards the regime where levels are barely
+#: smaller than raw.
+AUTO_ROW_FLOOR = 512_000
+AUTO_ROW_RATIO = 8
 
 _INF = float("inf")
 
@@ -181,8 +192,8 @@ def _auto_choice(levels: dict[int, DataFrame], meta: Meta,
 
 def aggregate_auto(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
                    begin: int, end: int, ranges: DataFrame | None = None,
-                   row_floor: int = 512_000,
-                   row_ratio: int = 8) -> DataFrame:
+                   row_floor: int = AUTO_ROW_FLOOR,
+                   row_ratio: int = AUTO_ROW_RATIO) -> DataFrame:
     """Cost-based exact-vs-telescope choice (VERDICT r5 item 6): the
     reference always telescopes (metric.cpp:160-231) because its level
     reads are pointer-cheap; in Spark each telescope branch is a stage,

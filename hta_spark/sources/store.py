@@ -677,7 +677,8 @@ class Metric:
         small ranges faster as one raw windowed scan); ``True`` forces
         the telescope, ``False`` the raw-exact scan.  Results are
         path-independent."""
-        from ..operators.aggregate import _auto_choice
+        from ..operators.aggregate import (AUTO_ROW_FLOOR,
+                                           AUTO_ROW_RATIO, _auto_choice)
         from ..operators.rollup import raw_range
         if begin >= end:
             from ..errors import InvalidRangeError
@@ -689,7 +690,8 @@ class Metric:
         if use_levels == "auto" and levels:
             ranges = raw_range(self._raw()).localCheckpoint(eager=True)
             choice, _r, _t = _auto_choice(levels, self.meta, begin, end,
-                                          ranges, 512_000, 8)
+                                          ranges, AUTO_ROW_FLOOR,
+                                          AUTO_ROW_RATIO)
             use_levels = choice == "telescope"
         if use_levels is True and levels:
             return aggregate_telescope(self._raw(), levels, self.meta,
