@@ -288,6 +288,11 @@ def _subblock_clusters(members: DataFrame, probes: DataFrame,
     a codebook-sized broadcast result."""
     from .dedup import md5_long
 
+    if int(max_cluster_rows) < 1:
+        # a non-positive bound would make _nb null/negative and silently
+        # drop every member from the cogroup — fail loudly instead
+        raise ValueError(
+            f"max_cluster_rows must be >= 1, got {max_cluster_rows}")
     sizes = members.groupBy("_c").agg(
         F.ceil(F.count("*") / F.lit(int(max_cluster_rows)))
         .cast("long").alias("_nb"))
