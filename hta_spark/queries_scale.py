@@ -274,6 +274,46 @@ FROM docs_j
 """
 
 
+# -- hashed linear classifier scoring ---------------------------------------
+
+CLS_THRESHOLD = 0.0
+
+
+def q_classifier_score(spark, sf_dir):
+    """fasttext-style quality scoring over the documents table with the
+    deterministic hash-derived pseudo-model (pipeline/classify.py) — the
+    whole tokenize -> hash -> fold -> normalize -> threshold pipeline in
+    one map-only pass, oracle-mirrored integer-for-integer."""
+    from .pipeline.classify import hashed_linear_score
+    return hashed_linear_score(_docs(spark, sf_dir),
+                               threshold=CLS_THRESHOLD)
+
+
+SQL_CLASSIFIER_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+w AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('w|' || CAST(
+              ('0x' || substr(md5('feat|' || tok), 1, 15))::BIGINT % 4096
+            AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000 AS wi
+  FROM tok
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(wi) AS BIGINT) AS w_sum
+  FROM w GROUP BY 1
+)
+SELECT doc_id, n_tokens, w_sum,
+       CAST(w_sum AS DOUBLE) / CAST(1000 * n_tokens AS DOUBLE) AS score,
+       (CAST(w_sum AS DOUBLE) / CAST(1000 * n_tokens AS DOUBLE))
+           >= {CLS_THRESHOLD} AS keep
+FROM per
+"""
+
+
 # -- KMV distinct sketch ----------------------------------------------------
 
 KMV_K = 64
@@ -1277,6 +1317,7 @@ SCALE_QUERIES: dict[str, tuple] = {
     "mix_weights": (q_mix_weights, SQL_MIX_WEIGHTS),
     "q_range_join_incidents": (q_range_join_incidents, SQL_RANGE_JOIN),
     "text_rules": (q_text_rules, SQL_TEXT_RULES),
+    "text_classifier_score": (q_classifier_score, SQL_CLASSIFIER_SCORE),
     "q_bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
     "ann_knn_join": (q_knn_join, SQL_KNN_JOIN),
