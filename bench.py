@@ -315,6 +315,40 @@ def _aggregate_crossover(spark, n: int = 2 ** 24) -> dict:
     return {"rows": n, "cells": out, "auto_choice": choices}
 
 
+def _ivf_skew_cell(spark, n: int = 8192, dim: int = 32) -> dict:
+    """VERDICT r5 item 2, measured: a maximally hot centroid (ONE cluster
+    holding all n vectors) through knn_join_ivf, unbounded (one cogroup
+    task owns the whole n x n GEMM) vs sub-blocked (max_cluster_rows=512
+    -> 32 bounded tasks).  Output is bit-identical (equivalence-tested in
+    test_scale_ops); this cell records the parallelism the blocking buys
+    on the skew shape it exists for."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from hta_spark.pipeline.ann import knn_join_ivf
+
+    rng = np.random.default_rng(17)
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>").cache()
+    emb.count()
+    cents = [(0, [1.0] + [0.0] * (dim - 1))]
+    out = {"rows": n, "dim": dim}
+    for label, bound in (("unbounded", n), ("blocked_512", 512)):
+        df = knn_join_ivf(emb, cents, k=5, nprobe=1,
+                          max_cluster_rows=bound)
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        out[label] = _stats(runs)
+    u, b = out["unbounded"]["median"], out["blocked_512"]["median"]
+    out["speedup"] = round(u / b, 2) if b > 0 else None
+    emb.unpersist()
+    return out
+
+
 def _streaming_throughput(spark, n: int = 2 ** 21) -> dict:
     """VERDICT r4 item 6: sustained rows/s through the TRUE streaming path
     (stream_levels -> applyInPandasWithState), at the reference insert
@@ -597,6 +631,7 @@ def main() -> None:
     latency = _query_latency(spark)
     crossover = _aggregate_crossover(spark)
     streaming = _streaming_throughput(spark)
+    ivf_skew = _ivf_skew_cell(spark)
     pipeline = _pipeline_latency(spark, qs)
     headline = {
         "metric": "headline_suite_sec",
@@ -619,6 +654,7 @@ def main() -> None:
         "insert_matrix": matrix,
         "aggregate_crossover_16m": crossover,
         "streaming_ingest_throughput": streaming,
+        "ivf_skew_hot_centroid": ivf_skew,
         "pipeline_latency_sec": pipeline,
         # deltas compare COLD (first-pass) numbers to the r4 cold
         # figures in PREV_ROUND — like for like
