@@ -329,6 +329,80 @@ HAVING CAST(sum((CASE WHEN time < em THEN time ELSE em END) - pv) AS BIGINT) > 0
 """
 
 
+def q_hta_aggregate_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the TELESCOPE path and the auto dispatch (r6):
+    both forced dispatches of :func:`aggregate_auto` — telescope
+    (row_floor=1, row_ratio=0) and raw-exact (astronomical floor) — must
+    reproduce ONE oracle aggregate, row for row.
+
+    Order-robustness without the micro-integer machinery: values quantize
+    once to exact QUARTER units (``round(v*4)/4`` — x4 is a power of two,
+    the rounded integer is < 2^53, so the quantized double is identical
+    in every engine), making every float sum along either path an exact
+    binary arithmetic result — associative, partition-order-free.
+    ``integral`` is excluded from the gated columns (value x ns-duration
+    products exceed 2^53; its exact-integer gate is ``hta_aggregate_range``).
+    Levels build in-query from the same quantized frame (EVENTS_META:
+    1 h / 10 h / 100 h)."""
+    from .operators import aggregate_auto, build_levels
+    raw = events_raw(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 4) / 4)
+    levels = build_levels(raw, EVENTS_META, salt_chunks=None)
+
+    def shaped(df: DataFrame, tag: str) -> DataFrame:
+        return (df.filter(F.col("active_time") > 0)
+                .select("metric", F.lit(tag).alias("path"),
+                        F.col("minimum").alias("min_v"),
+                        F.col("maximum").alias("max_v"),
+                        F.col("sum").alias("sum_v"),
+                        F.col("count").alias("cnt"),
+                        F.col("active_time").alias("active_ns")))
+
+    tel = aggregate_auto(raw, levels, EVENTS_META, AGG_BEGIN, AGG_END,
+                         row_floor=1, row_ratio=0)
+    ex = aggregate_auto(raw, levels, EVENTS_META, AGG_BEGIN, AGG_END,
+                        row_floor=10 ** 15)
+    return shaped(tel, "telescope").unionByName(shaped(ex, "exact"))
+
+
+SQL_HTA_AGGREGATE_AUTO = f"""
+WITH pts0 AS ({EVT}),
+pts AS (SELECT metric, time, round(value * 4, 0) / 4 AS value FROM pts0),
+rng AS (SELECT metric, min(time) AS t_first, max(time) AS t_last FROM pts GROUP BY 1),
+cl AS (
+  SELECT metric, t_first, t_last,
+         greatest(least({AGG_BEGIN}, t_last), t_first) AS bm,
+         greatest(least({AGG_END}, t_last), t_first) AS em
+  FROM rng
+  WHERE {AGG_END} > t_first AND {AGG_BEGIN} <= t_last
+),
+f AS (
+  SELECT p.metric, p.time, p.value, c.bm, c.em
+  FROM pts p JOIN cl c ON p.metric = c.metric
+  WHERE p.time >= c.bm
+),
+g AS (
+  SELECT metric, time, value, bm, em,
+         greatest(coalesce(lag(time) OVER (PARTITION BY metric ORDER BY time), bm), bm) AS pv,
+         min(CASE WHEN time >= em THEN time END) OVER (PARTITION BY metric) AS ept
+  FROM f
+),
+h AS (SELECT * FROM g WHERE ept IS NULL OR time <= ept),
+agg AS (
+  SELECT metric,
+         min(value) AS min_v, max(value) AS max_v,
+         coalesce(sum(CASE WHEN time < em THEN value END), 0.0) AS sum_v,
+         CAST(sum(CASE WHEN time < em THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+         CAST(sum((CASE WHEN time < em THEN time ELSE em END) - pv) AS BIGINT) AS active_ns
+  FROM h
+  GROUP BY 1
+  HAVING CAST(sum((CASE WHEN time < em THEN time ELSE em END) - pv) AS BIGINT) > 0
+)
+SELECT metric, p.path, min_v, max_v, sum_v, cnt, active_ns
+FROM agg CROSS JOIN (SELECT 'telescope' AS path UNION ALL SELECT 'exact') p
+"""
+
+
 def q_hta_retrieve_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = events_raw(spark, sf_dir)
     return filter_raw(raw, RET_BEGIN, RET_END,
@@ -633,6 +707,7 @@ HTA_QUERIES: dict[str, tuple] = {
     "hta_level1_by_user": (q_hta_level1_by_user,
                            _rollup_sql(LEVEL1).replace(EVT, _EVT_USER)),
     "hta_aggregate_range": (q_hta_aggregate, SQL_HTA_AGGREGATE),
+    "hta_aggregate_auto": (q_hta_aggregate_auto, SQL_HTA_AGGREGATE_AUTO),
     "hta_retrieve_extended": (q_hta_retrieve_extended, SQL_HTA_RETRIEVE_EXTENDED),
     "hta_count_scoped": (q_hta_count_scoped, SQL_HTA_COUNT_SCOPED),
     "hta_range": (q_hta_range, SQL_HTA_RANGE),
