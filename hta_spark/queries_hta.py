@@ -432,6 +432,32 @@ def q_hta_count_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
                         IntervalScope(Scope.closed, Scope.extended))
 
 
+def q_hta_count_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the telescoped count walk (r6): ``count_via_levels``
+    sums rollup ``count`` fields over the telescope decomposition + the
+    tail correction (the reference's count-prefix-sum hierarchy walk,
+    /root/reference/src/storage/file/metric.cpp:102-156) — and must equal
+    a plain pruned COUNT(*) over [begin, end) for every metric, including
+    zero for metrics whose data misses the range.  Levels build in-query
+    (EVENTS_META); all outputs are integers — trivially order-robust."""
+    from .operators import build_levels
+    from .operators.stats import count_via_levels
+    raw = events_raw(spark, sf_dir)
+    levels = build_levels(raw, EVENTS_META, salt_chunks=None)
+    return count_via_levels(raw, levels, EVENTS_META, AGG_BEGIN, AGG_END)
+
+
+SQL_HTA_COUNT_LEVELS = f"""
+WITH pts AS ({EVT}),
+m AS (SELECT DISTINCT metric FROM pts),
+c AS (
+  SELECT metric, CAST(count(*) AS BIGINT) AS n FROM pts
+  WHERE time >= {AGG_BEGIN} AND time < {AGG_END} GROUP BY 1
+)
+SELECT m.metric, coalesce(c.n, 0) AS n FROM m LEFT JOIN c USING (metric)
+"""
+
+
 SQL_HTA_COUNT_SCOPED = f"""
 WITH pts AS ({EVT}),
 b AS (
@@ -710,6 +736,7 @@ HTA_QUERIES: dict[str, tuple] = {
     "hta_aggregate_auto": (q_hta_aggregate_auto, SQL_HTA_AGGREGATE_AUTO),
     "hta_retrieve_extended": (q_hta_retrieve_extended, SQL_HTA_RETRIEVE_EXTENDED),
     "hta_count_scoped": (q_hta_count_scoped, SQL_HTA_COUNT_SCOPED),
+    "hta_count_levels": (q_hta_count_levels, SQL_HTA_COUNT_LEVELS),
     "hta_range": (q_hta_range, SQL_HTA_RANGE),
     "hta_last": (q_hta_last, SQL_HTA_LAST),
     "hta_smooth3": (q_hta_smooth3, SQL_HTA_SMOOTH3),
