@@ -493,6 +493,7 @@ def _pipeline_latency(spark, qs) -> dict:
                  "text_vocab", "text_unigram_surprisal", "q_range_frame",
                  "q_json_props", "q_unpivot", "q_dense_ids",
                  "ann_knn_join_ivf", "text_bpe_merges", "text_bpe_segment",
+                 "hta_aggregate_auto", "hta_count_levels",
                  "ann_knn_label_accuracy", "sketch_hist_by_group"):
         fn = qs.get(name)
         if fn is None:
