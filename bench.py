@@ -487,7 +487,7 @@ def _pipeline_latency(spark, qs) -> dict:
                  "curation_report", "decontaminate_overlap",
                  "decontaminate_bloom", "decontaminate_bloom_fp",
                  "sketch_kmv_distinct", "sketch_hist_quantiles",
-                 "text_rules", "text_classifier_score",
+                 "text_rules", "text_classifier_score", "text_pii_scrub",
                  "q_range_join_incidents", "q_bucketed_join",
                  "mix_weights", "pipeline_funnel", "ann_knn_join",
                  "text_vocab", "text_unigram_surprisal", "q_range_frame",

@@ -274,6 +274,43 @@ FROM docs_j
 """
 
 
+# -- PII redaction -----------------------------------------------------------
+
+
+def q_pii_scrub(spark, sf_dir):
+    """C4-style PII scrub over the documents table: per-doc match counts
+    plus an md5 of the scrubbed text (the hash keeps the gated rows small
+    while pinning every replacement byte-for-byte)."""
+    from .pipeline.redact import pii_scrub
+    out = pii_scrub(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_emails", "n_ipv4", "n_digit_runs",
+                      F.md5("text_scrubbed").alias("scrub_hash"))
+
+
+SQL_PII_SCRUB = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text,
+              '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+              AS BIGINT) AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT)
+             AS n_digit_runs,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+             '<IP>', 'g'),
+           '[0-9]{7,}', '<ID>', 'g') AS scrubbed
+  FROM documents
+)
+SELECT doc_id, n_emails, n_ipv4, n_digit_runs, md5(scrubbed) AS scrub_hash
+FROM s
+"""
+
+
 # -- hashed linear classifier scoring ---------------------------------------
 
 CLS_THRESHOLD = 0.0
@@ -1318,6 +1355,7 @@ SCALE_QUERIES: dict[str, tuple] = {
     "q_range_join_incidents": (q_range_join_incidents, SQL_RANGE_JOIN),
     "text_rules": (q_text_rules, SQL_TEXT_RULES),
     "text_classifier_score": (q_classifier_score, SQL_CLASSIFIER_SCORE),
+    "text_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "q_bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
     "ann_knn_join": (q_knn_join, SQL_KNN_JOIN),
