@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 from .dedup import md5_long
 
-__all__ = ["BP", "hash_bucket", "hash_sample", "stratified_sample"]
+__all__ = ["BP", "group_cap", "hash_bucket", "hash_sample",
+           "stratified_sample"]
 
 BP = 10_000  # rate unit: basis points (1 bp = 0.01 %)
 
@@ -60,3 +61,26 @@ def stratified_sample(df: DataFrame, rates: DataFrame | dict,
     j = df.join(F.broadcast(rates), strata_col, "left")
     rate = F.coalesce(F.col("rate_bp"), F.lit(int(default_bp)))
     return j.filter(hash_bucket(F.col(key_col), salt) < rate).drop("rate_bp")
+
+
+def group_cap(df: DataFrame, k: int, group_col: str = "source",
+              key_col: str = "doc_id", salt: str = "cap") -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen DETERMINISTICALLY — the
+    web-curation "max N documents per domain" cap, with the same
+    rerun/backfill stability contract as :func:`hash_sample`: the kept
+    set is a pure function of (group, key, salt), independent of
+    partitioning and cluster size.
+
+    Selection order is (md5(salt|key), key) within each group — an
+    unbiased deterministic shuffle (picking by raw key would bias toward
+    low ids, which often correlate with crawl order).  The
+    ``row_number() <= k`` filter over a partitioned window compiles to
+    WindowGroupLimit: each task keeps its local top-k per group BEFORE
+    the exchange, so shuffle volume is O(groups * k) per task, not the
+    corpus (plan-tested alongside the other WindowGroupLimit operators).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy(
+        md5_long(F.col(key_col).cast("string"), salt), F.col(key_col))
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= F.lit(int(k))).drop("_rk"))

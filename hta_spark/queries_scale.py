@@ -274,6 +274,34 @@ FROM docs_j
 """
 
 
+# -- per-domain document cap -------------------------------------------------
+
+CAP_K = 10
+
+
+def q_domain_cap(spark, sf_dir):
+    """The web-curation per-domain cap: at most CAP_K docs per source,
+    selected by the deterministic md5 shuffle order (rerun/partitioning
+    invariant; WindowGroupLimit keeps per-task shuffle volume at
+    O(groups x k))."""
+    from .pipeline.sample import group_cap
+    return (group_cap(_docs(spark, sf_dir), CAP_K)
+            .select("source", "doc_id"))
+
+
+SQL_DOMAIN_CAP = f"""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY
+             ('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 ::BIGINT,
+             doc_id) AS rk
+  FROM documents
+)
+SELECT source, doc_id FROM r WHERE rk <= {CAP_K}
+"""
+
+
 # -- PII redaction -----------------------------------------------------------
 
 
@@ -1356,6 +1384,7 @@ SCALE_QUERIES: dict[str, tuple] = {
     "text_rules": (q_text_rules, SQL_TEXT_RULES),
     "text_classifier_score": (q_classifier_score, SQL_CLASSIFIER_SCORE),
     "text_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "sample_domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "q_bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
     "ann_knn_join": (q_knn_join, SQL_KNN_JOIN),

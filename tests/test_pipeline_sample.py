@@ -97,3 +97,24 @@ def test_repetition_stats_values(spark):
     assert out[2].dup_shingle_frac == 0.0
     assert out[3].n_tokens == 6 and out[3].dup_token_frac == round(4 / 6, 4)
     assert out[3].dup_shingle_frac == 0.5    # 4 shingles, 2 distinct
+
+
+def test_group_cap_deterministic_and_bounded(spark):
+    """group_cap: at most k per group, identical kept set under any
+    repartitioning (pure function of group/key/salt), and the rank filter
+    compiles to WindowGroupLimit (per-task top-k before the exchange)."""
+    from hta_spark.pipeline.sample import group_cap
+    rows = [(i, "g%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = group_cap(df, 7).select("source", "doc_id")
+    got = sorted(map(tuple, kept.collect()))
+    per = {}
+    for s, _d in got:
+        per[s] = per.get(s, 0) + 1
+    assert per == {"g0": 7, "g1": 7, "g2": 7}
+    again = sorted(map(tuple,
+                       group_cap(df.repartition(13), 7)
+                       .select("source", "doc_id").collect()))
+    assert again == got
+    plan = group_cap(df, 7)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
