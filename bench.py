@@ -483,7 +483,8 @@ def _pipeline_latency(spark, qs) -> dict:
     """Informational timings for the curation-pipeline operators (not part
     of the headline total, which stays comparable across rounds)."""
     out = {}
-    for name in ("sample_stratified", "sample_domain_cap", "pack_contiguous",
+    for name in ("sample_stratified", "sample_domain_cap", "dedup_incremental",
+                 "pack_contiguous",
                  "text_repetition",
                  "curation_report", "decontaminate_overlap",
                  "decontaminate_bloom", "decontaminate_bloom_fp",

@@ -80,6 +80,33 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                  F.count("*").alias("n_copies")))
 
 
+def dedup_against(incoming: DataFrame, seen: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  key_of=None) -> DataFrame:
+    """Cross-corpus incremental dedup: rows of ``incoming`` whose content
+    key does NOT already occur in ``seen`` — the per-crawl "new documents
+    only" step of a continuously-grown corpus.
+
+    ``key_of``: Column -> Column building the dedup key from the text
+    column; default md5 of the normalized full content (exact dedup), or
+    e.g. a leading-token prefix hash for boilerplate-style collapse.
+    One LEFT ANTI join on the key: with a big reference corpus both
+    sides shuffle once on the key (null-skew-free — hashes are uniform);
+    when ``seen`` is small Catalyst broadcasts it and the pass is
+    map-only.  At 100 TB the ``seen`` side is typically the stored
+    two-column hash table of the existing corpus, not the corpus itself
+    — pass a frame already carrying ``content_hash`` to skip the
+    recompute."""
+    key_of = key_of or (lambda t: F.md5(normalize_text(t)))
+    inc = incoming.withColumn("content_hash",
+                              key_of(F.col(text_col)))
+    if "content_hash" in seen.columns:
+        sh = seen.select("content_hash")
+    else:
+        sh = seen.select(key_of(F.col(text_col)).alias("content_hash"))
+    return inc.join(sh.distinct(), "content_hash", "left_anti")
+
+
 def prefix_dedup(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n_tokens: int = 5) -> DataFrame:
     """Near-dup by leading-token fingerprint (cheap URL/boilerplate-style

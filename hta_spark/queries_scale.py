@@ -274,6 +274,45 @@ FROM docs_j
 """
 
 
+# -- cross-corpus incremental dedup ------------------------------------------
+
+SEEN_BP = 4000   # 40% of docs act as the already-ingested corpus
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Per-crawl "new documents only": the incoming 60% anti-joined
+    against the already-seen 40% on a leading-5-token prefix key (the
+    boilerplate-collapse key, which actually overlaps across the split —
+    full-content hashes are unique in this corpus, so they would gate a
+    no-op).  Returns the surviving incoming docs with their key."""
+    from .pipeline.dedup import dedup_against, tokens_col
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    b = hash_bucket(F.col("doc_id"), "seen")
+    seen = docs.filter(b < F.lit(SEEN_BP))
+    incoming = docs.filter(b >= F.lit(SEEN_BP))
+    key_of = (lambda t: F.md5(F.concat_ws(
+        " ", F.slice(tokens_col(t), 1, 5))))
+    out = dedup_against(incoming, seen, key_of=key_of)
+    return out.select("doc_id", "content_hash")
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH h AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(lower(trim(text)), ' ')[1:5],
+                             ' ')) AS content_hash,
+         ('0x' || substr(md5('seen|' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % {BP} AS b
+  FROM documents
+)
+SELECT i.doc_id, i.content_hash
+FROM h i
+WHERE i.b >= {SEEN_BP}
+  AND i.content_hash NOT IN
+      (SELECT content_hash FROM h WHERE b < {SEEN_BP})
+"""
+
+
 # -- per-domain document cap -------------------------------------------------
 
 CAP_K = 10
@@ -1385,6 +1424,7 @@ SCALE_QUERIES: dict[str, tuple] = {
     "text_classifier_score": (q_classifier_score, SQL_CLASSIFIER_SCORE),
     "text_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "sample_domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "q_bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
     "ann_knn_join": (q_knn_join, SQL_KNN_JOIN),
