@@ -308,8 +308,12 @@ WITH h AS (
 SELECT i.doc_id, i.content_hash
 FROM h i
 WHERE i.b >= {SEEN_BP}
-  AND i.content_hash NOT IN
-      (SELECT content_hash FROM h WHERE b < {SEEN_BP})
+  -- NOT EXISTS, not NOT IN: a NULL key (null text) must stay on the
+  -- incoming side exactly like Spark's left_anti keeps it, whereas one
+  -- NULL inside a NOT IN list silently drops EVERY row
+  AND NOT EXISTS (SELECT 1 FROM h s
+                  WHERE s.b < {SEEN_BP}
+                    AND s.content_hash = i.content_hash)
 """
 
 
