@@ -37,6 +37,20 @@ def test_append_accumulates(spark, tmp_path):
         write_acid(_df(spark, [3]), path, mode="upsert")
 
 
+def test_append_lands_in_current_snapshot(spark, tmp_path):
+    """Append AFTER an atomic republish must resolve through the manifest
+    into the CURRENT snapshot — and leave the retained previous version
+    untouched (time travel still shows pre-append state)."""
+    path = str(tmp_path / "t")
+    write_acid(_df(spark, [1]), path)
+    write_acid(_df(spark, [2]), path)            # republish -> v2 current
+    write_acid(_df(spark, [3]), path, mode="append")
+    assert sorted(r["x"] for r in read_acid(spark, path).collect()) == [2, 3]
+    vs = acid_versions(spark, path)
+    old = read_acid(spark, path, version=vs[-2])
+    assert [r["x"] for r in old.collect()] == [1]     # untouched
+
+
 def test_time_travel_previous_version(spark, tmp_path):
     path = str(tmp_path / "t")
     write_acid(_df(spark, [1]), path)
