@@ -214,11 +214,18 @@ def aggregate_auto(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
     # second copy measured ~2 s of pure planning overhead on the 16.7M
     # bench store
     from pyspark import StorageLevel
-    already = (ranges.storageLevel != StorageLevel.NONE
-               # a checkpointed frame reports StorageLevel.NONE but its
-               # plan root is the materialized LogicalRDD — free to rerun
-               or ranges._jdf.queryExecution().analyzed()
-               .nodeName() in ("LogicalRDD",))
+    try:
+        already = (ranges.storageLevel != StorageLevel.NONE
+                   # a checkpointed frame reports StorageLevel.NONE but its
+                   # plan root is the materialized LogicalRDD — free to rerun
+                   or ranges._jdf.queryExecution().analyzed()
+                   .nodeName() in ("LogicalRDD",))
+    except Exception:
+        # the plan probe uses private JVM internals (absent under Spark
+        # Connect, unstable across versions — ADVICE r6): when unavailable,
+        # conservatively re-checkpoint; a redundant checkpoint of the tiny
+        # metric-count-sized frame costs one small job, never correctness
+        already = False
     if not already:
         ranges = ranges.localCheckpoint(eager=True)
     choice, _r, _t = _auto_choice(levels, meta, begin, end, ranges,

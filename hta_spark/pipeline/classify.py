@@ -71,8 +71,15 @@ def hashed_linear_score(docs: DataFrame, dim: int = CLS_DIM,
     With explicit ``weights`` (len == dim) the model ships as a single
     broadcast row (a BroadcastNestedLoopJoin with one build row — no
     shuffle, same pattern as :func:`..ann.centroid_frame`), quantized to
-    micro-units so the fold stays exact-integer."""
-    toks = tokens_col(F.col(text_col)).alias("_t")
+    micro-units so the fold stays exact-integer.
+
+    NULL ``text`` scores as the empty document (n_tokens=0, w_sum=0,
+    score=0.0) rather than propagating a NULL token array (whose
+    ``F.size`` is -1 and whose fold is NULL) — mirrored in the oracle's
+    LEFT JOIN back to ``documents`` (ADVICE r6: real corpora have NULL
+    text even though the test corpus didn't)."""
+    toks = F.coalesce(tokens_col(F.col(text_col)),
+                      F.array().cast("array<string>")).alias("_t")
     base = docs.select(F.col(id_col), toks)
     span = CLS_WEIGHT_SPAN
     if weights is not None:

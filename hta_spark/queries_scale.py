@@ -414,11 +414,19 @@ per AS (
          CAST(sum(wi) AS BIGINT) AS w_sum
   FROM w GROUP BY 1
 )
-SELECT doc_id, n_tokens, w_sum,
-       CAST(w_sum AS DOUBLE) / CAST(1000 * n_tokens AS DOUBLE) AS score,
-       (CAST(w_sum AS DOUBLE) / CAST(1000 * n_tokens AS DOUBLE))
-           >= {CLS_THRESHOLD} AS keep
-FROM per
+-- LEFT JOIN back to documents: NULL text tokenizes to nothing (unnest of a
+-- NULL list emits no rows), but the scorer keeps the doc as the empty
+-- document (n_tokens=0, w_sum=0, score=0.0) — matches classify.py's
+-- coalesce-to-empty-array (ADVICE r6)
+SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
+       coalesce(per.w_sum, 0) AS w_sum,
+       CASE WHEN coalesce(per.n_tokens, 0) > 0
+            THEN CAST(per.w_sum AS DOUBLE) / CAST(1000 * per.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS score,
+       CASE WHEN coalesce(per.n_tokens, 0) > 0
+            THEN CAST(per.w_sum AS DOUBLE) / CAST(1000 * per.n_tokens AS DOUBLE)
+            ELSE 0.0 END >= {CLS_THRESHOLD} AS keep
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 

@@ -24,6 +24,8 @@ ones.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .store import (list_versions, publish_version, resolve_table_path,
@@ -49,11 +51,40 @@ def acid_backend(spark: SparkSession) -> str:
     return "delta"
 
 
+def _link_forward(src: str, tgt: str) -> None:
+    """Hard-link every data file of snapshot ``src`` into ``tgt``
+    (recursively, preserving partition subdirs; Spark control files like
+    _SUCCESS are skipped).  Hard links make the copy-forward O(files)
+    metadata work with zero data movement; cross-device setups fall back
+    to a real copy."""
+    import shutil
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        dst_dir = tgt if rel == "." else os.path.join(tgt, rel)
+        os.makedirs(dst_dir, exist_ok=True)
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue
+            s, d = os.path.join(root, fn), os.path.join(dst_dir, fn)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
 def write_acid(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     """Atomically (re)publish ``df`` as the table at ``path``; returns the
-    backend used.  ``mode``: ``overwrite`` (atomic replace — concurrent
-    readers resolve the old or the new snapshot, never a torn directory)
-    or ``append``."""
+    backend used.  ``mode``: ``overwrite`` (atomic replace) or ``append``.
+
+    BOTH modes are snapshot-atomic and versioned on BOTH backends (ADVICE
+    r6: the r6 manifest append wrote into the current snapshot in place —
+    unversioned, and a multi-file append was not atomic under a racing
+    reader).  A manifest append now publishes a brand-new snapshot:
+    hard-links of the current snapshot's immutable data files plus the
+    appended files, flipped in with the same POSIX-rename manifest
+    discipline as overwrite — a concurrent reader resolves the pre-append
+    or the post-append snapshot, never a partially-visible append, and
+    time travel to the pre-append version works exactly like Delta's."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
     backend = acid_backend(df.sparkSession)
@@ -61,9 +92,16 @@ def write_acid(df: DataFrame, path: str, mode: str = "overwrite") -> str:
         df.write.format("delta").mode(mode).save(path)
         return backend
     if mode == "append":
-        # parquet directory appends are file-rename-atomic already; write
-        # into the CURRENT snapshot so versioned tables stay consistent
-        df.write.mode("append").parquet(resolve_table_path(path))
+        cur = resolve_table_path(path)
+        if not os.path.isdir(cur):
+            publish_version(path, lambda tgt: df.write.parquet(tgt))
+            return backend
+
+        def _append_snapshot(tgt: str) -> None:
+            _link_forward(cur, tgt)
+            df.write.mode("append").parquet(tgt)
+
+        publish_version(path, _append_snapshot)
         return backend
     publish_version(path, lambda tgt: df.write.parquet(tgt))
     return backend

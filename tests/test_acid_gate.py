@@ -37,10 +37,13 @@ def test_append_accumulates(spark, tmp_path):
         write_acid(_df(spark, [3]), path, mode="upsert")
 
 
-def test_append_lands_in_current_snapshot(spark, tmp_path):
-    """Append AFTER an atomic republish must resolve through the manifest
-    into the CURRENT snapshot — and leave the retained previous version
-    untouched (time travel still shows pre-append state)."""
+def test_append_is_versioned_and_snapshot_atomic(spark, tmp_path):
+    """Append publishes a NEW snapshot on both backends (ADVICE r6: the r6
+    manifest append wrote into the current snapshot in place — unversioned
+    and, for a multi-file append, not atomic): the post-append read sees
+    old+new rows, and time travel to the immediately previous version
+    shows the pre-append state — the exact semantics Delta's append commit
+    gives, so this test is backend-agnostic."""
     path = str(tmp_path / "t")
     write_acid(_df(spark, [1]), path)
     write_acid(_df(spark, [2]), path)            # republish -> v2 current
@@ -48,7 +51,7 @@ def test_append_lands_in_current_snapshot(spark, tmp_path):
     assert sorted(r["x"] for r in read_acid(spark, path).collect()) == [2, 3]
     vs = acid_versions(spark, path)
     old = read_acid(spark, path, version=vs[-2])
-    assert [r["x"] for r in old.collect()] == [1]     # untouched
+    assert [r["x"] for r in old.collect()] == [2]     # pre-append snapshot
 
 
 def test_time_travel_previous_version(spark, tmp_path):
@@ -91,6 +94,40 @@ def test_reader_racing_overwrite_sees_whole_snapshots(spark, tmp_path):
         t.join()
     assert not errs, errs[:2]
     legal = {(g, g) for g in range(6)}
+    assert seen and set(seen) <= legal, set(seen) - legal
+
+
+def test_reader_racing_append_sees_whole_snapshots(spark, tmp_path):
+    """Concurrent readers during repeated MULTI-FILE appends must only see
+    complete snapshots — every observed value-set is an exact append
+    prefix, never a partially-visible append (the atomicity the r6
+    in-place append could not give)."""
+    path = str(tmp_path / "t")
+    write_acid(_df(spark, [0]).repartition(4), path)
+    seen, errs = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                vals = sorted(r["x"] for r in
+                              read_acid(spark, path).collect())
+                seen.append(tuple(vals))
+            except Exception as e:                    # noqa: BLE001
+                errs.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for g in range(1, 5):
+            write_acid(_df(spark, [g] * 4).repartition(4), path,
+                       mode="append")
+    finally:
+        stop.set()
+        t.join()
+    assert not errs, errs[:2]
+    legal = {tuple([0] + sorted(sum(([v] * 4 for v in range(1, g + 1)), [])))
+             for g in range(5)}
     assert seen and set(seen) <= legal, set(seen) - legal
 
 

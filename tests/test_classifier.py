@@ -87,3 +87,29 @@ def test_empty_text_scores(docs):
     # gets a definite verdict, never a NULL ratio
     assert r["n_tokens"] == 1 and r["score"] is not None
     assert r["keep"] in (True, False)
+
+
+def test_null_text_matches_oracle(spark):
+    """ADVICE r6: a NULL text document must score as the EMPTY document
+    (n_tokens=0, w_sum=0, score=0.0, keep=(0>=threshold)) and the DuckDB
+    oracle must keep the doc too — pinned here with an inline duckdb run
+    on a corpus containing NULLs (the gated corpus has none)."""
+    import duckdb
+
+    from hta_spark.queries_scale import SQL_CLASSIFIER_SCORE
+    rows = [(1, "some ordinary words"), (2, None), (3, "more text here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in hashed_linear_score(docs).collect()}
+    assert got[2]["n_tokens"] == 0 and got[2]["w_sum"] == 0
+    assert got[2]["score"] == 0.0 and got[2]["keep"] is True
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {r[0]: r for r in con.execute(SQL_CLASSIFIER_SCORE).fetchall()}
+    assert set(oracle) == {1, 2, 3}
+    for did in (1, 2, 3):
+        o = oracle[did]
+        g = got[did]
+        assert (g["n_tokens"], g["w_sum"], g["score"], g["keep"]) \
+            == (o[1], o[2], o[3], o[4]), (did, g, o)
