@@ -30,6 +30,75 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
+# -- host-speed canary (VERDICT r6 "What's wrong #3") -------------------------
+#
+# BENCH_r06's official record showed a phantom 2.8x regression because the
+# driver's run landed on a throttled host; nothing in the artifact said so
+# by measurement.  Two fixed synthetic kernels now run before and after the
+# headline loop and the stdout record carries raw AND host-normalized
+# figures, so every future BENCH_r{N}.json is self-certifying:
+#
+#   normalized = raw * (CANARY_REF / canary_now)
+#
+# A 2x-throttled host doubles canary_now and halves the correction — the
+# normalized figure stays flat while the raw figure moves (demonstrated
+# under `taskset`; numbers in SURVEY §13).  CANARY_REF values were measured
+# on a quiet box (load < 0.1) at local[32], median of the same protocol.
+
+CANARY_REF = {"single_sec": 0.225, "cores_sec": 1.05}   # quiet-box r7 ref
+
+
+def _canary_single() -> float:
+    """Pinned single-core kernel: 8x (sort + dot) over a fixed 2^21 numpy
+    array — pure CPU, no Spark, no I/O.  Median of 5 after one warmup."""
+    import numpy as np
+    a = np.random.default_rng(7).standard_normal(1 << 21)
+    def one() -> float:
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(8):
+            b = np.sort(a)
+            s += float(b @ b)
+        assert s == s
+        return time.perf_counter() - t0
+    one()                                             # warmup
+    return _stats([one() for _ in range(5)])["median"]
+
+
+def _canary_cores(spark) -> float:
+    """Fixed all-cores kernel: one Spark job of exactly 32 tasks, each
+    xxhash64+sum over 2^26 rows (whole-stage codegen, zero shuffle, zero
+    I/O) — measures effective JVM throughput across the cores the headline
+    queries actually use.  Median of 3 after one warmup."""
+    from pyspark.sql import functions as F
+    # pmod keeps the running sum < 2^46 so the ANSI-mode long sum can't
+    # overflow (a raw sum of 2G xxhash64 values does).  Forced through
+    # the noop SINK, not collect(): re-collecting one DataFrame reuses the
+    # AQE-materialized result stage and measures nothing.
+    df = spark.range(0, 32 * (1 << 26), 1, 32).select(
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(1 << 20))).alias("h"))
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    one()                                             # warmup (codegen)
+    return _stats([one() for _ in range(3)])["median"]
+
+
+def _host_canary(spark) -> dict:
+    return {"single_sec": _canary_single(),
+            "cores_sec": _canary_cores(spark)}
+
+
+def _normalized(value: float, cores_now: float) -> float:
+    """Host-speed-normalized seconds: what this measurement would read on
+    the reference (quiet) box.  cores_now is the effective canary during
+    the run (mean of the before/after samples)."""
+    return round(value * (CANARY_REF["cores_sec"] / cores_now), 3)
+
+
 HEADLINE = [
     "hta_level1_rollup",
     "hta_level2_rollup",
@@ -585,6 +654,7 @@ def main() -> None:
     if warm is not None:
         warm(spark, "/root/testdata/sf0.001") \
             .write.mode("overwrite").format("noop").save()
+    canary_start = _host_canary(spark)
     timings: dict[str, float] = {}
     cold_timings: dict[str, float] = {}
     headline_runs: dict[str, dict] = {}
@@ -636,6 +706,17 @@ def main() -> None:
     streaming = _streaming_throughput(spark)
     ivf_skew = _ivf_skew_cell(spark)
     pipeline = _pipeline_latency(spark, qs)
+    canary_end = _host_canary(spark)
+    # normalize by the effective cores-canary DURING the run (mean of the
+    # before/after samples): a throttle present for the whole run scales
+    # both; one arriving mid-run is caught part-way and visibly disagrees
+    # between the two samples — both are in the record
+    cores_now = (canary_start["cores_sec"] + canary_end["cores_sec"]) / 2
+    canary = {
+        "start": canary_start, "end": canary_end,
+        "ref": CANARY_REF,
+        "host_speed_vs_ref": round(CANARY_REF["cores_sec"] / cores_now, 3),
+    }
     headline = {
         "metric": "headline_suite_sec",
         "value": total,
@@ -643,6 +724,9 @@ def main() -> None:
         "queries": timings,
         "cold_sec": cold_total,
         "cold_queries": cold_timings,
+        "canary": canary,
+        "value_normalized": _normalized(total, cores_now),
+        "cold_sec_normalized": _normalized(cold_total, cores_now),
         "sf": _sf_label(SF_DIR),
     }
     # Full detail (insert matrix, per-level latencies, round-over-round

@@ -45,3 +45,18 @@ def test_headline_queries_pass_guard(spark):
         assert fn is not None, name
         _assert_windows_partitioned(fn(spark, "/root/testdata/sf0.001"),
                                     name)
+
+
+def test_host_canary_normalization(spark):
+    """The r7 host-speed canary: a throttled canary sample must discount
+    the raw figure by exactly the measured host-speed ratio, and the live
+    kernels must return plausible sub-5s positives (demo numbers under
+    real throttles: SURVEY §13)."""
+    from bench import CANARY_REF, _canary_single, _normalized
+
+    # math: a host measuring 2x the reference canary time halves the raw
+    assert _normalized(10.0, 2 * CANARY_REF["cores_sec"]) == 5.0
+    assert _normalized(10.0, CANARY_REF["cores_sec"]) == 10.0
+    s = _canary_single()
+    assert 0.0 < s < 5.0
+    assert set(CANARY_REF) == {"single_sec", "cores_sec"}
