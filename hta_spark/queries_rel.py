@@ -62,8 +62,13 @@ def q3_shipping_priority(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    # join order (VERDICT r6): the selective broadcast(customer BUILDING)
+    # filter-join runs MAP-SIDE against orders first, shrinking the orders
+    # side of the big lineitem shuffle ~5x before that shuffle happens —
+    # the dominant cost at scale is the fact-fact exchange, so selective
+    # broadcastable dims always go first
+    o = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
     return (j.groupBy("l_orderkey")
             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
@@ -540,7 +545,11 @@ def q18_large_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
            .filter(F.col("qty") > 250))
-    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+    # the HAVING filter is highly selective by design (qty > 250 keeps a
+    # sliver of orders), so the surviving keys broadcast and the orders
+    # table never shuffles (r7 polish; AQE would need runtime stats to
+    # discover this — the threshold makes it statically known)
+    return (orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
             .select("o_orderkey", F.round("qty", 2).alias("total_qty"),
                     "o_totalprice")
             .orderBy(F.desc("total_qty"), "o_orderkey").limit(20))
@@ -687,11 +696,20 @@ def q7_nation_volume(spark, sf_dir):
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
-    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-         .join(cust, orders.o_custkey == cust.c_custkey)
-         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
-         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key")))
+    # join order (r7 polish): the nation-pair predicate only passes
+    # supplier nations in {NATION_1, NATION_2} and customer nations in the
+    # same set — push each side's SUPERSET filter through its broadcast
+    # dim BEFORE the fact-fact shuffles (lineitem pruned ~2/25 via the
+    # broadcast supp⋈n1 semi-shape before the orders join; customer pruned
+    # the same way before its shuffle); the exact pair predicate still
+    # applies afterwards, so semantics are unchanged
+    sn = (supp.join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+          .filter(F.col("supp_nation").isin("NATION_1", "NATION_2")))
+    cn = (cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+          .filter(F.col("cust_nation").isin("NATION_1", "NATION_2")))
+    j = (li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+         .join(cn, orders["o_custkey"] == cn["c_custkey"]))
     pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
     return (j.filter(pair)
@@ -738,13 +756,18 @@ def q8_market_share(spark, sf_dir):
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # join order (r7 polish): customer's nation->region chain carries the
+    # selective ASIA filter — apply it to customer via the two broadcast
+    # dims BEFORE the orders⋈customer shuffle (prunes the customer side
+    # ~1/region_count); the supplier-side broadcasts ride the lineitem
+    # scan map-side before the orders shuffle for the same reason
+    cn = (cust.join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+          .join(F.broadcast(region), F.col("cr_key") == F.col("r_regionkey")))
     j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-         .join(orders, li.l_orderkey == orders.o_orderkey)
-         .join(cust, orders.o_custkey == cust.c_custkey)
          .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
-         .join(F.broadcast(region), F.col("cr_key") == F.col("r_regionkey"))
-         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key")))
+         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+         .join(cn, orders["o_custkey"] == cn["c_custkey"]))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     tgt = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
     return (j.groupBy(F.year("o_orderdate").alias("o_year"))
