@@ -32,6 +32,7 @@ __all__ = [
     "retrieve_rows",
     "retrieve_min_samples",
     "retrieve_flex",
+    "retrieve_aligned",
     "rows_from_timevalues",
 ]
 
@@ -258,6 +259,63 @@ def retrieve_rows(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
     if kind == "rows":
         return df
     return rows_from_timevalues(df)
+
+
+def retrieve_aligned(levels: dict[int, DataFrame], meta: Meta,
+                     begin: int, end: int, interval_upper_limit: int,
+                     scope: IntervalScope = ROW_DEFAULT,
+                     metrics: list[str] | None = None,
+                     value=None) -> DataFrame:
+    """R-aligned — N metrics pivoted onto ONE common interval grid.
+
+    Additive over the reference: its retrieve serves one metric per call
+    (/root/reference/src/metric.cpp:356-439), so a dashboard client
+    assembles an aligned multi-metric view from N sequential retrieves and
+    joins them client-side.  This runs that composition as one query.
+
+    Grid choice = the flex planner's level pick (the largest materialized
+    level interval <= min(limit, interval_max), metric.cpp:388-397)
+    applied GLOBALLY: alignment requires one shared grid, so the
+    per-metric empty-level step-down of :func:`retrieve_flex` does not
+    apply — a metric with no data in a grid row is NULL there (exactly
+    the gap a dashboard renders).  If the computed level is not
+    materialized, steps down to the largest one that is.
+
+    ``value`` is the per-cell expression (default: the reference's
+    ``mean()`` — integral/active_time when active_time > 0, else
+    sum/count, types.hpp:72-89).  ``metrics`` pins the output schema with
+    no inference job; None lets Spark infer (one metric-count-sized
+    collect — the same driver state the flex planner holds).
+
+    Scale shape: one pruned scan of the chosen level table; the pivot
+    shuffles on ``interval_start`` alone, i.e. (end-begin)/interval grid
+    rows regardless of raw volume, each row N-metrics wide — dashboard-
+    sized by construction.  Output: (time, interval, <metric>...).
+    """
+    check_range(begin, end, scope)
+    limit = min(interval_upper_limit, meta.interval_max)
+    interval = meta.interval_min
+    while interval * meta.interval_factor <= limit:
+        interval *= meta.interval_factor
+    while interval > meta.interval_min and interval not in levels:
+        interval //= meta.interval_factor
+    if interval not in levels:
+        raise KeyError(f"no materialized level at or below {limit} ns")
+    lvl = filter_level(levels[interval], begin, end, interval, scope)
+    if value is None:
+        value = F.when(
+            F.col("active_time") > 0,
+            F.col("integral").cast("double")
+            / F.col("active_time").cast("double"),
+        ).otherwise(F.col("sum").cast("double") / F.col("count").cast("double"))
+    cells = lvl.select(F.col("interval_start").alias("time"), "metric",
+                       value.alias("_v"))
+    gp = cells.groupBy("time")
+    piv = gp.pivot("metric", metrics) if metrics is not None else gp.pivot("metric")
+    out = piv.agg(F.first("_v"))
+    rest = [c for c in out.columns if c != "time"]
+    return out.select("time", F.lit(interval).cast("long").alias("interval"),
+                      *rest)
 
 
 def retrieve_min_samples(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,

