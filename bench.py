@@ -418,6 +418,50 @@ def _ivf_skew_cell(spark, n: int = 8192, dim: int = 32) -> dict:
     return out
 
 
+def _throttle_dispatch_cell(spark, n: int = 2 ** 21) -> dict:
+    """r8 (VERDICT r6 'What's wrong #4'), measured: one dominant metric
+    through BOTH throttle arms, plus the auto planner's actual choice.
+
+    Timings are construct+execute per pass (the parallel arm does its
+    doubling work eagerly at construction, so steady re-execution would
+    measure checkpoint reads, not the operator).  Locally the sequential
+    Arrow pass wins at ANY size that fits one task — the parallel arm
+    buys bounded per-task memory and cluster-width scaling, not local
+    speed (see throttle_auto's docstring) — so this cell records the
+    local price of that insurance instead of assuming it."""
+    from hta_spark.operators.tools import dummy, throttle_auto
+
+    raw = dummy(spark, count=n, time_delta_ns=50_000_000, value=42.0).cache()
+    raw.count()
+    cooldown = 999_000_000          # keep every 20th 50 ms point
+
+    def arm_of(df) -> str:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return "seq" if "FlatMapGroupsInPandas" in plan else "par"
+
+    out: dict = {"n": n, "cooldown_ns": cooldown}
+    kept: dict[str, int] = {}
+    for label, cap in (("seq", 1 << 62), ("par", 0), ("auto", None)):
+        runs = []
+        df = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = (throttle_auto(raw, cooldown) if cap is None
+                  else throttle_auto(raw, cooldown, seq_rows_cap=cap))
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        out[label] = {"runs": runs, "min": min(runs)}
+        kept[label] = df.count()
+        if cap is None:
+            out["auto_choice"] = arm_of(df)
+    # all arms must agree on the kept-set size (full equivalence is
+    # pytest-pinned; this is the in-record tripwire)
+    out["kept_rows"] = kept["seq"]
+    out["arms_agree"] = len(set(kept.values())) == 1
+    raw.unpersist()
+    return out
+
+
 def _streaming_throughput(spark, n: int = 2 ** 21) -> dict:
     """VERDICT r4 item 6: sustained rows/s through the TRUE streaming path
     (stream_levels -> applyInPandasWithState), at the reference insert
@@ -705,6 +749,7 @@ def main() -> None:
     crossover = _aggregate_crossover(spark)
     streaming = _streaming_throughput(spark)
     ivf_skew = _ivf_skew_cell(spark)
+    throttle_cell = _throttle_dispatch_cell(spark)
     pipeline = _pipeline_latency(spark, qs)
     canary_end = _host_canary(spark)
     # normalize by the effective cores-canary DURING the run (mean of the
@@ -742,6 +787,7 @@ def main() -> None:
         "aggregate_crossover_16m": crossover,
         "streaming_ingest_throughput": streaming,
         "ivf_skew_hot_centroid": ivf_skew,
+        "throttle_dispatch": throttle_cell,
         "pipeline_latency_sec": pipeline,
         # deltas compare COLD (first-pass) numbers to the r4 cold
         # figures in PREV_ROUND — like for like

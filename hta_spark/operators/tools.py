@@ -266,19 +266,30 @@ def throttle_parallel(raw: DataFrame, cooldown_ns: int,
         c = F.least(F.call_function("div", F.col("pos") - F.col("_a"), width),
                     F.lit(salt_chunks - 1).cast("long"))
         j = j.withColumn("_c", c).drop("_a", "_b")
-        w_in = (Window.partitionBy("metric", "_c").orderBy("pos", "kind")
-                .rowsBetween(1, Window.unboundedFollowing))
+        # suffix-min as a REVERSE-ordered prefix-min: Spark executes
+        # (unboundedPreceding, -1) frames incrementally (O(rows)), while
+        # (1, unboundedFollowing) frames re-scan the remaining frame for
+        # EVERY row — O(rows^2) per partition, measured minutes on a
+        # 2^18-point metric (r8).  Reversing the ORDER BY makes "strictly
+        # after me" become "strictly before me" with identical ties
+        # ((pos, kind) is duplicate-free post-dedup).
+        w_in = (Window.partitionBy("metric", "_c")
+                .orderBy(F.desc("pos"), F.desc("kind"))
+                .rowsBetween(Window.unboundedPreceding, -1))
         j = j.withColumn("_in", F.min("u").over(w_in))
         chunk_min = j.groupBy("metric", "_c").agg(F.min("u").alias("_cm"))
-        w_c = (Window.partitionBy("metric").orderBy("_c")
-               .rowsBetween(1, Window.unboundedFollowing))
+        w_c = (Window.partitionBy("metric").orderBy(F.desc("_c"))
+               .rowsBetween(Window.unboundedPreceding, -1))
         later = chunk_min.select("metric", "_c",
                                  F.min("_cm").over(w_c).alias("_later"))
         merged = (j.join(F.broadcast(later), ["metric", "_c"])
                   .withColumn("j", F.least("_in", "_later")))
     else:
-        w = (Window.partitionBy("metric").orderBy("pos", "kind")
-             .rowsBetween(1, Window.unboundedFollowing))
+        # reverse-ordered prefix-min == suffix-min, O(rows) not O(rows^2)
+        # (see the salted branch comment)
+        w = (Window.partitionBy("metric")
+             .orderBy(F.desc("pos"), F.desc("kind"))
+             .rowsBetween(Window.unboundedPreceding, -1))
         merged = merged.withColumn("j", F.min("u").over(w))
     jump = (merged
             .filter(F.col("kind") == 1)
@@ -333,13 +344,21 @@ def throttle_auto(raw: DataFrame, cooldown_ns: int,
         max_rows <= seq_rows_cap  ->  sequential per-metric pass
         otherwise                 ->  pointer-doubling parallel
 
-    ``seq_rows_cap`` default 8M: the pure-Python keep-loop runs ~5M
-    points/s/core (measured: 0.73 s for 4M int64 points; Arrow transfer
-    and the pandas sort roughly halve that), so the worst straggler stays
-    in the low seconds — below the ~log2(n) join+checkpoint rounds the
-    parallel variant costs on a 2^23-point metric.  The planner is ONE
-    metric-count-sized job (a groupBy count max), same cost class as
-    throttle_parallel's own rounds estimate."""
+    ``seq_rows_cap`` default 8M is first a MEMORY bound, then a latency
+    one: applyInPandas materializes the whole group as ONE pandas frame
+    on one executor (8M points ~ a few hundred MB with Arrow+pandas
+    overhead — safe in a normal executor; an unbounded group is an OOM
+    waiting for the first hot metric).  Latency-wise the pure-Python
+    keep-loop runs ~5M points/s/core (measured: 0.73 s for 4M int64
+    points; Arrow transfer and the pandas sort roughly halve that), so
+    the worst straggler stays in the low seconds at the cap.  On
+    local[32] the sequential pass stays faster than the parallel rounds
+    at ANY size that fits memory (bench cell ``throttle_dispatch``
+    carries both arms' measured costs) — the parallel arm buys bounded
+    per-task state and cluster-width scaling, not local speed, exactly
+    like the IVF sub-block bound.  The planner is ONE metric-count-sized
+    job (a groupBy count max), same cost class as throttle_parallel's
+    own rounds estimate."""
     n_max = (raw.groupBy("metric").count()
              .agg(F.max("count")).collect()[0][0])
     if n_max is None:

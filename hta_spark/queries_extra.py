@@ -18,24 +18,36 @@ def _t(spark, sf_dir, name):
 
 # -- derived means over the rollup (types.hpp:72-89 surface) ----------------
 
+def _r4(c, d):
+    """4-decimal round-half-away of the exact ratio (c/1e6)/d, computed
+    ENTIRELY in integers before one final IEEE division:
+    round(c / (100*d)) / 1e4.  This is the _fix3 convention with a column
+    denominator — round(double, 4) is NOT cross-engine stable even on
+    bit-identical inputs (Spark rounds the exact binary value HALF_UP,
+    DuckDB multiplies by 1e4 first), and the sf0.1 sweep caught exactly
+    that: 47.25375 rounding to 47.2538 vs 47.2537 (r8)."""
+    den = d.cast("long") * F.lit(100)
+    half = d.cast("long") * F.lit(50)
+    pos = F.call_function("div", c + half, den)
+    neg = -F.call_function("div", -c + half, den)
+    return F.when(c < 0, neg).otherwise(pos) / F.lit(10000.0)
+
+
 def q_hta_means(spark, sf_dir):
     """Derived means over an EXACT (micro-integer) level build: the
-    accumulated sum/integral are order-free integers on both engines, so
-    the single shared division + round(4) is bit-reproducible (an
-    exact=False build's double sums are partial-aggregation-order
-    dependent and can flip the 4th decimal at a boundary — the module
-    convention the sibling level queries already follow)."""
+    accumulated sum/integral are order-free integers on both engines, and
+    the 4-decimal rounding happens on those integers (:func:`_r4`) so the
+    only float op is one correctly-rounded final division — fully
+    bit-reproducible (round(double, 4) is not: see _r4)."""
     lvl = build_level1(events_raw(spark, sf_dir), LEVEL1, exact=True)
-    ms = (F.col("sum").cast("double") / F.lit(1_000_000.0)) \
-        / F.col("count").cast("double")
-    mi = (F.col("integral").cast("double") / F.lit(1_000_000.0)) \
-        / F.col("active_time").cast("double")
+    ms = _r4(F.col("sum"), F.col("count"))
+    mi = _r4(F.col("integral"), F.col("active_time"))
     pref = F.when(F.col("active_time") > 0, mi).otherwise(ms)
     return lvl.select(
         "metric", "interval_start",
-        F.round(ms, 4).alias("mean_sum"),
-        F.round(mi, 4).alias("mean_integral"),
-        F.round(pref, 4).alias("mean_pref"),
+        ms.alias("mean_sum"),
+        mi.alias("mean_integral"),
+        pref.alias("mean_pref"),
     ).filter(F.col("count") > 0)
 
 
@@ -79,15 +91,29 @@ lvl AS (
   GROUP BY 1, 2
 )
 SELECT metric, interval_start,
-       round((CAST(sum_micro AS DOUBLE) / 1000000.0)
-             / CAST(cnt_val AS DOUBLE), 4) AS mean_sum,
-       round((CAST(integral_micro AS DOUBLE) / 1000000.0)
-             / CAST(active_time AS DOUBLE), 4) AS mean_integral,
-       round(CASE WHEN active_time > 0
-                  THEN (CAST(integral_micro AS DOUBLE) / 1000000.0)
-                       / CAST(active_time AS DOUBLE)
-                  ELSE (CAST(sum_micro AS DOUBLE) / 1000000.0)
-                       / CAST(cnt_val AS DOUBLE) END, 4) AS mean_pref
+       CAST(CASE WHEN sum_micro < 0
+                 THEN -((-sum_micro + 50 * cnt_val) // (100 * cnt_val))
+                 ELSE (sum_micro + 50 * cnt_val) // (100 * cnt_val)
+            END AS BIGINT) / 10000.0 AS mean_sum,
+       CAST(CASE WHEN integral_micro < 0
+                 THEN -((-integral_micro + 50 * active_time)
+                        // (100 * active_time))
+                 ELSE (integral_micro + 50 * active_time)
+                      // (100 * active_time)
+            END AS BIGINT) / 10000.0 AS mean_integral,
+       CASE WHEN active_time > 0
+            THEN CAST(CASE WHEN integral_micro < 0
+                           THEN -((-integral_micro + 50 * active_time)
+                                  // (100 * active_time))
+                           ELSE (integral_micro + 50 * active_time)
+                                // (100 * active_time)
+                      END AS BIGINT) / 10000.0
+            ELSE CAST(CASE WHEN sum_micro < 0
+                           THEN -((-sum_micro + 50 * cnt_val)
+                                  // (100 * cnt_val))
+                           ELSE (sum_micro + 50 * cnt_val)
+                                // (100 * cnt_val)
+                      END AS BIGINT) / 10000.0 END AS mean_pref
 FROM lvl WHERE cnt_val > 0
 """
 
