@@ -306,15 +306,17 @@ def throttle_parallel(raw: DataFrame, cooldown_ns: int,
     # first point and `jump` maps t -> f^(2^k)(t)
     kept = (pts.groupBy("metric").agg(F.min("time").alias("t"))
             .localCheckpoint(eager=True))
+    kept_n = kept.count()
     for _ in range(rounds):
         nxt = (kept.join(jump, ["metric", "t"])
                .filter(F.col("j").isNotNull())
                .select("metric", F.col("j").alias("t")))
         new_kept = kept.unionByName(nxt).distinct().localCheckpoint(eager=True)
-        if new_kept.count() == kept.count():
+        new_n = new_kept.count()   # carried across rounds: one job, not two
+        if new_n == kept_n:
             kept = new_kept
             break
-        kept = new_kept
+        kept, kept_n = new_kept, new_n
         j2 = jump.alias("a").join(
             jump.select(F.col("metric").alias("_m"), F.col("t").alias("_t"),
                         F.col("j").alias("_j")).alias("b"),
