@@ -443,15 +443,19 @@ def _throttle_dispatch_cell(spark, n: int = 2 ** 21) -> dict:
     kept: dict[str, int] = {}
     for label, cap in (("seq", 1 << 62), ("par", 0), ("auto", None)):
         runs = []
-        df = None
+        df = cnt = None
         for _ in range(2):
             t0 = time.perf_counter()
             df = (throttle_auto(raw, cooldown) if cap is None
                   else throttle_auto(raw, cooldown, seq_rows_cap=cap))
-            df.write.mode("overwrite").format("noop").save()
+            # count() as the timed action: executes the full plan like the
+            # noop sink did, AND yields the kept-set size in the same pass
+            # — the old extra df.count() after the timed loop re-ran the
+            # whole throttle per arm just for bookkeeping (ADVICE r8)
+            cnt = df.count()
             runs.append(round(time.perf_counter() - t0, 3))
         out[label] = {"runs": runs, "min": min(runs)}
-        kept[label] = df.count()
+        kept[label] = cnt
         if cap is None:
             out["auto_choice"] = arm_of(df)
     # all arms must agree on the kept-set size (full equivalence is

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..chrono import interval_begin, interval_end
+from ..compat import default_parallelism, pin
 from ..errors import InvalidRangeError
 from ..meta import Meta
 from .rollup import raw_range
@@ -271,7 +272,7 @@ def aggregate_auto(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta,
         # metric-count-sized frame costs one small job, never correctness
         already = False
     if not already:
-        ranges = ranges.localCheckpoint(eager=True)
+        ranges = pin(ranges)
     choice, _r, _t = _auto_choice(levels, meta, begin, end, ranges,
                                   int(row_floor), int(row_ratio))
     if choice == "telescope":
@@ -421,14 +422,14 @@ def aggregate_telescope(raw: DataFrame, levels: dict[int, DataFrame], meta: Meta
     # executors): the bounds frame is broadcast into every union branch,
     # and a lazy subtree would re-run the ranges aggregate per branch
     bounds, intervals = _telescope_bounds(ranges, begin, end, meta)
-    bounds = bounds.localCheckpoint(eager=True)
+    bounds = pin(bounds)
 
     spark = raw.sparkSession
     parts: list[DataFrame] = [
         _edge_aggregate_cols(raw, bounds, "_re1_lo", "_re1_hi", begin),
         _edge_aggregate_cols(raw, bounds, "_re2_lo", "_re2_hi", begin),
     ]
-    par = max(2, spark.sparkContext.defaultParallelism // 8)
+    par = max(2, default_parallelism(spark) // 8)
     s = F.col("interval_start")
     for k, iv in enumerate(intervals):
         lvl = levels.get(iv)

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..compat import default_parallelism
+
 __all__ = ["dense_ids"]
 
 
@@ -46,7 +48,7 @@ def dense_ids(df: DataFrame, order_cols: list[str], path: str,
     import re
 
     spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = num_partitions or default_parallelism(spark)
     (df.repartitionByRange(n, *[F.col(c) for c in order_cols])
        .sortWithinPartitions(*order_cols)
        .write.mode("overwrite").parquet(path))

@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..meta import Meta
+from ..compat import default_parallelism
 
 __all__ = [
     "raw_range",
@@ -79,7 +80,7 @@ def auto_salt_chunks(raw: DataFrame) -> int | None:
 def _chunks_for(mx: int | None, raw: DataFrame) -> int | None:
     if not mx or mx <= AUTO_SALT_TARGET_ROWS:
         return None
-    par = raw.sparkSession.sparkContext.defaultParallelism
+    par = default_parallelism(raw.sparkSession)
     need = -(-mx // AUTO_SALT_TARGET_ROWS)          # ceil
     return int(min(256, max(need, min(par, 256))))
 

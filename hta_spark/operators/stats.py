@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..compat import pin
 from .scopes import RAW_DEFAULT, IntervalScope, filter_raw
 
 __all__ = ["count_scoped", "count_total", "count_via_levels", "metric_range",
@@ -59,7 +60,7 @@ def count_via_levels(raw: DataFrame, levels: dict, meta, begin: int,
     # would re-execute its full-raw aggregate in the telescope's identity
     # fill AND the correction join below — 2 extra raw scans in the
     # operator whose whole point is avoiding raw scans (review r4)
-    ranges = raw_range(raw).localCheckpoint(eager=True)
+    ranges = pin(raw_range(raw))
     agg = aggregate_telescope(raw, levels, meta, begin, end, ranges=ranges)
     corr = F.when((F.lit(begin) <= F.col("t_last"))
                   & (F.col("t_last") < F.lit(end)), 1).otherwise(0)

@@ -9,11 +9,14 @@ fan-out of ``helpers/check_db_directory.sh`` is native task parallelism.
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..chrono import SECOND
+from ..compat import pin
 from ..meta import Meta
 from .rollup import build_levels
 
@@ -243,8 +246,8 @@ def throttle_parallel(raw: DataFrame, cooldown_ns: int,
     with the later chunks' minima (same trick as rollup.lagged_salted);
     equivalence-tested against the plain window.
     """
-    pts = (raw.groupBy("metric", "time").agg(F.min("value").alias("value"))
-           .localCheckpoint(eager=True))
+    pts = pin(raw.groupBy("metric", "time")
+              .agg(F.min("value").alias("value")))
 
     # 1. successor: suffix-min over the merged stream.  kind 0 (data) sorts
     # before kind 1 (probe) at equal pos, so u == t + cooldown is excluded
@@ -291,27 +294,25 @@ def throttle_parallel(raw: DataFrame, cooldown_ns: int,
              .orderBy(F.desc("pos"), F.desc("kind"))
              .rowsBetween(Window.unboundedPreceding, -1))
         merged = merged.withColumn("j", F.min("u").over(w))
-    jump = (merged
-            .filter(F.col("kind") == 1)
-            .select("metric", "t", "j")
-            .localCheckpoint(eager=True))
+    jump = pin(merged
+               .filter(F.col("kind") == 1)
+               .select("metric", "t", "j"))
 
     # rounds needed: orbit length <= points of the largest metric
     n_max = pts.groupBy("metric").count().agg(F.max("count")).collect()[0][0]
     if n_max is None:
-        return raw.filter(F.lit(False)).select("metric", "time", "value")
+        return _throttle_empty(raw)
     rounds = min(max_rounds, max(1, (int(n_max) - 1).bit_length()))
 
     # 2 + 3. doubling: after round k the frontier holds f^(<2^k) of the
     # first point and `jump` maps t -> f^(2^k)(t)
-    kept = (pts.groupBy("metric").agg(F.min("time").alias("t"))
-            .localCheckpoint(eager=True))
+    kept = pin(pts.groupBy("metric").agg(F.min("time").alias("t")))
     kept_n = kept.count()
     for _ in range(rounds):
         nxt = (kept.join(jump, ["metric", "t"])
                .filter(F.col("j").isNotNull())
                .select("metric", F.col("j").alias("t")))
-        new_kept = kept.unionByName(nxt).distinct().localCheckpoint(eager=True)
+        new_kept = pin(kept.unionByName(nxt).distinct())
         new_n = new_kept.count()   # carried across rounds: one job, not two
         if new_n == kept_n:
             kept = new_kept
@@ -322,13 +323,24 @@ def throttle_parallel(raw: DataFrame, cooldown_ns: int,
                         F.col("j").alias("_j")).alias("b"),
             (F.col("a.metric") == F.col("_m")) & (F.col("a.j") == F.col("_t")),
             "left")
-        jump = (j2.select("a.metric", "a.t",
-                          F.when(F.col("a.j").isNotNull(), F.col("_j"))
-                          .alias("j"))
-                .localCheckpoint(eager=True))
+        jump = pin(j2.select("a.metric", "a.t",
+                             F.when(F.col("a.j").isNotNull(), F.col("_j"))
+                             .alias("j")))
     return (pts.join(kept.withColumnRenamed("t", "time"),
                      ["metric", "time"], "left_semi")
             .select("metric", "time", "value"))
+
+
+def _throttle_empty(raw: DataFrame) -> DataFrame:
+    """Empty-input fallback with the SAME pinned schema as the real arms
+    (ADVICE r8): the sequential arm pins 'metric string, time long, value
+    double' via applyInPandas, so the empty path must cast rather than
+    inherit raw's column types (an int `value` column would otherwise
+    yield a schema that differs from every non-empty result)."""
+    return raw.filter(F.lit(False)).select(
+        F.col("metric").cast("string").alias("metric"),
+        F.col("time").cast("long").alias("time"),
+        F.col("value").cast("double").alias("value"))
 
 
 def throttle_auto(raw: DataFrame, cooldown_ns: int,
@@ -360,12 +372,23 @@ def throttle_auto(raw: DataFrame, cooldown_ns: int,
     per-task state and cluster-width scaling, not local speed, exactly
     like the IVF sub-block bound.  The planner is ONE metric-count-sized
     job (a groupBy count max), same cost class as throttle_parallel's
-    own rounds estimate."""
+    own rounds estimate.
+
+    ``**parallel_kw`` (``max_rounds``, ``salt_chunks``) applies ONLY when
+    the parallel arm is chosen; if the dispatch lands on the sequential
+    arm the kwargs are meaningless there, and a ``UserWarning`` is issued
+    so a caller tuning ``salt_chunks`` can see which arm consumed it
+    (ADVICE r8)."""
     n_max = (raw.groupBy("metric").count()
              .agg(F.max("count")).collect()[0][0])
     if n_max is None:
-        return raw.filter(F.lit(False)).select("metric", "time", "value")
+        return _throttle_empty(raw)
     if int(n_max) <= seq_rows_cap:
+        if parallel_kw:
+            warnings.warn(
+                "throttle_auto dispatched to the sequential arm; parallel-"
+                f"only kwargs {sorted(parallel_kw)} are ignored there",
+                UserWarning, stacklevel=2)
         return throttle(raw, cooldown_ns)
     return throttle_parallel(raw, cooldown_ns, **parallel_kw)
 

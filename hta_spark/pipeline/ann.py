@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..compat import bc_value, default_parallelism
+
 __all__ = ["cosine_sim", "cosine_topk", "cosine_topk_wide",
            "cosine_pairs", "cosine_pairs_gemm", "knn_join", "knn_join_ivf",
            "hyperplane_lsh_pairs", "centroid_frame",
@@ -103,7 +105,7 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.4,
     # of the three per-pair folds out of the O(n^2) stage is a 3x win)
     # repartition the streamed side: a single-file corpus would otherwise
     # put the whole O(n^2) broadcast nested-loop in ONE task
-    par = emb.sparkSession.sparkContext.defaultParallelism
+    par = default_parallelism(emb.sparkSession)
     a = emb.select(F.col(id_col).alias("a"),
                    _as_double(F.col(vec_col)).alias("_va")) \
            .withColumn("_na", _norm(F.col("_va"))) \
@@ -182,7 +184,7 @@ def cosine_pairs_gemm(emb: DataFrame, threshold: float = 0.4,
         return spark.createDataFrame([], schema)
     ids, mat = got
     norms = np.linalg.norm(mat, axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    bc = bc_value(spark, (ids, mat, norms))
     thr = float(threshold)
 
     def _pairs(batches):
@@ -203,7 +205,7 @@ def cosine_pairs_gemm(emb: DataFrame, threshold: float = 0.4,
                         "a": a_ids[lo:hi][ai], "b": b_ids[bi],
                         "cos_sim": r[ai, bi]})
 
-    par = spark.sparkContext.defaultParallelism
+    par = default_parallelism(spark)
     return (emb.select(F.col(id_col), F.col(vec_col))
             .repartition(par)
             .mapInPandas(_pairs, schema))
@@ -235,7 +237,7 @@ def knn_join(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
         return spark.createDataFrame([], schema)
     ids, mat = got
     norms = np.linalg.norm(mat, axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    bc = bc_value(spark, (ids, mat, norms))
     kk = int(k)
 
     def _knn(batches):
@@ -267,7 +269,7 @@ def knn_join(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
                         "cos_sim": cand_c[sel],
                         "rank": rank[sel].astype(np.int64)})
 
-    par = spark.sparkContext.defaultParallelism
+    par = default_parallelism(spark)
     return (emb.select(F.col(id_col), F.col(vec_col))
             .repartition(par)
             .mapInPandas(_knn, schema))

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..compat import default_parallelism, pin
+
 __all__ = ["normalize_text", "tokens_col", "shingles_col", "md5_long",
            "exact_dedup", "prefix_dedup", "minhash_signatures", "lsh_pairs",
            "ngram_jaccard_pairs", "simhash"]
@@ -56,7 +58,7 @@ def _spread(docs: DataFrame) -> DataFrame:
     explode-and-hash pipeline in one task; spread it when the input has
     less parallelism than the cluster (no-op at real corpus scale, where
     input partitions already exceed cores)."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    par = default_parallelism(docs.sparkSession)
     if docs.rdd.getNumPartitions() < par:
         return docs.repartition(par)
     return docs
@@ -275,7 +277,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     ``sum(component)`` comparison silently returned unconverged labels
     for string node ids (SUM over strings is NULL, and NULL == NULL
     "converged" after one round — review r4).  Labels are
-    ``localCheckpoint``-ed per round so plan depth stays constant in the
+    pinned (``compat.pin``) per round so plan depth stays constant in the
     iteration count (same discipline as ``kmeans_lite``).
 
     Each propagation round is chased with one pointer-jump (every node
@@ -292,11 +294,10 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     edges = (pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
              .union(pairs.select(F.col(b_col).alias("s"),
                                  F.col(a_col).alias("d")))
-             .distinct()
-             .localCheckpoint(eager=False))
-    labels = (edges.select(F.col("s").alias("id")).distinct()
-              .withColumn("comp", F.col("id"))
-              .localCheckpoint(eager=True))
+             .distinct())
+    edges = pin(edges, eager=False)
+    labels = pin(edges.select(F.col("s").alias("id")).distinct()
+                 .withColumn("comp", F.col("id")))
     for _ in range(max_iters):
         base = labels
         # hash-min: every node adopts the smallest label seen across edges
@@ -314,12 +315,12 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
                   .select("id",
                           F.least(F.col("comp"),
                                   F.coalesce("pcomp", "comp")).alias("comp"))
-                  # checkpoint BEFORE the changed-probe (ADVICE r4): the
-                  # eager checkpoint executes the round's propagation
-                  # exactly once; the probe below and the next round both
-                  # read the materialized frame instead of re-running the
-                  # two-shuffle plan
-                  .localCheckpoint(eager=True))
+                  )
+        # pin BEFORE the changed-probe (ADVICE r4): the eager
+        # materialization executes the round's propagation exactly once;
+        # the probe below and the next round both read the materialized
+        # frame instead of re-running the two-shuffle plan
+        labels = pin(labels)
         changed = (labels.join(base.select("id",
                                            F.col("comp").alias("_pc")), "id")
                    .filter(F.col("comp") != F.col("_pc"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..compat import pin
 from .ann import _as_double, _best_centroid, centroid_frame
 
 __all__ = ["kmeans_lite"]
@@ -47,7 +48,7 @@ def kmeans_lite(emb: DataFrame, k: int = 8, iterations: int = 3,
     re-implementation (see queries_pipeline._kmeans_sql) instead of a
     rows-only check.
 
-    Each round's assignment is ``localCheckpoint``-ed: the centroid update
+    Each round's assignment is pinned (``compat.pin``): the centroid update
     and the next round both read the materialized assignment instead of
     re-deriving the full lineage from the source scan, so plan depth (and
     per-iteration cost) stays constant in the iteration count."""
@@ -58,10 +59,10 @@ def kmeans_lite(emb: DataFrame, k: int = 8, iterations: int = 3,
 
     # the source is read once per round; checkpoint it so deep upstream
     # lineage (e.g. a feature-extraction pipeline) is not replayed per round
-    emb = emb.select(id_col, vec_col).localCheckpoint(eager=False)
+    emb = pin(emb.select(id_col, vec_col), eager=False)
     assigned = _assign(emb, centroids, id_col, vec_col)
     for i in range(iterations):
-        assigned = assigned.localCheckpoint(eager=True)
+        assigned = pin(assigned)
         # centroid update: element-wise mean per cluster — k rows collected
         sums = (assigned
                 .select("cluster", F.posexplode(_as_double(F.col(vec_col)))

@@ -16,6 +16,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from .compat import set_log_level
+
 
 def get_spark(app_name: str = "hta_spark",
               master: str | None = None,
@@ -42,5 +44,5 @@ def get_spark(app_name: str = "hta_spark",
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    set_log_level(spark, "WARN")
     return spark

@@ -44,6 +44,10 @@ def acid_backend(spark: SparkSession) -> str:
     except ImportError:
         return "manifest"
     try:
+        # Classic-only probe (SCALE.md Connect table): under Spark Connect
+        # the `_jvm` attribute access itself raises, lands here, and the
+        # backend falls back to the manifest layer — same API, documented
+        # gate (Connect users opt into Delta by configuring the server).
         spark._jvm.java.lang.Class.forName(
             "org.apache.spark.sql.delta.DeltaLog")
     except Exception:

@@ -175,6 +175,14 @@ class IncrementalRollup:
         # every point turns out to be a duplicate (crash-replay: a previous
         # run may have appended raw but died before level maintenance, so
         # the replayed epoch must still repair the levels idempotently)
+        # NOTE (SCALE.md Connect table): ingest's four localCheckpoints
+        # are deliberate lineage CUTS, not compat.pin candidates — each
+        # frame's plan reads the store snapshot this epoch is about to
+        # append to, and the append's refreshByPath would invalidate a
+        # persist fallback and re-evaluate against the NEW files (dropping
+        # the whole batch as duplicates).  Streaming ingest therefore
+        # requires a runtime whose localCheckpoint works (classic Spark, or
+        # Connect servers that accept it) — a documented gate.
         attempted = (batch.groupBy("metric")
                      .agg(F.min("time").alias("b_min"))
                      .localCheckpoint(eager=True))

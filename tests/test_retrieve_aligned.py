@@ -73,3 +73,29 @@ def test_aligned_custom_value_expression(spark):
     # starts the bucket -- points at tp(0/5/../95) = 20 in [0,100))
     assert rows[tp(0)]["a"] == 20.0
     assert rows[tp(100)]["b"] == 20.0
+
+
+def test_aligned_duplicate_cells_resolve_deterministically(spark):
+    """ADVICE r8: pivot cells aggregate with min, so a caller-supplied
+    frame with duplicate (metric, interval_start) rows yields a
+    deterministic value rather than F.first's partition-order roulette."""
+    from pyspark.sql import functions as F
+    iv = 10 * SECOND
+    dup = spark.createDataFrame(
+        [("a", tp(0), 1.0, 2.0, 9.0, 3, 90.0, 10),
+         ("a", tp(0), 0.5, 2.0, 6.0, 3, 60.0, 10)],
+        "metric string, interval_start long, minimum double, maximum double,"
+        " sum double, count long, integral double, active_time long")
+    out = retrieve_aligned({iv: dup}, META, tp(0), tp(300), iv,
+                           value=F.col("sum"))
+    assert [r["a"] for r in out.collect()] == [6.0]
+
+
+def test_aligned_rejects_sub_level_limit(spark):
+    """ADVICE r8: a limit below interval_min cannot be honored by any
+    materialized grid -> ValueError, not a silently coarser grid."""
+    import pytest
+    df = _two_metric_frame(spark)
+    levels = build_levels(df, META)
+    with pytest.raises(ValueError, match="interval_upper_limit"):
+        retrieve_aligned(levels, META, tp(0), tp(300), 5 * SECOND)

@@ -279,3 +279,37 @@ def test_throttle_auto_empty_frame(spark):
     out = throttle_auto(df, 5 * SECOND)
     assert out.columns == ["metric", "time", "value"]
     assert out.count() == 0
+
+
+def test_throttle_auto_empty_schema_matches_arms(spark):
+    """ADVICE r8: the empty-input fallback must pin the SAME schema as the
+    real arms even when raw's column types differ (int value here)."""
+    from hta_spark.operators.tools import throttle, throttle_auto
+    empty_int = spark.createDataFrame(
+        [], "metric string, time long, value int")
+    out = throttle_auto(empty_int, 5 * SECOND)
+    nonempty = spark.createDataFrame(
+        [("m", SECOND, 1.0)], "metric string, time long, value double")
+    assert [f.simpleString() for f in out.schema.fields] == \
+        [f.simpleString() for f in throttle(nonempty, SECOND).schema.fields]
+    assert out.count() == 0
+
+
+def test_throttle_auto_warns_on_dropped_parallel_kwargs(spark):
+    """ADVICE r8: sequential dispatch must signal that parallel-only
+    kwargs were ignored."""
+    import warnings as _w
+    from hta_spark.operators.tools import throttle_auto
+    df = spark.createDataFrame(
+        [("m", i * SECOND, float(i)) for i in range(1, 6)],
+        "metric string, time long, value double")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        throttle_auto(df, 2 * SECOND, salt_chunks=4).collect()
+    msgs = [str(r.message) for r in rec if r.category is UserWarning]
+    assert any("salt_chunks" in m and "sequential" in m for m in msgs)
+    # no kwargs -> no warning
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        throttle_auto(df, 2 * SECOND).collect()
+    assert not [r for r in rec2 if r.category is UserWarning]
