@@ -52,12 +52,35 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["pin", "default_parallelism", "bc_value", "set_log_level",
-           "FORCE_FALLBACK"]
+__all__ = ["pin", "release", "default_parallelism", "bc_value",
+           "set_log_level", "FORCE_FALLBACK"]
 
 # Test hook: when True every helper skips its classic path (simulating a
 # Connect client).  Set/restored by tests only.
 FORCE_FALLBACK = False
+
+# per-session localCheckpoint capability, probed once (ADVICE r9: a
+# blanket `except Exception` around the real localCheckpoint call
+# swallowed GENUINE job failures — data errors, OOM — and re-ran the
+# whole failing plan through the persist fallback just to fail again,
+# doubling the cost and burying the original traceback).  The probe runs
+# a 1-row localCheckpoint per session: unsupported (Connect) fails the
+# probe and routes to the fallback; after a successful probe the real
+# call runs UNGUARDED so its failures propagate first time.
+_LC_OK: dict[int, bool] = {}
+
+
+def _lc_supported(spark: SparkSession) -> bool:
+    key = id(spark)
+    got = _LC_OK.get(key)
+    if got is None:
+        try:
+            spark.range(1).localCheckpoint(eager=True)
+            got = True
+        except Exception:
+            got = False
+        _LC_OK[key] = got
+    return got
 
 
 def pin(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -69,17 +92,43 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     grows per round on the fallback path — re-analysis cost only; the
     persisted blocks still stop recomputation, results are identical.
     ``eager=False`` maps to a lazy persist (materialized on first use).
+
+    Iterative callers MUST :func:`release` each superseded pinned frame
+    once its replacement is materialized (and any probe against it has
+    run): on the fallback path every pin registers a persisted Dataset
+    with the CacheManager for the session lifetime, so a loop that pins
+    per round without releasing grows the cache without bound (ADVICE
+    r9); on the classic path release is a free no-op.
     """
-    if not FORCE_FALLBACK:
-        try:
-            return df.localCheckpoint(eager=eager)
-        except Exception:
-            pass
+    if not FORCE_FALLBACK and _lc_supported(df.sparkSession):
+        # unguarded: a failure here is a real job failure, not a
+        # capability gap (capability was probed above)
+        return df.localCheckpoint(eager=eager)
     from pyspark import StorageLevel
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     if eager:
         out.count()
     return out
+
+
+def release(df: DataFrame | None) -> None:
+    """Drop a SUPERSEDED :func:`pin` result's cached blocks.
+
+    Fallback (persist) path: unpersists, freeing the CacheManager entry —
+    without this, iterative loops (connected_components, kmeans_lite,
+    throttle_parallel's doubling) leak one persisted Dataset per round
+    for the session lifetime.  Classic (localCheckpoint) path: unpersist
+    is a no-op on the checkpointed RDD blocks, which are GC-reclaimed
+    with the DataFrame — calling it is still safe, so callers don't
+    branch on the path.  Only call once every consumer of ``df`` has
+    materialized (on the fallback path a released frame re-executes its
+    FULL lineage if read again)."""
+    if df is None:
+        return
+    try:
+        df.unpersist()
+    except Exception:
+        pass
 
 
 def default_parallelism(spark: SparkSession) -> int:

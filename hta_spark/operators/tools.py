@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..chrono import SECOND
-from ..compat import pin
+from ..compat import pin, release
 from ..meta import Meta
 from .rollup import build_levels
 
@@ -314,6 +314,10 @@ def throttle_parallel(raw: DataFrame, cooldown_ns: int,
                .select("metric", F.col("j").alias("t")))
         new_kept = pin(kept.unionByName(nxt).distinct())
         new_n = new_kept.count()   # carried across rounds: one job, not two
+        # the old frontier is folded into the (materialized) new one —
+        # release it so the persist-fallback path doesn't cache one
+        # Dataset per doubling round (ADVICE r9)
+        release(kept)
         if new_n == kept_n:
             kept = new_kept
             break
@@ -323,9 +327,12 @@ def throttle_parallel(raw: DataFrame, cooldown_ns: int,
                         F.col("j").alias("_j")).alias("b"),
             (F.col("a.metric") == F.col("_m")) & (F.col("a.j") == F.col("_t")),
             "left")
-        jump = pin(j2.select("a.metric", "a.t",
-                             F.when(F.col("a.j").isNotNull(), F.col("_j"))
-                             .alias("j")))
+        new_jump = pin(j2.select("a.metric", "a.t",
+                                 F.when(F.col("a.j").isNotNull(), F.col("_j"))
+                                 .alias("j")))
+        release(jump)              # superseded jump table, same reason
+        jump = new_jump
+    release(jump)                  # not part of the returned lineage
     return (pts.join(kept.withColumnRenamed("t", "time"),
                      ["metric", "time"], "left_semi")
             .select("metric", "time", "value"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..compat import default_parallelism, pin
+from ..compat import default_parallelism, pin, release
 
 __all__ = ["normalize_text", "tokens_col", "shingles_col", "md5_long",
            "exact_dedup", "prefix_dedup", "minhash_signatures", "lsh_pairs",
@@ -325,6 +325,10 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
                                            F.col("comp").alias("_pc")), "id")
                    .filter(F.col("comp") != F.col("_pc"))
                    .limit(1).count())
+        # the previous round's labels are now fully consumed (new labels
+        # materialized + probe run) — release so the persist-fallback
+        # path doesn't accumulate one cached Dataset per round (ADVICE r9)
+        release(base)
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..compat import pin
+from ..compat import pin, release
 from .ann import _as_double, _best_centroid, centroid_frame
 
 __all__ = ["kmeans_lite"]
@@ -48,10 +48,11 @@ def kmeans_lite(emb: DataFrame, k: int = 8, iterations: int = 3,
     re-implementation (see queries_pipeline._kmeans_sql) instead of a
     rows-only check.
 
-    Each round's assignment is pinned (``compat.pin``): the centroid update
-    and the next round both read the materialized assignment instead of
-    re-deriving the full lineage from the source scan, so plan depth (and
-    per-iteration cost) stays constant in the iteration count."""
+    Each round's assignment is pinned (``compat.pin``) so the centroid
+    update reads a materialized frame instead of re-deriving the full
+    lineage from the source scan (plan depth stays constant in the
+    iteration count), and released (``compat.release``) as soon as its
+    one consumer — the k-row centroid collect — has run."""
     seeds = (emb.orderBy(id_col).limit(k)
              .select(id_col, vec_col).collect())
     centroids = [(i, [float(x) for x in r[vec_col]])
@@ -71,6 +72,11 @@ def kmeans_lite(emb: DataFrame, k: int = 8, iterations: int = 3,
                 .groupBy("cluster")
                 .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
                 .collect())
+        # the collect above is this pin's ONLY consumer (the next round's
+        # assignment re-derives from the pinned `emb`, not from it) —
+        # release now so the persist-fallback path doesn't cache one
+        # Dataset per round (ADVICE r9)
+        release(assigned)
         # half-AWAY-from-zero quantization: Python round() is half-even
         # (banker's), but Spark F.round and DuckDB round() are both
         # half-away — a dyadic mean landing exactly on a quantum midpoint

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from contextlib import contextmanager
 from dataclasses import asdict
@@ -102,6 +103,64 @@ class PublishLockError(RuntimeError):
     """A concurrent publisher holds the table's writer lease."""
 
 
+class _Lease:
+    """A held writer lease: heartbeats the lockfile and re-verifies token
+    ownership on demand (both ADVICE r9: without a heartbeat, a live
+    publisher whose snapshot write exceeds ``stale_s`` had its lease
+    silently stolen — re-admitting the exact two-writer race the lease
+    closes)."""
+
+    __slots__ = ("lock", "token", "_stop", "_thread")
+
+    def __init__(self, lock: str, token: str, beat_s: float):
+        self.lock = lock
+        self.token = token
+        self._stop = threading.Event()
+
+        def _beat() -> None:
+            while not self._stop.wait(beat_s):
+                if not self._owned():
+                    return        # stolen/removed: stop touching; the
+                                  # pre-flip verify() raises loudly
+                try:
+                    os.utime(self.lock, None)
+                except OSError:
+                    return
+
+        self._thread = threading.Thread(target=_beat, daemon=True,
+                                        name=f"lease-heartbeat:{lock}")
+        self._thread.start()
+
+    def _owned(self) -> bool:
+        try:
+            with open(self.lock) as f:
+                return f.read() == self.token
+        except OSError:
+            return False
+
+    def verify(self) -> None:
+        """Raise unless this process still owns the lease — called
+        immediately before every manifest flip, so even a stolen lease
+        (holder paused past ``stale_s`` with the heartbeat somehow also
+        stalled, e.g. a long GC/VM suspend) turns into a loud
+        :class:`PublishLockError` instead of a silent two-writer
+        interleave."""
+        if not self._owned():
+            raise PublishLockError(
+                f"writer lease {self.lock} no longer owned by this "
+                "publisher (taken over as stale or removed) — aborting "
+                "before the manifest flip; re-run the publish")
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=1.0)
+        try:
+            if self._owned():
+                os.unlink(self.lock)
+        except OSError:
+            pass
+
+
 @contextmanager
 def _writer_lease(path: str, timeout_s: float = 60.0,
                   stale_s: float = 300.0):
@@ -116,17 +175,25 @@ def _writer_lease(path: str, timeout_s: float = 60.0,
     blocks (bounded by ``timeout_s``) and then fails LOUDLY with
     :class:`PublishLockError` — never a silent interleave.
 
-    Stale takeover: a crashed holder leaves the lockfile behind; a lock
-    older than ``stale_s`` (mtime) is unlinked and re-contended — the
-    O_EXCL create after the unlink still admits exactly one taker.  The
-    re-check of mtime immediately before the unlink closes the window
-    where a FRESH lock (a successful taker's) could be mistaken for the
-    stale one; the remaining TOCTOU is the standard lockfile trade and
-    only widens to two writers if a holder both crashes AND is replaced
-    within one mtime granularity.  Cluster note: correct on any filesystem
-    with atomic exclusive create (POSIX, NFSv4, most object-store FUSE
-    layers are NOT — front a real coordinator there, same as Delta's
-    LogStore requirement).
+    Liveness vs staleness (ADVICE r9): while held, a daemon heartbeat
+    thread refreshes the lockfile mtime every ``stale_s / 4`` seconds, so
+    a LIVE publisher's lock never ages past ``stale_s`` no matter how
+    long its snapshot write runs; and the yielded :class:`_Lease` exposes
+    ``verify()``, called by both publish paths immediately before their
+    manifest flip, so ownership loss in any residual window aborts the
+    publish instead of interleaving.
+
+    Stale takeover: a crashed holder leaves the lockfile behind (its
+    heartbeat died with it); a lock older than ``stale_s`` (mtime) is
+    unlinked and re-contended — the O_EXCL create after the unlink still
+    admits exactly one taker.  The re-check of mtime immediately before
+    the unlink closes the window where a FRESH lock (a successful
+    taker's) could be mistaken for the stale one; the remaining TOCTOU is
+    the standard lockfile trade, and the pre-flip ``verify()`` converts
+    even that residue into a loud abort.  Cluster note: correct on any
+    filesystem with atomic exclusive create (POSIX, NFSv4, most
+    object-store FUSE layers are NOT — front a real coordinator there,
+    same as Delta's LogStore requirement).
     """
     lock = path + ".lock"
     os.makedirs(os.path.dirname(os.path.abspath(lock)) or ".",
@@ -158,15 +225,11 @@ def _writer_lease(path: str, timeout_s: float = 60.0,
                     "retry after it completes, or remove the lockfile if "
                     "its holder is known dead") from None
             time.sleep(0.05)
+    lease = _Lease(lock, token, beat_s=max(0.5, stale_s / 4))
     try:
-        yield
+        yield lease
     finally:
-        try:
-            with open(lock) as f:
-                if f.read() == token:
-                    os.unlink(lock)
-        except FileNotFoundError:
-            pass
+        lease.close()
 
 
 def publish_version(path: str, write_fn, keep: int = 2,
@@ -193,7 +256,7 @@ def publish_version(path: str, write_fn, keep: int = 2,
     number and the losing flip's rows would silently vanish.
     """
     import shutil
-    with _writer_lease(path, timeout_s=lock_timeout_s):
+    with _writer_lease(path, timeout_s=lock_timeout_s) as lease:
         vroot = path + ".versions"
         os.makedirs(vroot, exist_ok=True)
         versions = sorted(int(d[2:]) for d in os.listdir(vroot)
@@ -206,6 +269,7 @@ def publish_version(path: str, write_fn, keep: int = 2,
             json.dump({"current": os.path.relpath(target,
                                                   os.path.dirname(path))},
                       f)
+        lease.verify()          # still the sole writer, or abort loudly
         os.replace(tmp, mp)                   # the atomic pointer flip
         # GC: drop all but the latest keep-1 previous snapshots (in-flight
         # readers of the immediately-previous version stay valid)
@@ -289,13 +353,13 @@ def publish_partitions(spark: SparkSession, path: str, region: DataFrame,
     Returns the partition keys written."""
     import shutil
     os.makedirs(path, exist_ok=True)
-    with _writer_lease(path, timeout_s=lock_timeout_s):
+    with _writer_lease(path, timeout_s=lock_timeout_s) as lease:
         return _publish_partitions_locked(spark, path, region, top,
-                                          replace_all, shutil)
+                                          replace_all, shutil, lease)
 
 
 def _publish_partitions_locked(spark, path, region, top, replace_all,
-                               shutil) -> list[str]:
+                               shutil, lease=None) -> list[str]:
     doc = read_partition_manifest(path) or {"v": 0, "top": top,
                                             "partitions": {}}
     ver = doc["v"] + 1
@@ -324,6 +388,8 @@ def _publish_partitions_locked(spark, path, region, top, replace_all,
         doc["partitions"].update({k: ver for k in new_parts})
     doc["v"] = ver
     doc["top"] = top
+    if lease is not None:
+        lease.verify()          # still the sole writer, or abort loudly
     _write_partition_manifest(path, doc)
     # GC: drop everything but the new version and the immediately-previous
     # live version per touched partition (in-flight readers of the previous

@@ -227,3 +227,44 @@ def test_partition_publish_holds_lease(spark, tmp_path):
     keys = publish_partitions(spark, path, region, top=10)
     assert keys == ["metric=m/tb=0"]
     assert read_partition_manifest(path)["v"] == 1
+
+
+def test_lease_heartbeat_prevents_stale_steal(tmp_path):
+    """ADVICE r9 (medium): a LIVE holder whose leased section outlasts
+    ``stale_s`` must keep the lease — the heartbeat thread refreshes the
+    lockfile mtime, so a contender never judges it stale.  Before the
+    heartbeat existed this exact shape (write_fn slower than stale_s) had
+    the lease silently stolen, re-admitting the two-writer flip race."""
+    import time as _time
+
+    import pytest
+    from hta_spark.sources.store import PublishLockError, _writer_lease
+
+    path = str(tmp_path / "t")
+    with _writer_lease(path, stale_s=1.2) as lease:
+        _time.sleep(2.5)        # leased section runs > 2x stale_s
+        # a contender must still see a LIVE lock (mtime refreshed) and
+        # fail loudly rather than taking over
+        with pytest.raises(PublishLockError, match="single-writer"):
+            with _writer_lease(path, timeout_s=0.3, stale_s=1.2):
+                pass
+        lease.verify()          # and the holder still owns it
+    assert not os.path.exists(path + ".lock")
+
+
+def test_lease_verify_raises_after_theft(tmp_path):
+    """The pre-flip ownership re-check: if the lockfile stops carrying our
+    token (takeover/removal in any residual window), ``verify()`` must
+    raise before the manifest flip, and ``close()`` must not unlink the
+    new holder's lock."""
+    import pytest
+    from hta_spark.sources.store import PublishLockError, _writer_lease
+
+    path = str(tmp_path / "t")
+    with _writer_lease(path, stale_s=300) as lease:
+        with open(path + ".lock", "w") as f:
+            f.write("thief-token")
+        with pytest.raises(PublishLockError, match="no longer owned"):
+            lease.verify()
+    assert open(path + ".lock").read() == "thief-token"
+    os.unlink(path + ".lock")
