@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from .dedup import normalize_text, shingles_from_tokens, tokens_col
 
 __all__ = ["LANG_MARKERS", "language_id", "quality_score", "token_stats",
-           "fingerprint", "repetition_stats"]
+           "fingerprint", "repetition_stats", "tfidf_terms"]
 
 # tiny deterministic stopword marker lists (order = tie-break priority)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -121,6 +121,45 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
                     .alias("dup_token_frac"),
                     F.round(F.col("_top") / n_tok, 4).alias("top_token_frac"),
                     F.round(dup_sh, 4).alias("dup_shingle_frac")))
+
+
+def tfidf_terms(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", top: int = 3) -> DataFrame:
+    """Per-document top-``top`` characteristic terms by rarity-weighted
+    term frequency: ``score = tf * (N - df + 0.5) / (df + 0.5)`` (the
+    BM25 idf RATIO, deliberately without the log).
+
+    The log-free form is cross-engine exact: tf/df/N are integers and
+    IEEE +, /, * are exactly rounded, so the pre-round double is
+    bit-identical in any engine — ``ln`` would differ in the last ulp
+    across libms and poison the rank tie-break (the r8 round()-tie
+    lesson).  Ranking by (score desc, term asc) is therefore fully
+    deterministic.
+
+    Scale shape: one token explode -> per-(doc, term) counts (map-side
+    combined), a vocab-sized df table joined on term (uniform key), the
+    corpus size N as a 1-row broadcast crossJoin (no window-over-
+    everything), and the per-doc top-k as a row_number window that
+    compiles to WindowGroupLimit — no stage touches more than the token
+    stream once."""
+    from pyspark.sql import Window
+
+    toks = (docs.select(F.col(id_col), tokens_col(F.col(text_col))
+                        .alias("_t"))
+            .select(F.col(id_col), F.explode("_t").alias("term")))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_tab = (toks.select(id_col, "term").distinct()
+              .groupBy("term").agg(F.count("*").alias("df")))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df_tab, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score", F.round(
+                  F.col("tf") * (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5), 4)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= F.lit(int(top)))
+            .select(id_col, "term", "score", "rank"))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",

@@ -866,6 +866,98 @@ FROM ranked WHERE rn = 1 ORDER BY component
 """
 
 
+# -- simhash hamming-ball near-dup pairs (banded, r10) -----------------------
+
+def q_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs by simhash Hamming distance <= 2: banded candidate
+    generation (4 x 4-bit bands through the lsh_pairs bucket machinery —
+    EXACT for hamming <= bands-1 by pigeonhole) + exact bit_count(xor)
+    verify.  The oracle brute-forces all pairs; the Spark path never
+    does."""
+    from .pipeline.dedup import simhash_pairs
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sh AS ({SQL_SIMHASH})
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
+# -- per-doc top TF-IDF terms (r10) ------------------------------------------
+
+def q_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per document by rarity-weighted tf
+    (log-free BM25-idf ratio — integers through exactly-rounded IEEE
+    ops, so the rank tie-break is cross-engine deterministic; see
+    pipeline.text.tfidf_terms)."""
+    from .pipeline.text import tfidf_terms
+    return tfidf_terms(_docs(spark, sf_dir), top=3)
+
+
+SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5), 4)
+             AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# -- semantic dedup (SemDeDup: kmeans clusters -> within-cluster cosine) -----
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding dedup: quantized kmeans clusters ->
+    within-cluster round(cos,4) >= 0.4 pairs -> connected components ->
+    one (component, n_members) row per near-dup cluster.  The oracle
+    re-derives the identical pipeline in SQL (unrolled kmeans CTE +
+    cluster-keyed pair join + recursive min-reachable walk)."""
+    from .pipeline.semdedup import semantic_dedup
+    return semantic_dedup(_emb(spark, sf_dir), k=8, iterations=3,
+                          threshold=0.4, quantize=6)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE
+asg AS MATERIALIZED ({SQL_KMEANS_LITE}),
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN ev ea ON ea.vec_id = a.vec_id
+  JOIN ev eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4),
+edges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+walk(id, reach) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT w.id, e.d FROM walk w JOIN edges e ON e.s = w.reach),
+comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id)
+SELECT component, CAST(count(*) AS BIGINT) AS n_members
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_cluster_keep": (q_dedup_cluster_keep, _sql_cluster_keep()),
@@ -891,4 +983,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_injected": (q_dedup_injected, SQL_DEDUP_INJECTED),
     "dedup_embedding_cosine": (q_embedding_cosine_pairs,
                                SQL_EMBEDDING_COSINE_PAIRS),
+    "dedup_simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "text_tfidf": (q_tfidf, SQL_TFIDF),
+    "ann_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
 }
