@@ -895,7 +895,9 @@ def _pipeline_latency(spark, qs) -> dict:
                  "q_json_props", "q_unpivot", "q_dense_ids",
                  "ann_knn_join_ivf", "text_bpe_merges", "text_bpe_segment",
                  "hta_aggregate_auto", "hta_count_levels",
-                 "ann_knn_label_accuracy", "sketch_hist_by_group"):
+                 "ann_knn_label_accuracy", "sketch_hist_by_group",
+                 "dedup_simhash_pairs", "text_tfidf",
+                 "ann_semantic_dedup"):
         fn = qs.get(name)
         if fn is None:
             continue
