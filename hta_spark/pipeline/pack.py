@@ -16,7 +16,64 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_contiguous"]
+__all__ = ["pack_contiguous", "chunk_documents"]
+
+
+def chunk_documents(docs: DataFrame, size: int, stride: int | None = None,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    min_tokens: int = 1) -> DataFrame:
+    """Slice each document into fixed-token training windows: ``(doc_id,
+    chunk_id, chunk_text, n_tokens)`` with chunk i covering tokens
+    ``[i*stride, i*stride + size)`` (1-based slice internally).
+
+    ``stride`` defaults to ``size`` (disjoint windows); ``stride < size``
+    gives overlapping context windows.  The final partial window is kept
+    when it has at least ``min_tokens`` NEW tokens past the previous
+    window (so a doc is never silently truncated, and stride-overlap
+    never emits a trailing window that adds nothing).
+
+    Map-only: tokens materialize once per row, windows come from one
+    ``sequence`` + ``transform`` + ``posexplode`` — zero shuffles, zero
+    UDFs, linear in corpus tokens regardless of document length (the
+    per-doc blowup is ~size/stride, a constant).  This is the step
+    between curation and packing: curated docs in, model-window rows
+    out; feed ``n_tokens`` to :func:`pack_contiguous` downstream."""
+    from .dedup import tokens_col
+
+    size = int(size)
+    stride = size if stride is None else int(stride)
+    if size < 1 or stride < 1:
+        raise ValueError(f"size and stride must be >= 1, got "
+                         f"{size}/{stride}")
+    if stride > size:
+        raise ValueError(f"stride ({stride}) > size ({size}) would drop "
+                         "tokens between consecutive windows")
+    toks = docs.select(F.col(id_col),
+                       tokens_col(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    # windows whose start is in-range AND which contribute >= min_tokens
+    # new tokens: starts 0, stride, ... while start < n (at least one)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(size)).cast("double") / F.lit(stride))
+        .cast("long") + 1)
+    idx = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    chunks = F.transform(
+        idx, lambda i: F.slice(F.col("_t"),
+                               (i * stride + 1).cast("int"), size))
+    out = (toks.select(F.col(id_col),
+                       F.posexplode(chunks).alias("chunk_id", "_c"))
+           .withColumn("n_tokens", F.size("_c").cast("long")))
+    # a trailing window must add >= min_tokens tokens past the previous
+    # window's end (previous end = (chunk_id-1)*stride + size)
+    new_toks = (F.col("chunk_id") * stride + F.col("n_tokens")
+                - F.when(F.col("chunk_id") > 0,
+                         (F.col("chunk_id") - 1) * stride + size)
+                .otherwise(F.lit(0)))
+    return (out.filter((F.col("chunk_id") == 0)
+                       | (new_toks >= F.lit(int(min_tokens))))
+            .select(id_col, F.col("chunk_id").cast("long").alias("chunk_id"),
+                    F.concat_ws(" ", "_c").alias("chunk_text"), "n_tokens"))
 
 
 def pack_contiguous(df: DataFrame, budget: int, size_col: str = "n_chars",
