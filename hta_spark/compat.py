@@ -48,6 +48,7 @@ non-local setup.  See SCALE.md "Spark Connect portability" for the table.
 
 from __future__ import annotations
 
+import weakref
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,19 +68,31 @@ FORCE_FALLBACK = False
 # a 1-row localCheckpoint per session: unsupported (Connect) fails the
 # probe and routes to the fallback; after a successful probe the real
 # call runs UNGUARDED so its failures propagate first time.
-_LC_OK: dict[int, bool] = {}
+#
+# Keyed WEAKLY on the session object (ADVICE r10): an id()-keyed dict
+# both grew unbounded across sessions and could hand a NEW session a
+# stale verdict when the allocator reused a dead session's id.  Weak
+# entries die with their session; a session that can't be weakly
+# referenced is simply re-probed (1-row job) per call.
+_LC_OK: "weakref.WeakKeyDictionary[SparkSession, bool]" = \
+    weakref.WeakKeyDictionary()
 
 
 def _lc_supported(spark: SparkSession) -> bool:
-    key = id(spark)
-    got = _LC_OK.get(key)
+    try:
+        got = _LC_OK.get(spark)
+    except TypeError:           # unhashable/non-weakrefable session
+        got = None
     if got is None:
         try:
             spark.range(1).localCheckpoint(eager=True)
             got = True
         except Exception:
             got = False
-        _LC_OK[key] = got
+        try:
+            _LC_OK[spark] = got
+        except TypeError:
+            pass
     return got
 
 

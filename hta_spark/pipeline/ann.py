@@ -26,9 +26,32 @@ from ..compat import bc_value, default_parallelism
 
 __all__ = ["cosine_sim", "cosine_topk", "cosine_topk_wide",
            "cosine_pairs", "cosine_pairs_gemm", "knn_join", "knn_join_ivf",
-           "hyperplane_lsh_pairs", "centroid_frame",
+           "hyperplane_lsh_pairs", "centroid_frame", "attach_vectors",
            "ivf_assign", "ivf_topk", "probe_set", "ivf_index_write",
            "ivf_index_topk"]
+
+
+def attach_vectors(cand: DataFrame, vec: DataFrame,
+                   on: str | list[str], how: str = "inner") -> DataFrame:
+    """Join a candidate frame back to an array-carrying frame with
+    broadcast UNCONDITIONALLY disabled on the array side (VERDICT r10
+    items 1/4 — the centralized stats-blind-join defense).
+
+    Catalyst's size estimate for a ``spark.range``- or shuffle-derived
+    frame counts only the fixed-width columns (~8 B/row); an
+    ``array<double>`` payload is invisible to the estimator.  A 560k x 64
+    embedding frame therefore estimates at ~4 MiB — under the 10 MiB
+    auto-broadcast threshold — while its real broadcast relation is
+    multi-GiB, which OOMed the round-10 bench (BENCH_r10 rc=1) inside
+    ``hyperplane_lsh_pairs``'s verify join.  At 100 TB the vector side is
+    *never* broadcastable, so this helper pins the join strategy rather
+    than trusting stats: ``SHUFFLE_HASH`` on the vector side makes it the
+    per-partition build side — bounded at n/shuffle_partitions vector
+    rows per task regardless of the estimator, with AQE splitting any
+    skewed partition.  Every join that re-attaches vectors to banded /
+    clustered candidates MUST route through here (``ann``'s SRP verify,
+    ``semdedup``'s cluster pair join)."""
+    return cand.join(vec.hint("shuffle_hash"), on, how)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -439,7 +462,8 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
                          n_planes: int = 16, rows_per_band: int = 2,
                          seed: int = 7, id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         dim: int | None = None) -> DataFrame:
+                         dim: int | None = None,
+                         group_col: str | None = None) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane (SRP) LSH.
 
     Each vector gets an ``n_planes``-bit signature (bit i = sign of the dot
@@ -449,20 +473,34 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
     verifies ``>= threshold``.  Output is a deterministic subset of
     :func:`cosine_pairs` with SRP recall ``1-(1-(1-theta/pi)^r)^b`` per
     pair; per-vector work is O(n_planes * dim) + the bucket join — no
-    all-pairs stage anywhere.
+    all-pairs stage anywhere.  The verify stage re-attaches the vectors
+    through :func:`attach_vectors` (forced shuffle join): Catalyst's
+    stats-blind broadcast of the array side is the exact OOM that killed
+    the round-10 bench at 560k x 64.
 
     ``dim`` (vector width) parameterizes the seeded hyperplanes; when not
     given it is probed from one row (empty-frame safe: an empty corpus
-    returns an empty pair frame without touching the cluster again)."""
+    returns an empty pair frame without touching the cluster again).
+
+    ``group_col``: optional partition column — banding buckets are then
+    keyed per group (pairs never cross groups) and the output carries the
+    column.  This is the within-cluster search primitive behind
+    :func:`hta_spark.pipeline.semdedup.semantic_pairs`' hot-cluster path."""
     import numpy as np
 
     from .dedup import lsh_pairs
 
+    groups = [group_col] if group_col else []
     if dim is None:
         probe = emb.select(F.size(F.col(vec_col)).alias("d")).head(1)
         if not probe:
+            out_fields = ["a long", "b long"]
+            for g in groups:
+                out_fields.append(
+                    f"{g} {emb.schema[g].dataType.simpleString()}")
+            out_fields.append("cos_sim double")
             return emb.sparkSession.createDataFrame(
-                [], "a long, b long, cos_sim double")
+                [], ", ".join(out_fields))
         dim = probe[0]["d"]
     rng = np.random.default_rng(seed)
     planes = [[float(x) for x in p] for p in rng.standard_normal((n_planes, dim))]
@@ -476,16 +514,17 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
         for i in range(n_planes)
     ]
     sig = (emb.join(F.broadcast(prow))
-           .select(F.col(id_col), *bits))
+           .select(F.col(id_col), *groups, *bits))
     cand = lsh_pairs(sig, id_col=id_col, k=n_planes,
-                     rows_per_band=rows_per_band)
+                     rows_per_band=rows_per_band,
+                     group_cols=tuple(groups))
     ea = emb.select(F.col(id_col).alias("a"),
                     _as_double(F.col(vec_col)).alias("_va"))
     eb = emb.select(F.col(id_col).alias("b"),
                     _as_double(F.col(vec_col)).alias("_vb"))
     sim = F.round(cosine_sim(F.col("_va"), F.col("_vb")), 4)
-    return (cand.join(ea, "a").join(eb, "b")
-            .select("a", "b", sim.alias("cos_sim"))
+    return (attach_vectors(attach_vectors(cand, ea, "a"), eb, "b")
+            .select("a", "b", *groups, sim.alias("cos_sim"))
             .filter(F.col("cos_sim") >= F.lit(threshold)))
 
 

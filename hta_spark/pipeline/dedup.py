@@ -153,7 +153,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def lsh_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 8,
               rows_per_band: int = 2,
-              max_bucket: int | None = 4096) -> DataFrame:
+              max_bucket: int | None = 4096,
+              hot_action: str = "star",
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Candidate pairs (a < b) sharing at least one LSH band.
 
     Single pass: the band hashes are one array column posexploded (not a
@@ -164,24 +166,37 @@ def lsh_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 8,
 
     Hot-bucket guard (``max_bucket``): full i<j expansion is O(B^2) per
     bucket — a boilerplate-heavy corpus putting 10^6 ids in one bucket
-    would OOM a single task.  Buckets larger than ``max_bucket`` switch to
-    a *star* expansion (every member paired with the bucket's smallest id,
-    O(B) pairs): the near-dup use of these candidates is connected-
-    component clustering, and a star keeps the component intact while
-    bounding the per-task blowup.  Results are identical to the exact
-    expansion whenever every bucket fits the cap (the oracle-parity
-    regime); ``max_bucket=None`` disables the guard.
+    would OOM a single task.  Buckets larger than ``max_bucket`` take the
+    ``hot_action``:
+
+    - ``"star"`` (default): every member pairs with the bucket's smallest
+      id, O(B) pairs — the near-dup use of these candidates is connected-
+      component clustering, and a star keeps the component intact while
+      bounding the per-task blowup;
+    - ``"error"``: raise a clean executor-side error naming the knobs —
+      for callers whose contract PROMISES the exact expansion
+      (:func:`simhash_pairs`' pigeonhole exactness), where a silent star
+      would drop true pairs (ADVICE r10).
+
+    Results are identical to the exact expansion whenever every bucket
+    fits the cap (the oracle-parity regime); ``max_bucket=None`` disables
+    the guard.
+
+    ``group_cols``: extra key columns — buckets are then scoped per group
+    (pairs never cross groups) and the output carries the columns; the
+    within-cluster search primitive for SemDeDup's hot-cluster path.
     """
     bands = k // rows_per_band
+    gcols = list(group_cols)
     band_arr = F.array(*[
         F.md5(F.concat_ws(",", *[
             F.col(f"mh_{b * rows_per_band + r}").cast("string")
             for r in range(rows_per_band)]))
         for b in range(bands)])
     buckets = signatures.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("id"), *gcols,
         F.posexplode(band_arr).alias("band", "bh"))
-    grouped = (buckets.groupBy("band", "bh")
+    grouped = (buckets.groupBy("band", "bh", *gcols)
                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
                .filter(F.size("ids") > 1))
     # all i<j combinations within a bucket
@@ -193,14 +208,31 @@ def lsh_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 8,
                                                             b.alias("b")))),
             lambda s: s.isNotNull())))
     if max_bucket is not None:
-        keeper = F.element_at(F.col("ids"), 1)     # sorted -> smallest id
-        star = F.transform(
-            F.slice(F.col("ids"), 2, F.size("ids") - 1),
-            lambda b: F.struct(keeper.alias("a"), b.alias("b")))
-        combos = F.when(F.size("ids") <= F.lit(max_bucket), combos) \
-                  .otherwise(star)
-    return (grouped.select(F.explode(combos).alias("p"))
-            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        if hot_action == "error":
+            # executor-side guard, GEMM-guard style: the condition is
+            # data-dependent, so the refusal must live in the expression.
+            # assert_true returns NULL when the predicate holds; wrapping
+            # combos in when(<null check>) keeps the assert un-prunable.
+            chk = F.assert_true(
+                F.size("ids") <= F.lit(max_bucket),
+                F.concat(F.lit("lsh_pairs: bucket of "), F.size("ids"),
+                         F.lit(f" ids exceeds max_bucket={max_bucket} and "
+                               "hot_action='error': widen the bands (more "
+                               "buckets), raise max_bucket, or accept "
+                               "hot_action='star' recall")))
+            combos = F.when(chk.isNull(), combos)
+        elif hot_action == "star":
+            keeper = F.element_at(F.col("ids"), 1)  # sorted -> smallest id
+            star = F.transform(
+                F.slice(F.col("ids"), 2, F.size("ids") - 1),
+                lambda b: F.struct(keeper.alias("a"), b.alias("b")))
+            combos = F.when(F.size("ids") <= F.lit(max_bucket), combos) \
+                      .otherwise(star)
+        else:
+            raise ValueError(f"unknown hot_action {hot_action!r} "
+                             "(expected 'star' or 'error')")
+    return (grouped.select(F.explode(combos).alias("p"), *gcols)
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), *gcols)
             .distinct())
 
 
@@ -262,7 +294,8 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 16, bands: int = 4,
                   max_hamming: int = 2,
-                  max_bucket: int | None = 4096) -> DataFrame:
+                  max_bucket: int | None = 4096,
+                  hot_action: str = "error") -> DataFrame:
     """Near-duplicate pairs by simhash Hamming distance: ``(a, b,
     hamming)`` with ``a < b`` and ``hamming <= max_hamming``.
 
@@ -277,12 +310,16 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     This is the classic Manku/Jain/Sarma web-dedup decomposition
     (analogous scale shape to the reference's banding in MinHash-LSH).
 
-    Scale knobs: at corpus scale use ``bits=64, bands=4`` (16-bit bands
-    -> 65 536 buckets per band instead of 16) so bucket sizes stay
-    ~n/65 536; the :func:`lsh_pairs` hot-bucket star cap
-    (``max_bucket``) bounds any residual boilerplate bucket exactly as
-    in MinHash banding (star keeps downstream components intact while
-    bounding the per-task O(B^2) expansion).
+    Because exactness is this function's CONTRACT, the hot-bucket guard
+    defaults to ``hot_action="error"`` (ADVICE r10): a band bucket past
+    ``max_bucket`` raises a clean executor-side error naming the knobs
+    instead of silently switching to the star expansion, which would
+    drop true hamming<=``max_hamming`` pairs — with the 16-bit default
+    there are only 16 possible buckets per band, so a corpus past ~65k
+    docs WILL trip it.  At corpus scale use ``bits=64, bands=4`` (16-bit
+    bands -> 65 536 buckets per band) so bucket sizes stay ~n/65 536;
+    ``hot_action="star"`` opts back into the bounded-recall MinHash
+    behaviour for pipelines that only feed connected components.
     """
     if bits % bands:
         raise ValueError(f"bands ({bands}) must divide bits ({bits})")
@@ -294,7 +331,7 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
         *[F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
           .alias(f"mh_{b}") for b in range(bands)])
     cand = lsh_pairs(sig, id_col=id_col, k=bands, rows_per_band=1,
-                     max_bucket=max_bucket)
+                     max_bucket=max_bucket, hot_action=hot_action)
     fa = fp.select(F.col(id_col).alias("a"), F.col("simhash").alias("_ha"))
     fb = fp.select(F.col(id_col).alias("b"), F.col("simhash").alias("_hb"))
     ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("long")

@@ -30,7 +30,11 @@ def chunk_documents(docs: DataFrame, size: int, stride: int | None = None,
     gives overlapping context windows.  The final partial window is kept
     when it has at least ``min_tokens`` NEW tokens past the previous
     window (so a doc is never silently truncated, and stride-overlap
-    never emits a trailing window that adds nothing).
+    never emits a trailing window that adds nothing).  The filter applies
+    ONLY to the last window of each doc (ADVICE r10): an interior window
+    of an overlapping slicing contributes exactly ``stride`` new tokens
+    by construction, so filtering interior windows too would silently
+    drop them all whenever ``min_tokens > stride``.
 
     Map-only: tokens materialize once per row, windows come from one
     ``sequence`` + ``transform`` + ``posexplode`` — zero shuffles, zero
@@ -61,16 +65,19 @@ def chunk_documents(docs: DataFrame, size: int, stride: int | None = None,
     chunks = F.transform(
         idx, lambda i: F.slice(F.col("_t"),
                                (i * stride + 1).cast("int"), size))
-    out = (toks.select(F.col(id_col),
+    out = (toks.select(F.col(id_col), n_chunks.alias("_nc"),
                        F.posexplode(chunks).alias("chunk_id", "_c"))
            .withColumn("n_tokens", F.size("_c").cast("long")))
-    # a trailing window must add >= min_tokens tokens past the previous
-    # window's end (previous end = (chunk_id-1)*stride + size)
+    # ONLY the trailing window must add >= min_tokens tokens past the
+    # previous window's end (previous end = (chunk_id-1)*stride + size);
+    # interior windows always add exactly `stride` new tokens and are
+    # always kept
     new_toks = (F.col("chunk_id") * stride + F.col("n_tokens")
                 - F.when(F.col("chunk_id") > 0,
                          (F.col("chunk_id") - 1) * stride + size)
                 .otherwise(F.lit(0)))
     return (out.filter((F.col("chunk_id") == 0)
+                       | (F.col("chunk_id") < F.col("_nc") - 1)
                        | (new_toks >= F.lit(int(min_tokens))))
             .select(id_col, F.col("chunk_id").cast("long").alias("chunk_id"),
                     F.concat_ws(" ", "_c").alias("chunk_text"), "n_tokens"))

@@ -4,7 +4,7 @@ within each cluster — the trick that turns the O(n^2) all-pairs cosine
 search into k independent O((n/k)^2) problems, which is how embedding
 dedup runs at corpus scale (k grows with the corpus, so per-cluster work
 stays bounded; a hot cluster is the same skew shape as a hot IVF
-centroid and takes the same medicine).
+centroid and takes the same medicine — see ``max_cluster_rows``).
 
 Fully deterministic and oracle-gated: the clustering is the quantized
 :func:`kmeans_lite` (bit-identical across engines), the within-cluster
@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ann import _as_double, cosine_sim
+from .ann import _as_double, attach_vectors, cosine_sim, hyperplane_lsh_pairs
 from .dedup import connected_components
 from .kmeans import kmeans_lite
 
@@ -27,7 +27,11 @@ __all__ = ["semantic_pairs", "semantic_dedup"]
 def semantic_pairs(emb: DataFrame, k: int = 8, iterations: int = 3,
                    threshold: float = 0.4, quantize: int | None = 6,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   max_cluster_rows: int | None = 65536,
+                   hot_n_planes: int = 72,
+                   hot_rows_per_band: int = 24,
+                   seed: int = 7) -> DataFrame:
     """Within-cluster near-duplicate pairs ``(a, b, cluster, cos_sim)``
     with ``a < b`` and ``round(cos, 4) >= threshold``.
 
@@ -36,27 +40,75 @@ def semantic_pairs(emb: DataFrame, k: int = 8, iterations: int = 3,
     decomposition.  Cross-cluster near-dups are the method's documented
     recall trade (a pair split across cluster boundaries is not
     compared); raise ``k`` for smaller clusters or lower it for recall,
-    exactly as in the paper."""
+    exactly as in the paper.
+
+    Hot-cluster bound (VERDICT r10 item 3): one dominant cluster —
+    common on real embedding distributions, and ``k`` defaults to 8 —
+    would make the within-cluster expansion O(B^2) unbounded.  Cluster
+    sizes are one k-row collect (the same planner shape as
+    ``kmeans_lite``'s driver rounds); clusters past ``max_cluster_rows``
+    route through banded SRP search *within the cluster*
+    (:func:`hyperplane_lsh_pairs` with ``group_col``) instead of the
+    exact pair join — bounded bucket work in place of the quadratic
+    blowup, at SRP's documented recall trade (identical vectors always
+    collide, so exact duplicates are never lost; tune ``hot_n_planes`` /
+    ``hot_rows_per_band`` like any SRP banding).  Clusters at or under
+    the cap keep the exact expansion, so results are unchanged whenever
+    no cluster exceeds the cap (the oracle-parity regime);
+    ``max_cluster_rows=None`` disables the bound.
+
+    Both pair joins re-attach vectors through :func:`attach_vectors`:
+    the vector-carrying sides must never broadcast off stats-blind
+    estimates (the r10 bench OOM class).
+    """
     assigned = kmeans_lite(emb, k=k, iterations=iterations,
                            id_col=id_col, vec_col=vec_col,
                            quantize=quantize).select(id_col, "cluster")
-    e = (emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-         .join(assigned, id_col))
-    a = e.select(F.col(id_col).alias("a"), F.col("cluster"),
-                 F.col("_v").alias("_va"))
-    b = e.select(F.col(id_col).alias("b"),
-                 F.col("cluster").alias("_cb"), F.col("_v").alias("_vb"))
+    hot_ids: list = []
+    if max_cluster_rows is not None:
+        if int(max_cluster_rows) < 1:
+            raise ValueError(
+                f"max_cluster_rows must be >= 1, got {max_cluster_rows}")
+        # k-row planner collect (k = cluster count, driver-bounded by
+        # construction): decides the plan, same discipline as the
+        # aggregate auto planner's cached stats
+        sizes = assigned.groupBy("cluster") \
+                        .agg(F.count("*").alias("n")).collect()
+        hot_ids = [r["cluster"] for r in sizes
+                   if r["n"] > int(max_cluster_rows)]
+    e = attach_vectors(
+        assigned,
+        emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")),
+        id_col)
+    cold = e.filter(~F.col("cluster").isin(hot_ids)) if hot_ids else e
+    a = cold.select(F.col(id_col).alias("a"), F.col("cluster"),
+                    F.col("_v").alias("_va"))
+    b = cold.select(F.col(id_col).alias("b"),
+                    F.col("cluster").alias("_cb"), F.col("_v").alias("_vb"))
     sim = F.round(cosine_sim(F.col("_va"), F.col("_vb")), 4)
-    return (a.join(b, (F.col("cluster") == F.col("_cb"))
-                   & (F.col("a") < F.col("b")))
-            .select("a", "b", "cluster", sim.alias("cos_sim"))
-            .filter(F.col("cos_sim") >= F.lit(float(threshold))))
+    pairs = (a.join(b.hint("shuffle_hash"),
+                    (F.col("cluster") == F.col("_cb"))
+                    & (F.col("a") < F.col("b")))
+             .select("a", "b", "cluster", sim.alias("cos_sim"))
+             .filter(F.col("cos_sim") >= F.lit(float(threshold))))
+    if hot_ids:
+        hot = (e.filter(F.col("cluster").isin(hot_ids))
+               .select(F.col(id_col), F.col("cluster"),
+                       F.col("_v").alias(vec_col)))
+        hot_pairs = hyperplane_lsh_pairs(
+            hot, threshold=float(threshold), n_planes=hot_n_planes,
+            rows_per_band=hot_rows_per_band, seed=seed,
+            id_col=id_col, vec_col=vec_col, group_col="cluster") \
+            .select("a", "b", "cluster", "cos_sim")
+        pairs = pairs.unionByName(hot_pairs)
+    return pairs
 
 
 def semantic_dedup(emb: DataFrame, k: int = 8, iterations: int = 3,
                    threshold: float = 0.4, quantize: int | None = 6,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   max_cluster_rows: int | None = 65536) -> DataFrame:
     """Semantic dedup clusters: one row per near-duplicate component —
     ``(component, n_members)`` where ``component`` is the smallest
     member id (the canonical keeper, min-id convention shared with the
@@ -64,7 +116,8 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iterations: int = 3,
     other ``n_members - 1`` documents."""
     pairs = semantic_pairs(emb, k=k, iterations=iterations,
                            threshold=threshold, quantize=quantize,
-                           id_col=id_col, vec_col=vec_col)
+                           id_col=id_col, vec_col=vec_col,
+                           max_cluster_rows=max_cluster_rows)
     comp = connected_components(pairs)
     return (comp.groupBy(F.col("comp").alias("component"))
             .agg(F.count("*").cast("long").alias("n_members"))

@@ -130,11 +130,15 @@ def tfidf_terms(docs: DataFrame, text_col: str = "text",
     BM25 idf RATIO, deliberately without the log).
 
     The log-free form is cross-engine exact: tf/df/N are integers and
-    IEEE +, /, * are exactly rounded, so the pre-round double is
+    IEEE +, /, * are exactly rounded, so the score double is
     bit-identical in any engine — ``ln`` would differ in the last ulp
     across libms and poison the rank tie-break (the r8 round()-tie
     lesson).  Ranking by (score desc, term asc) is therefore fully
-    deterministic.
+    deterministic.  The score is emitted UNROUNDED (ADVICE r10):
+    rounding the non-dyadic quotient to 4 decimals is exactly the
+    cross-engine-unstable pattern the _fix3/_r4 queries hit — a value on
+    a rounding boundary could flip both the emitted score and the rank
+    between engines, while the raw double never can.
 
     Scale shape: one token explode -> per-(doc, term) counts (map-side
     combined), a vocab-sized df table joined on term (uniform key), the
@@ -153,9 +157,9 @@ def tfidf_terms(docs: DataFrame, text_col: str = "text",
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (tf.join(df_tab, "term")
               .crossJoin(F.broadcast(n_docs))
-              .withColumn("score", F.round(
-                  F.col("tf") * (F.col("n_docs") - F.col("df") + 0.5)
-                  / (F.col("df") + 0.5), 4)))
+              .withColumn("score",
+                          F.col("tf") * (F.col("n_docs") - F.col("df") + 0.5)
+                          / (F.col("df") + 0.5)))
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= F.lit(int(top)))

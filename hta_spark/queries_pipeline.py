@@ -909,8 +909,7 @@ dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
 n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term,
-         round(tf.tf * (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5), 4)
-             AS score
+         tf.tf * (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) AS score
   FROM tf JOIN dfq USING (term) CROSS JOIN n),
 ranked AS (
   SELECT doc_id, term, score,
@@ -919,6 +918,44 @@ ranked AS (
   FROM scored)
 SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 3
+"""
+
+
+# -- fixed-token training windows (chunking, r11) -----------------------------
+
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping fixed-token training windows (size 12, stride 7 — the
+    stride<size overlap path, ADVICE r10): every interior window is kept
+    unconditionally; only each doc's final window must add >= 4 new
+    tokens past the previous window's end.  Map-only in Spark (sequence +
+    transform + posexplode, zero shuffles)."""
+    from .pipeline.pack import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), size=12, stride=7,
+                           min_tokens=4)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         greatest(1, CAST(ceil((len(toks) - 12) / 7.0) AS BIGINT) + 1) AS nc
+  FROM t),
+ch AS (
+  SELECT doc_id, toks, n, nc,
+         unnest(generate_series(0, nc - 1)) AS chunk_id
+  FROM c),
+sl AS (
+  SELECT doc_id, chunk_id, nc,
+         toks[(chunk_id * 7 + 1):least(chunk_id * 7 + 12, n)] AS w
+  FROM ch)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(w, ' ') AS chunk_text,
+       CAST(len(w) AS BIGINT) AS n_tokens
+FROM sl
+WHERE chunk_id = 0 OR chunk_id < nc - 1
+   OR (chunk_id * 7 + len(w) - ((chunk_id - 1) * 7 + 12)) >= 4
 """
 
 
@@ -986,4 +1023,5 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "text_tfidf": (q_tfidf, SQL_TFIDF),
     "ann_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "text_chunk_windows": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
 }

@@ -4,9 +4,12 @@ scale-dependent divergence — LSH band boundaries, caps that stop binding,
 float accumulation over more rows — is exactly what sf0.01 can miss, so
 the full sweep runs at sf0.1 too).
 
-Usage: python tests/full_sweep.py [sf_dir] [out.json]
+Usage: python tests/full_sweep.py [sf_dir] [out.json] [only1,only2,...]
 Writes one JSON file {sf, total, ok, failed: [...], per_query: {...}} and
-prints one line per query; exit 1 on any mismatch.
+prints one line per query; exit 1 on any mismatch.  The optional third
+argument restricts the sweep to a comma-separated query-name list (fast
+re-verification of touched operators; the committed artifact is always a
+FULL sweep).
 """
 import json
 import struct
@@ -43,6 +46,12 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     import __spark_entry__ as e
     reg = e._registry()
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        missing = only - set(reg)
+        if missing:
+            sys.exit(f"unknown query names: {sorted(missing)}")
+        reg = {k: v for k, v in reg.items() if k in only}
     per = {}
     failed = []
     for name in sorted(reg):
