@@ -544,19 +544,23 @@ def _se_lsh_hot_bucket(spark, n_docs: int = 1_000_000,
             "full_expansion_sec_hot_only": full_sec}
 
 
-def _se_gemm_guard(spark, n_base: int = 559_500, planted: int = 500,
-                   dim: int = 64) -> dict:
-    """scale_evidence (b): the exact-GEMM broadcast guard at its DEFAULT
-    threshold (``max_broadcast_mb=256``) on generated data.
+def _planted_embeddings(spark, n_base: int, planted: int, dim: int,
+                        perturb: bool = True):
+    """Generated corpus with ``planted`` near-duplicate pairs: vector i
+    copied to id n_base+i (optionally with a small perturbation so the
+    pair cosine is ~0.999 rather than exactly 1); random pairs are
+    centered so their cosine ~0 and a high threshold excludes them.
 
-    560k x 64 float64 embeddings = 273 MiB > 256: ``cosine_pairs_gemm``
-    must REFUSE (clean ValueError naming the scale substitute, before any
-    collect) and ``hyperplane_lsh_pairs`` must SERVE the same corpus —
-    with measured recall over ``planted`` near-duplicate pairs (vector i
-    copied to id n_base+i with a small perturbation; random pairs are
-    centered so their cosine ~0 and the threshold excludes them)."""
+    Materialized through the cache (VERDICT r10 item 7): a bare
+    ``spark.range`` projection carries an ~8 B/row Catalyst estimate
+    that is blind to the array payload — the "tiny-estimate, huge-
+    payload" shape behind the r10 broadcast OOM.  The cached
+    InMemoryRelation reports its REAL byte size, so every plan downstream
+    of these scale cells plans against honest stats (the production-path
+    defense is attach_vectors' pinned join strategy; this removes the
+    whole estimate-lie class from the bench's own inputs).  Caller
+    unpersists."""
     from pyspark.sql import functions as F
-    from hta_spark.pipeline.ann import cosine_pairs_gemm, hyperplane_lsh_pairs
 
     n = n_base + planted
     base_id = F.when(F.col("id") < n_base, F.col("id")) \
@@ -565,14 +569,38 @@ def _se_gemm_guard(spark, n_base: int = 559_500, planted: int = 500,
     def coord(j: int):
         c = (F.pmod(F.xxhash64(base_id, F.lit(j)), F.lit(100_000))
              .cast("double") / 100_000.0 - 0.5)
-        if j < 4:   # perturb 4 coords of the planted copies: cos ~0.999
+        if perturb and j < 4:   # perturb 4 coords of the copies: cos ~0.999
             c = c + F.when(F.col("id") >= n_base, F.lit(0.05)) \
                      .otherwise(F.lit(0.0))
         return c
 
     emb = spark.range(n).select(
         F.col("id").alias("vec_id"),
-        F.array(*[coord(j) for j in range(dim)]).alias("embedding"))
+        F.array(*[coord(j) for j in range(dim)]).alias("embedding")).cache()
+    emb.count()
+    est = int(str(emb._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes()))
+    return emb, est
+
+
+def _se_gemm_guard(spark, n_base: int = 559_500, planted: int = 500,
+                   dim: int = 64) -> dict:
+    """scale_evidence (b): the exact-GEMM broadcast guard at its DEFAULT
+    threshold (``max_broadcast_mb=256``) on generated data.
+
+    560k x 64 float64 embeddings = 273 MiB > 256: ``cosine_pairs_gemm``
+    must REFUSE (clean ValueError naming the scale substitute, before any
+    collect) and ``hyperplane_lsh_pairs`` must SERVE the same corpus —
+    with measured recall over ``planted`` near-duplicate pairs.  This is
+    the cell that OOMed the round-10 bench: the SRP verify join
+    broadcast the embedding side off a stats-blind estimate
+    (VERDICT r10 #1); it now runs against the pinned shuffle join of
+    ``attach_vectors`` AND honest (cached) input stats."""
+    from pyspark.sql import functions as F
+    from hta_spark.pipeline.ann import cosine_pairs_gemm, hyperplane_lsh_pairs
+
+    n = n_base + planted
+    emb, est_bytes = _planted_embeddings(spark, n_base, planted, dim)
 
     guard_raised, guard_msg = False, None
     t0 = time.perf_counter()
@@ -592,8 +620,10 @@ def _se_gemm_guard(spark, n_base: int = 559_500, planted: int = 500,
     recovered = pairs.filter((F.col("b") - F.col("a") == n_base)
                              & (F.col("a") < planted)).count()
     pairs.unpersist()
+    emb.unpersist()
     return {"vectors": n, "dim": dim,
             "matrix_mib": round(n * dim * 8 / 2 ** 20),
+            "plan_stats_mib": round(est_bytes / 2 ** 20),
             "default_max_broadcast_mb": 256,
             "guard_raised": guard_raised,
             "guard_msg": (guard_msg or "")[:120],
@@ -604,6 +634,46 @@ def _se_gemm_guard(spark, n_base: int = 559_500, planted: int = 500,
             "planted_pairs": planted,
             "planted_recovered": recovered,
             "recall": round(recovered / planted, 4)}
+
+
+def _se_semdedup_hot(spark, n_base: int = 69_700, planted: int = 300,
+                     dim: int = 32) -> dict:
+    """scale_evidence (e, r11 — VERDICT r10 item 3): ``semantic_pairs``'
+    hot-cluster bound at its DEFAULT (``max_cluster_rows=65536``) with
+    ONE dominant k-means cluster (``k=1`` makes every vector land in it —
+    the skew shape real embedding distributions produce at k=8).
+
+    70k rows > 65 536: the bound must route the cluster through
+    within-cluster SRP banding instead of the O(B^2) exact pair join.
+    ``planted`` pairs are IDENTICAL copies (cos exactly 1.0): identical
+    vectors have identical SRP signatures, so the banded path must
+    recover every one — recall 1.0 is an equivalence check, not a
+    statistic — while random pairs (~cos 0) stay excluded by the 0.999
+    threshold."""
+    from pyspark.sql import functions as F
+    from hta_spark.pipeline.semdedup import semantic_pairs
+
+    n = n_base + planted
+    emb, est_bytes = _planted_embeddings(spark, n_base, planted, dim,
+                                         perturb=False)
+    t0 = time.perf_counter()
+    pairs = semantic_pairs(emb, k=1, iterations=1,
+                           threshold=0.999).cache()   # ALL defaults
+    pairs_n = pairs.count()
+    sec = round(time.perf_counter() - t0, 3)
+    recovered = pairs.filter((F.col("b") - F.col("a") == n_base)
+                             & (F.col("a") < planted)).count()
+    pairs.unpersist()
+    emb.unpersist()
+    return {"vectors": n, "dim": dim,
+            "plan_stats_mib": round(est_bytes / 2 ** 20),
+            "default_max_cluster_rows": 65536,
+            "guard_engaged": n > 65536,
+            "pairs": pairs_n,
+            "planted_pairs": planted,
+            "planted_recovered": recovered,
+            "recall": round(recovered / planted, 4),
+            "semantic_pairs_sec": sec}
 
 
 def _se_throttle_cap(spark, n: int = 8_500_000) -> dict:
@@ -715,20 +785,42 @@ def _se_ivf_subblock(spark, n: int = 70_000, dim: int = 32,
             "ivf_subblocked_sec": ivf_sec}
 
 
+def _cell(label: str, fn, *args, **kw):
+    """Failure-isolated bench cell (VERDICT r10 items 2/3): one crashing
+    cell records ``{"error": ..., "trace_head": ...}`` instead of
+    forfeiting the whole bench record — r10's broadcast OOM in ONE
+    scale-evidence cell erased 10 sections of finished measurements and
+    the headline itself (BENCH_r10 rc=1, parsed: null)."""
+    try:
+        return fn(*args, **kw)
+    except BaseException as e:          # incl. py4j fatal JVM errors
+        if isinstance(e, (KeyboardInterrupt, SystemExit)):
+            raise
+        import traceback
+        tb = traceback.format_exc()
+        sys.stderr.write(f"bench cell {label!r} failed:\n{tb}\n")
+        return {"error": tb.strip().splitlines()[-1][:300],
+                "trace_head": tb[:1500]}
+
+
 def _scale_evidence(spark) -> dict:
-    """VERDICT r8 #1 / r9 #1 (two rounds overdue): every scale guard
-    observed BINDING at its DEFAULT threshold on generated data past that
-    threshold, each with an equivalence/recall check at that size — the
-    Spark analog of the reference's growing-size bench matrix
+    """VERDICT r8 #1 / r9 #1: every scale guard observed BINDING at its
+    DEFAULT threshold on generated data past that threshold, each with an
+    equivalence/recall check at that size — the Spark analog of the
+    reference's growing-size bench matrix
     (/root/reference/tests/bench.cpp:43-88).  Forced-knob tests prove the
     mechanisms; these cells prove the DEFAULTS are live on real-sized
-    input.  Skippable for fast local iteration with
+    input.  Each sub-cell is failure-isolated (this section found the r10
+    broadcast OOM — and then took the whole bench down with it).
+    Skippable for fast local iteration with
     ``SPARK_GRAFT_SCALE_EVIDENCE=0`` (the driver's per-round record keeps
     it on)."""
-    return {"lsh_hot_bucket": _se_lsh_hot_bucket(spark),
-            "gemm_broadcast_guard": _se_gemm_guard(spark),
-            "throttle_auto_cap": _se_throttle_cap(spark),
-            "ivf_subblock": _se_ivf_subblock(spark)}
+    return {k: _cell(f"scale_evidence.{k}", fn, spark) for k, fn in (
+        ("lsh_hot_bucket", _se_lsh_hot_bucket),
+        ("gemm_broadcast_guard", _se_gemm_guard),
+        ("semdedup_hot_cluster", _se_semdedup_hot),
+        ("throttle_auto_cap", _se_throttle_cap),
+        ("ivf_subblock", _se_ivf_subblock))}
 
 
 def _streaming_throughput(spark, n: int = 2 ** 21) -> dict:
@@ -880,7 +972,9 @@ def _streaming_throughput(spark, n: int = 2 ** 21) -> dict:
 
 def _pipeline_latency(spark, qs) -> dict:
     """Informational timings for the curation-pipeline operators (not part
-    of the headline total, which stays comparable across rounds)."""
+    of the headline total, which stays comparable across rounds).
+    Per-query failure isolation: one broken query records its error and
+    the rest of the section still measures."""
     out = {}
     for name in ("sample_stratified", "sample_domain_cap", "dedup_incremental",
                  "pack_contiguous",
@@ -897,15 +991,20 @@ def _pipeline_latency(spark, qs) -> dict:
                  "hta_aggregate_auto", "hta_count_levels",
                  "ann_knn_label_accuracy", "sketch_hist_by_group",
                  "dedup_simhash_pairs", "text_tfidf",
-                 "ann_semantic_dedup"):
+                 "ann_semantic_dedup", "text_chunk_windows"):
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        out[name] = round(time.perf_counter() - t0, 3)
-        _assert_windows_partitioned(df, name)
+
+        def one(fn=fn, name=name):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            sec = round(time.perf_counter() - t0, 3)
+            _assert_windows_partitioned(df, name)
+            return sec
+
+        out[name] = _cell(f"pipeline_latency.{name}", one)
     return out
 
 
@@ -1003,98 +1102,130 @@ def main() -> None:
         # `queries`/`value` carry the steady MEDIAN, `cold_queries`/
         # `cold_sec` the true first pass; full {median,min,max,n} spreads
         # for both modes go to BENCH_DETAIL (VERDICT r4 items 2-3).
-        colds: list[float] = []
-        df = None
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.mode("overwrite").format("noop").save()
-            colds.append(time.perf_counter() - t0)
-        _assert_windows_partitioned(df, name)
-        steadies: list[float] = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            steadies.append(time.perf_counter() - t0)
+        def one_query(fn=fn, name=name):
+            colds: list[float] = []
+            df = None
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                df.write.mode("overwrite").format("noop").save()
+                colds.append(time.perf_counter() - t0)
+            _assert_windows_partitioned(df, name)
+            steadies: list[float] = []
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                steadies.append(time.perf_counter() - t0)
+            return colds, steadies
+
+        got = _cell(f"headline.{name}", one_query)
+        if isinstance(got, dict):        # isolated failure: one entry lost
+            headline_runs[name] = got
+            continue
+        colds, steadies = got
         cold_timings[name] = round(colds[0], 3)
         timings[name] = _stats(steadies)["median"]
         headline_runs[name] = {
             "cold": {**_stats(colds), "first": round(colds[0], 3)},
             "steady": _stats(steadies)}
-    insert = _insert_throughput(spark)
-    timings["rollup_build_16m"] = insert["sec"]
-    headline_runs["rollup_build_16m"] = {
-        "cold": {"first": insert["cold_sec"], "n": 1},
-        "steady": insert["full_runs"]}
-    # the COLD entry is the first materialization (codegen included) so
-    # the cold delta vs prior rounds compares first-pass to first-pass;
-    # `sec` (best warm full-recompute, plan excluded) is the steady figure
-    cold_timings["rollup_build_16m"] = insert["cold_sec"]
+    insert = _cell("insert_throughput", _insert_throughput, spark)
+    if "error" not in insert:
+        timings["rollup_build_16m"] = insert["sec"]
+        headline_runs["rollup_build_16m"] = {
+            "cold": {"first": insert["cold_sec"], "n": 1},
+            "steady": insert["full_runs"]}
+        # the COLD entry is the first materialization (codegen included)
+        # so the cold delta vs prior rounds compares first-pass to
+        # first-pass; `sec` (best warm full-recompute, plan excluded) is
+        # the steady figure
+        cold_timings["rollup_build_16m"] = insert["cold_sec"]
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold_timings.values()), 3)
-    matrix = _insert_matrix(spark)
-    latency = _query_latency(spark)
-    crossover = _aggregate_crossover(spark)
-    streaming = _streaming_throughput(spark)
-    ivf_skew = _ivf_skew_cell(spark)
-    throttle_cell = _throttle_dispatch_cell(spark)
-    scale_evidence = (
-        {"skipped": "SPARK_GRAFT_SCALE_EVIDENCE=0"}
-        if os.environ.get("SPARK_GRAFT_SCALE_EVIDENCE") == "0"
-        else _scale_evidence(spark))
-    pipeline = _pipeline_latency(spark, qs)
-    canary_end = _host_canary(spark)
-    # normalize by the effective cores-canary DURING the run (mean of the
-    # before/after samples): a throttle present for the whole run scales
-    # both; one arriving mid-run is caught part-way and visibly disagrees
-    # between the two samples — both are in the record
-    cores_now = (canary_start["cores_sec"] + canary_end["cores_sec"]) / 2
-    canary = {
-        "start": canary_start, "end": canary_end,
-        "ref": CANARY_REF,
-        "host_speed_vs_ref": round(CANARY_REF["cores_sec"] / cores_now, 3),
-    }
-    headline = {
-        "metric": "headline_suite_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "cold_sec": cold_total,
-        "cold_queries": cold_timings,
-        "canary": canary,
-        "value_normalized": _normalized(total, cores_now),
-        "cold_sec_normalized": _normalized(cold_total, cores_now),
-        "sf": _sf_label(SF_DIR),
-    }
+
+    def mk_headline(canary_end) -> dict:
+        # normalize by the effective cores-canary DURING the run (mean of
+        # the before/after samples): a throttle present for the whole run
+        # scales both; one arriving mid-run is caught part-way and visibly
+        # disagrees between the two samples — both are in the record.
+        # Before the detail cells run (or if the end canary errored) the
+        # start sample alone normalizes.
+        ends = ([canary_end["cores_sec"]]
+                if isinstance(canary_end, dict) and "cores_sec" in canary_end
+                else [])
+        cores_now = (canary_start["cores_sec"] + sum(ends)) / (1 + len(ends))
+        return {
+            "metric": "headline_suite_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "cold_sec": cold_total,
+            "cold_queries": cold_timings,
+            "canary": {
+                "start": canary_start, "end": canary_end,
+                "ref": CANARY_REF,
+                "host_speed_vs_ref": round(
+                    CANARY_REF["cores_sec"] / cores_now, 3)},
+            "value_normalized": _normalized(total, cores_now),
+            "cold_sec_normalized": _normalized(cold_total, cores_now),
+            "sf": _sf_label(SF_DIR),
+        }
+
+    def write_detail(detail: dict) -> None:
+        path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        try:
+            with open(path, "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError:
+            pass
+
     # Full detail (insert matrix, per-level latencies, round-over-round
     # deltas) goes to a FILE: the driver's BENCH capture keeps only a small
     # tail of stdout, and round 2's single giant line lost its head (the
     # headline) to that window.  stdout gets ONE compact parseable line.
-    detail = dict(headline)
-    detail.update({
-        "page_cache": cache_state,
-        "headline_runs": headline_runs,
-        "insert_throughput": insert,
-        "insert_matrix": matrix,
-        "aggregate_crossover_16m": crossover,
-        "streaming_ingest_throughput": streaming,
-        "ivf_skew_hot_centroid": ivf_skew,
-        "throttle_dispatch": throttle_cell,
-        "scale_evidence": scale_evidence,
-        "pipeline_latency_sec": pipeline,
-        # deltas compare COLD (first-pass) numbers to the r4 cold
-        # figures in PREV_ROUND — like for like
-        "delta_vs_prev_sec": {
-            k: round(cold_timings[k] - PREV_ROUND[k], 3)
-            for k in cold_timings if k in PREV_ROUND},
-        **latency,
-    })
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as f:
-            json.dump(detail, f, indent=1)
-    except OSError:
-        pass
+    #
+    # VERDICT r10 items 2/3: the headline record is banked BEFORE any
+    # detail cell runs (partial BENCH_DETAIL on disk), every detail cell
+    # is failure-isolated (_cell), and the final stdout line prints
+    # unconditionally — one crashing cell can never again erase the
+    # round's bench (r10 lost its entire record to one broadcast OOM).
+    detail = dict(mk_headline(None))
+    detail.update({"partial": True,
+                   "page_cache": cache_state,
+                   "headline_runs": headline_runs,
+                   "insert_throughput": insert,
+                   "delta_vs_prev_sec": {
+                       k: round(cold_timings[k] - PREV_ROUND[k], 3)
+                       for k in cold_timings if k in PREV_ROUND}})
+    write_detail(detail)
+    del detail["partial"]
+
+    cells = [
+        ("insert_matrix", lambda s: _insert_matrix(s)),
+        ("query_latency", lambda s: _query_latency(s)),
+        ("aggregate_crossover_16m", lambda s: _aggregate_crossover(s)),
+        ("streaming_ingest_throughput", lambda s: _streaming_throughput(s)),
+        ("ivf_skew_hot_centroid", lambda s: _ivf_skew_cell(s)),
+        ("throttle_dispatch", lambda s: _throttle_dispatch_cell(s)),
+        ("scale_evidence", lambda s: (
+            {"skipped": "SPARK_GRAFT_SCALE_EVIDENCE=0"}
+            if os.environ.get("SPARK_GRAFT_SCALE_EVIDENCE") == "0"
+            else _scale_evidence(s))),
+        ("pipeline_latency_sec", lambda s: _pipeline_latency(s, qs)),
+    ]
+    for key, fn in cells:
+        detail[key] = _cell(key, fn, spark)
+        write_detail(detail)          # bank progress after every cell
+
+    canary_end = _cell("canary_end", _host_canary, spark)
+    headline = mk_headline(canary_end)
+    detail.update(headline)
+    # flatten the latency cell's two historical top-level keys so the
+    # record stays comparable with pre-r11 BENCH_DETAILs
+    if isinstance(detail.get("query_latency"), dict) \
+            and "flex_latency_sec" in detail["query_latency"]:
+        detail.update(detail.pop("query_latency"))
+    write_detail(detail)
     # leading newline: Spark's console progress bar ends lines with a bare
     # carriage return, which would glue the JSON to a progress line and
     # break line-anchored parsing of the headline
