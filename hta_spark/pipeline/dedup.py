@@ -22,6 +22,7 @@ from ..compat import default_parallelism, pin, release
 
 __all__ = ["normalize_text", "tokens_col", "shingles_col", "md5_long",
            "exact_dedup", "prefix_dedup", "minhash_signatures", "lsh_pairs",
+           "lsh_band_buckets", "dedup_against_neardup", "source_overlap",
            "ngram_jaccard_pairs", "simhash", "simhash_pairs"]
 
 
@@ -151,6 +152,94 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         *[F.min(f"h{s}").alias(f"mh_{s}") for s in range(k)])
 
 
+def _band_hash_arr(k: int, rows_per_band: int) -> Column:
+    """Array of per-band md5 hashes over the mh_* signature columns —
+    the one banding expression shared by :func:`lsh_pairs` (in-corpus
+    pair generation) and :func:`lsh_band_buckets` (the storable index),
+    so the two surfaces can never drift."""
+    bands = k // rows_per_band
+    return F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)]))
+        for b in range(bands)])
+
+
+def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",
+                     k: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """The STORABLE LSH index of a corpus: one ``(id, band, bh)`` row per
+    (document, band).  At 100 TB this table is what a continuously-grown
+    corpus persists (parquet partitioned by ``band``, sorted/bucketed by
+    ``bh``): each new crawl bands only ITS documents and equi-joins
+    against the stored index — never re-banding the corpus — which is the
+    near-dup analog of :func:`dedup_against`'s stored hash table."""
+    return signatures.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_band_hash_arr(k, rows_per_band)).alias("band", "bh"))
+
+
+def dedup_against_neardup(incoming: DataFrame, seen: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          k: int = 8, rows_per_band: int = 2,
+                          shingle_n: int = 3) -> DataFrame:
+    """Cross-corpus incremental NEAR-dup: rows of ``incoming`` that share
+    no LSH band bucket with any document of ``seen`` — the per-crawl
+    "new documents only" step at near-duplicate (not just exact)
+    granularity.
+
+    ``seen`` is either a raw document frame (banded here) or an
+    already-banded index frame carrying ``(band, bh)`` columns (the
+    stored :func:`lsh_band_buckets` table — the 100 TB path: the corpus
+    side is read pre-banded, so the pass costs one signature computation
+    over the CRAWL plus one equi-join, both linear in the crawl).
+    Candidate acceptance is the standard banding rule (>= 1 shared
+    band); recall/precision follow the (k, rows_per_band) banding curve
+    exactly as in :func:`lsh_pairs`."""
+    if "bh" in seen.columns:
+        idx = seen.select("band", "bh")
+    else:
+        idx = lsh_band_buckets(
+            minhash_signatures(seen, text_col=text_col, id_col=id_col,
+                               k=k, shingle_n=shingle_n),
+            id_col=id_col, k=k, rows_per_band=rows_per_band) \
+            .select("band", "bh")
+    inc = lsh_band_buckets(
+        minhash_signatures(incoming, text_col=text_col, id_col=id_col,
+                           k=k, shingle_n=shingle_n),
+        id_col=id_col, k=k, rows_per_band=rows_per_band)
+    dup_ids = (inc.join(idx.distinct(), ["band", "bh"], "left_semi")
+               .select(F.col("id").alias(id_col)).distinct())
+    return incoming.join(dup_ids, id_col, "left_anti")
+
+
+def source_overlap(docs: DataFrame, text_col: str = "text",
+                   group_col: str = "source", key_of=None) -> DataFrame:
+    """Cross-source content-overlap matrix: for every ordered source
+    pair ``src_a < src_b``, how many distinct content keys occur in BOTH
+    — the curation diagnostic behind "source B is already N% contained
+    in source A" decisions (mixture planning, crawl provenance audits).
+
+    ``key_of``: Column -> Column building the overlap key from the text
+    (default md5 of the normalized full content — exact-duplicate
+    overlap; pass e.g. a leading-token prefix hash for boilerplate-level
+    overlap, same convention as :func:`dedup_against`).
+
+    One key inverted-index equi-join (uniform md5 key, no skew),
+    distinct applied per (key, source) first so within-source duplicates
+    don't inflate the matrix; output is #sources^2-bounded."""
+    key_of = key_of or (lambda t: F.md5(normalize_text(t)))
+    h = (docs.select(key_of(F.col(text_col)).alias("h"),
+                     F.col(group_col).alias("g"))
+         .distinct())
+    left = h.select(F.col("h"), F.col("g").alias("src_a"))
+    right = h.select(F.col("h").alias("_h"), F.col("g").alias("src_b"))
+    return (left.join(right, (F.col("h") == F.col("_h"))
+                      & (F.col("src_a") < F.col("src_b")))
+            .groupBy("src_a", "src_b")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .orderBy("src_a", "src_b"))
+
+
 def lsh_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 8,
               rows_per_band: int = 2,
               max_bucket: int | None = 4096,
@@ -186,16 +275,10 @@ def lsh_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 8,
     (pairs never cross groups) and the output carries the columns; the
     within-cluster search primitive for SemDeDup's hot-cluster path.
     """
-    bands = k // rows_per_band
     gcols = list(group_cols)
-    band_arr = F.array(*[
-        F.md5(F.concat_ws(",", *[
-            F.col(f"mh_{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)]))
-        for b in range(bands)])
     buckets = signatures.select(
         F.col(id_col).alias("id"), *gcols,
-        F.posexplode(band_arr).alias("band", "bh"))
+        F.posexplode(_band_hash_arr(k, rows_per_band)).alias("band", "bh"))
     grouped = (buckets.groupBy("band", "bh", *gcols)
                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
                .filter(F.size("ids") > 1))

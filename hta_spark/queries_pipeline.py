@@ -959,6 +959,98 @@ WHERE chunk_id = 0 OR chunk_id < nc - 1
 """
 
 
+# -- incremental NEAR-dup against a stored band index (r11) -------------------
+
+NEARDUP_SEEN_BP = 4000   # 40% of docs act as the already-ingested corpus
+
+
+def q_incremental_neardup(spark, sf_dir):
+    """Per-crawl "new documents only" at NEAR-duplicate granularity:
+    the incoming 60% keep only docs sharing no MinHash-LSH band bucket
+    with the seen 40% (``dedup_against_neardup``) — the incremental
+    crawl-dedup shape where the corpus side is a stored
+    ``lsh_band_buckets`` index, never re-banded."""
+    from .pipeline.dedup import dedup_against_neardup
+    from .pipeline.sample import hash_bucket
+    docs = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), "nd")
+    seen = docs.filter(b < F.lit(NEARDUP_SEEN_BP))
+    incoming = docs.filter(b >= F.lit(NEARDUP_SEEN_BP))
+    return dedup_against_neardup(incoming, seen, k=MINHASH_K,
+                                 rows_per_band=LSH_ROWS_PER_BAND) \
+        .select("doc_id", "lang", "source", "n_chars")
+
+
+def _sql_incremental_neardup() -> str:
+    hcols = ",\n         ".join(
+        f"min(('0x' || substr(md5('{s // 2}|' || sh), "
+        f"{1 if s % 2 == 0 else 17}, 15))::BIGINT) AS mh_{s}"
+        for s in range(MINHASH_K))
+    bands = MINHASH_K // LSH_ROWS_PER_BAND
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS id, {b} AS band, "
+        f"md5(mh_{b * LSH_ROWS_PER_BAND}::VARCHAR || ',' || "
+        f"mh_{b * LSH_ROWS_PER_BAND + 1}::VARCHAR) AS bh FROM sigs"
+        for b in range(bands))
+    return f"""
+WITH {SQL_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+         {hcols}
+  FROM ex GROUP BY doc_id
+),
+buckets AS (
+{band_rows}
+),
+split AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('nd|' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % 10000 AS b
+  FROM documents
+),
+hits AS (
+  SELECT DISTINCT i.id
+  FROM buckets i
+  JOIN split si ON si.doc_id = i.id AND si.b >= {NEARDUP_SEEN_BP}
+  JOIN buckets s ON s.band = i.band AND s.bh = i.bh
+  JOIN split ss ON ss.doc_id = s.id AND ss.b < {NEARDUP_SEEN_BP}
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN split sp USING (doc_id)
+WHERE sp.b >= {NEARDUP_SEEN_BP}
+  AND NOT EXISTS (SELECT 1 FROM hits WHERE hits.id = d.doc_id)
+"""
+
+
+# -- cross-source exact-content overlap matrix (r11) --------------------------
+
+def q_source_overlap(spark, sf_dir):
+    """Curation diagnostic: for every source pair, how many distinct
+    content keys occur in both — the input to "source B is already N%
+    contained in source A" mixture decisions.  Keyed on the leading-5-
+    token prefix (the boilerplate-collapse key, which actually overlaps
+    across this corpus's sources — full-content hashes are unique here
+    and would gate a no-op).  One md5 inverted-index equi-join; output
+    #sources²-bounded."""
+    from .pipeline.dedup import source_overlap, tokens_col
+    key_of = (lambda t: F.md5(F.concat_ws(
+        " ", F.slice(tokens_col(t), 1, 5))))
+    return source_overlap(_docs(spark, sf_dir), key_of=key_of)
+
+
+SQL_SOURCE_OVERLAP = """
+WITH h AS (
+  SELECT DISTINCT
+         md5(array_to_string(string_split(lower(trim(text)), ' ')[1:5],
+                             ' ')) AS h,
+         source AS g
+  FROM documents)
+SELECT l.g AS src_a, r.g AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM h l JOIN h r ON l.h = r.h AND l.g < r.g
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # -- semantic dedup (SemDeDup: kmeans clusters -> within-cluster cosine) -----
 
 def q_semantic_dedup(spark, sf_dir):
@@ -1024,4 +1116,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_tfidf": (q_tfidf, SQL_TFIDF),
     "ann_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "text_chunk_windows": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "dedup_incremental_neardup": (q_incremental_neardup,
+                                  _sql_incremental_neardup()),
+    "dedup_source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
 }
