@@ -353,25 +353,29 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash fingerprint over token hashes: bit i is the sign of
-    sum(+1/-1 per token's i-th hash bit).  Returns (id, simhash)."""
+    sum(+1/-1 per token's i-th hash bit).  Returns (id, simhash).
+
+    Vectorized formulation (r11): the per-bit votes are ``bits``
+    conditional-sum COLUMNS of one map-side-combined groupBy(id) — the
+    r1-r10 shape exploded every token row ``bits``× (a 16× shuffle-volume
+    blowup) and aggregated twice.  Arithmetic is identical (same +-1
+    votes, same >0 sign rule), so fingerprints are bit-for-bit unchanged
+    — the DuckDB oracle and the sweep pin it."""
     toks = (_spread(docs)
             .select(F.col(id_col).alias("id"),
                     F.explode(tokens_col(F.col(text_col))).alias("tok"))
             .select("id", md5_long(F.col("tok"), "sim").alias("h")))
-    per_bit = toks.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"),
-        F.col("h"))
-    signed = per_bit.select(
-        "id", "i",
-        F.when(F.expr("shiftright(h, i) % 2") == 1, F.lit(1)).otherwise(F.lit(-1))
-         .alias("s"))
-    bit_votes = signed.groupBy("id", "i").agg(F.sum("s").alias("v"))
-    return (bit_votes
-            .groupBy("id")
-            .agg(F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(1L, i)"))
-                       .otherwise(F.lit(0))).cast("long").alias("simhash"))
-            .withColumnRenamed("id", id_col))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{i}")
+        for i in range(bits)]
+    fp = sum(
+        (F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+         for i in range(bits)),
+        start=F.lit(0))
+    return (toks.groupBy("id").agg(*votes)
+            .select(F.col("id").alias(id_col),
+                    fp.cast("long").alias("simhash")))
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
