@@ -991,7 +991,9 @@ def _pipeline_latency(spark, qs) -> dict:
                  "hta_aggregate_auto", "hta_count_levels",
                  "ann_knn_label_accuracy", "sketch_hist_by_group",
                  "dedup_simhash_pairs", "text_tfidf",
-                 "ann_semantic_dedup", "text_chunk_windows"):
+                 "ann_semantic_dedup", "text_chunk_windows",
+                 "dedup_incremental_neardup", "dedup_source_overlap",
+                 "sample_top_quality"):
         fn = qs.get(name)
         if fn is None:
             continue

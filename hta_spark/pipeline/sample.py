@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from .dedup import md5_long
 
 __all__ = ["BP", "group_cap", "hash_bucket", "hash_sample",
-           "stratified_sample"]
+           "stratified_sample", "top_fraction_by"]
 
 BP = 10_000  # rate unit: basis points (1 bp = 0.01 %)
 
@@ -61,6 +61,42 @@ def stratified_sample(df: DataFrame, rates: DataFrame | dict,
     j = df.join(F.broadcast(rates), strata_col, "left")
     rate = F.coalesce(F.col("rate_bp"), F.lit(int(default_bp)))
     return j.filter(hash_bucket(F.col(key_col), salt) < rate).drop("rate_bp")
+
+
+def top_fraction_by(df: DataFrame, frac_bp: int, score_col: str,
+                    group_col: str | None = None,
+                    key_col: str = "doc_id") -> DataFrame:
+    """Keep the best ``frac_bp``/10000 rows per group ranked by
+    ``score_col`` DESC (``key_col`` tiebreak) — quality-based selection,
+    the "keep the top 25% by quality score per source" stage of a
+    curation pipeline.
+
+    Kept count per group is exactly ``ceil(n * frac_bp / 10000)``
+    (integer arithmetic — ``(n*frac_bp + 9999) div 10000`` — so the
+    boundary is engine-exact; at least one row per non-empty group).
+    Deterministic: the kept set is a pure function of the scores and
+    keys, independent of partitioning.
+
+    Scale shape: one shuffle on the group key with BOTH window functions
+    (row_number + count) sharing the single sort — per-group ranking is
+    inherently a global ordering within the group, so this operator
+    shuffles the corpus once; when an approximate threshold suffices at
+    100 TB, compute a per-group score quantile (sketch.hist_quantiles
+    grouped) and map-filter on it instead."""
+    from pyspark.sql import Window
+
+    if not 0 <= int(frac_bp) <= BP:
+        raise ValueError(f"frac_bp must be in [0, {BP}], got {frac_bp}")
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(F.desc(score_col), F.col(key_col))
+    wn = Window.partitionBy(*part)
+    keep = F.call_function(
+        "div", F.count("*").over(wn) * F.lit(int(frac_bp)) + F.lit(BP - 1),
+        F.lit(BP))
+    return (df.withColumn("_rk", F.row_number().over(w).cast("long"))
+            .withColumn("_keep", keep)
+            .filter(F.col("_rk") <= F.col("_keep"))
+            .drop("_rk", "_keep"))
 
 
 def group_cap(df: DataFrame, k: int, group_col: str = "source",

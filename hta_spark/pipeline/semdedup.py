@@ -61,6 +61,8 @@ def semantic_pairs(emb: DataFrame, k: int = 8, iterations: int = 3,
     the vector-carrying sides must never broadcast off stats-blind
     estimates (the r10 bench OOM class).
     """
+    from ..compat import pin
+
     assigned = kmeans_lite(emb, k=k, iterations=iterations,
                            id_col=id_col, vec_col=vec_col,
                            quantize=quantize).select(id_col, "cluster")
@@ -69,6 +71,12 @@ def semantic_pairs(emb: DataFrame, k: int = 8, iterations: int = 3,
         if int(max_cluster_rows) < 1:
             raise ValueError(
                 f"max_cluster_rows must be >= 1, got {max_cluster_rows}")
+        # pin the (id, cluster) assignment — two longs/row — BEFORE the
+        # sizes collect, lazily: the collect below materializes it, so
+        # the planner pass and the pair joins share ONE assignment scan
+        # instead of re-running the map-only kmeans assignment (an extra
+        # full corpus pass at 100 TB)
+        assigned = pin(assigned, eager=False)
         # k-row planner collect (k = cluster count, driver-bounded by
         # construction): decides the plan, same discipline as the
         # aggregate auto planner's cached stats

@@ -1022,6 +1022,38 @@ WHERE sp.b >= {NEARDUP_SEEN_BP}
 """
 
 
+# -- per-source top-quality selection (r11) -----------------------------------
+
+def q_sample_top_quality(spark, sf_dir):
+    """Quality-based selection: keep the best 25% of documents per
+    source by the quality heuristic (score desc, doc_id tiebreak) —
+    kept count per source is exactly ceil(n * 0.25) via integer
+    arithmetic, so the boundary is engine-exact."""
+    from .pipeline.sample import top_fraction_by
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).select("doc_id", "quality")
+    j = docs.select("doc_id", "source").join(q, "doc_id")
+    return top_fraction_by(j, 2500, "quality", group_col="source")
+
+
+def _sql_top_quality() -> str:
+    return f"""
+WITH q AS ({_sql_quality()}),
+j AS (
+  SELECT d.doc_id, d.source, q.quality
+  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+r AS (
+  SELECT doc_id, source, quality,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY quality DESC, doc_id) AS BIGINT)
+             AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM j)
+SELECT doc_id, source, quality
+FROM r WHERE rk <= (n * 2500 + 9999) // 10000
+"""
+
+
 # -- cross-source exact-content overlap matrix (r11) --------------------------
 
 def q_source_overlap(spark, sf_dir):
@@ -1119,4 +1151,5 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_incremental_neardup": (q_incremental_neardup,
                                   _sql_incremental_neardup()),
     "dedup_source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
+    "sample_top_quality": (q_sample_top_quality, _sql_top_quality()),
 }

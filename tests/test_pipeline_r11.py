@@ -104,3 +104,28 @@ def test_lc_cache_is_weak(spark):
     first = compat._lc_supported(spark)
     assert compat._lc_supported(spark) is first   # cached verdict reused
     assert spark in compat._LC_OK
+
+
+# -- top_fraction_by (r11 quality selection) ----------------------------------
+
+def test_top_fraction_ceil_and_tiebreak(spark):
+    from hta_spark.pipeline.sample import top_fraction_by
+    rows = [(i, "g", float(100 - i)) for i in range(10)]   # scores desc by id
+    rows += [(100, "h", 1.0), (101, "h", 1.0), (102, "h", 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, score double")
+    # 25% of 10 -> ceil(2.5) = 3; 25% of 3 -> ceil(0.75) = 1 (never empty)
+    got = top_fraction_by(df, 2500, "score", group_col="g")
+    by_g = {}
+    for r in got.collect():
+        by_g.setdefault(r["g"], []).append(r["doc_id"])
+    assert sorted(by_g["g"]) == [0, 1, 2]
+    assert by_g["h"] == [100]          # equal scores -> smallest key wins
+
+
+def test_top_fraction_bounds(spark):
+    from hta_spark.pipeline.sample import top_fraction_by
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    assert top_fraction_by(df, 10_000, "score").count() == 1
+    import pytest as _pt
+    with _pt.raises(ValueError, match="frac_bp"):
+        top_fraction_by(df, 10_001, "score")
