@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 from .dedup import shingles_from_tokens, tokens_col
 
 __all__ = ["doc_ngrams", "eval_ngram_set", "decontaminate",
-           "bloom_bitset", "bloom_decontaminate"]
+           "bloom_bitset", "bitset_from_keys", "bloom_decontaminate"]
 
 #: Bloom geometry: m = 2^20 bits (16384 longs = 128 KiB broadcast), k = 7
 #: probes.  At the benchmark-decontamination scale (eval sets are a few
@@ -131,15 +131,32 @@ def bloom_bitset(eval_docs: DataFrame, n: int = 5,
                  m_log2: int = BLOOM_M_LOG2, k: int = BLOOM_K,
                  text_col: str = "text") -> DataFrame:
     """Compile the eval benchmark's n-gram set into a ONE-ROW Bloom bitset
-    frame (``bits``: array<bigint> of length ``2^m_log2 / 64``).
+    frame — see :func:`bitset_from_keys` (this is that builder applied to
+    :func:`eval_ngram_set`; the gated decontamination queries pin its
+    exact bit layout)."""
+    return bitset_from_keys(eval_ngram_set(eval_docs, n, text_col),
+                            "gram", m_log2, k)
 
-    Fully declarative: gram -> k bit positions (explode over the tiny eval
-    side only), per-word ``bit_or`` of the single-bit masks, then a dense
+
+def bitset_from_keys(keys: DataFrame, key_col: str = "gram",
+                     m_log2: int = BLOOM_M_LOG2,
+                     k: int = BLOOM_K) -> DataFrame:
+    """Compile an arbitrary string-key frame into a ONE-ROW Bloom bitset
+    frame (``bits``: array<bigint> of length ``2^m_log2 / 64``) — the
+    shared builder behind :func:`bloom_bitset` (eval n-grams) and the
+    streaming near-dup band index
+    (:func:`hta_spark.streaming.dedup_stream.neardup_index_bitset`).
+
+    Fully declarative: key -> k bit positions (explode over the key side
+    only), per-word ``bit_or`` of the single-bit masks, then a dense
     word vector via a range frame so absent words materialize as 0.  The
-    result broadcasts as ~``2^m_log2 / 8`` bytes regardless of corpus size.
+    result broadcasts as ~``2^m_log2 / 8`` bytes regardless of corpus
+    size.  The ``'bloom|'`` hash salt and Kirsch–Mitzenmacher probe
+    layout are FIXED — they are mirrored verbatim by the DuckDB oracles
+    of the gated bloom queries.
     """
     m = 1 << m_log2
-    grams = eval_ngram_set(eval_docs, n, text_col)
+    grams = keys.select(F.col(key_col).alias("gram"))
     h1, h2 = _bloom_hash_pair(
         F.md5(F.concat(F.lit("bloom|"), F.col("gram"))), m)
     pos = F.explode(F.transform(
@@ -150,7 +167,7 @@ def bloom_bitset(eval_docs: DataFrame, n: int = 5,
                      F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))")
                      .alias("mask"))
              .groupBy("w").agg(F.bit_or("mask").alias("mask")))
-    dense = (eval_docs.sparkSession.range(m // 64)
+    dense = (keys.sparkSession.range(m // 64)
              .withColumnRenamed("id", "w")
              .join(words, "w", "left")
              .select("w", F.coalesce("mask", F.lit(0).cast("long"))

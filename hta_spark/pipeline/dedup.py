@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from ..compat import default_parallelism, pin, release
 
 __all__ = ["normalize_text", "tokens_col", "shingles_col", "md5_long",
-           "exact_dedup", "prefix_dedup", "minhash_signatures", "lsh_pairs",
+           "exact_dedup", "prefix_dedup", "minhash_signatures",
+           "minhash_signature_exprs", "lsh_pairs",
            "lsh_band_buckets", "dedup_against_neardup", "source_overlap",
            "ngram_jaccard_pairs", "simhash", "simhash_pairs"]
 
@@ -238,6 +239,37 @@ def source_overlap(docs: DataFrame, text_col: str = "text",
             .groupBy("src_a", "src_b")
             .agg(F.count("*").cast("long").alias("n_shared"))
             .orderBy("src_a", "src_b"))
+
+
+def minhash_signature_exprs(shingles: Column, k: int = 8) -> list[Column]:
+    """Map-only twin of :func:`minhash_signatures`: the k signature
+    columns as ``array_min`` over a materialized shingle-array column —
+    per-shingle hashes are the identical md5 expressions, and min over
+    the same set gives BIT-IDENTICAL signatures (equivalence pinned in
+    tests).  NULL when the doc has no shingles (filter those out before
+    banding — the explode formulation simply emits no row for them).
+
+    This is the STREAMING form: explode + groupBy(id) is a stateful
+    streaming aggregation (watermark, state store), while a per-row
+    array fold is stateless — a document's shingles live in its own row.
+    Batch pipelines should prefer :func:`minhash_signatures` (the
+    exploded hashes are codegen'd once per digest; the fold recomputes
+    the md5 per signature slot)."""
+    assert k % 2 == 0
+
+    def slot_hash(off: int, pre: str):
+        # single-arg lambda via factory: PySpark binds HOF arity from the
+        # lambda's parameter count, so the default-arg closure idiom
+        # (lambda sh, off=off: ...) mis-reads as a 3-arg lambda
+        return lambda sh: F.conv(
+            F.substring(F.md5(F.concat(F.lit(pre), sh)), off, 15),
+            16, 10).cast("long")
+
+    return [
+        F.array_min(F.transform(
+            shingles, slot_hash(1 if s % 2 == 0 else 17, f"{s // 2}|")))
+        .alias(f"mh_{s}")
+        for s in range(k)]
 
 
 def lsh_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 8,

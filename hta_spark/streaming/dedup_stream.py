@@ -27,7 +27,87 @@ from pyspark.sql import functions as F
 
 from ..pipeline.dedup import normalize_text
 
-__all__ = ["stream_exact_dedup"]
+__all__ = ["stream_exact_dedup", "neardup_index_bitset",
+           "neardup_bloom_filter"]
+
+
+def neardup_index_bitset(index: DataFrame,
+                         m_log2: int | None = None,
+                         bloom_k: int | None = None) -> DataFrame:
+    """Compile a stored :func:`hta_spark.pipeline.dedup.lsh_band_buckets`
+    index into the ONE-ROW Bloom bitset :func:`neardup_bloom_filter`
+    probes — key = ``band || ':' || bh`` (distinct), built once per index
+    publish, broadcast as ``2^m_log2 / 8`` bytes regardless of corpus
+    size.  Size ``m_log2`` for the index cardinality (n_docs × bands
+    keys): FP per key ≈ (keys·k/m)^k — at the default 2^20 bits / k=7
+    a 10^4-key index probes at ~1e-9; raise ``m_log2`` as the corpus
+    grows (2^30 bits = 128 MiB still broadcasts)."""
+    from ..pipeline.decontaminate import BLOOM_K, BLOOM_M_LOG2, \
+        bitset_from_keys
+    keys = index.select(
+        F.concat(F.col("band").cast("string"), F.lit(":"), F.col("bh"))
+        .alias("key")).distinct()
+    return bitset_from_keys(keys, "key",
+                            BLOOM_M_LOG2 if m_log2 is None else m_log2,
+                            BLOOM_K if bloom_k is None else bloom_k)
+
+
+def neardup_bloom_filter(docs: DataFrame, index_bits: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 8, rows_per_band: int = 2,
+                         shingle_n: int = 3,
+                         m_log2: int | None = None,
+                         bloom_k: int | None = None) -> DataFrame:
+    """NEAR-dup filter against a STORED corpus with ZERO shuffle — the
+    streaming form of :func:`~hta_spark.pipeline.dedup
+    .dedup_against_neardup`: keep documents whose MinHash band buckets
+    hit nothing in the corpus index's Bloom bitset
+    (:func:`neardup_index_bitset`).
+
+    Everything is per-row expressions: signatures come from the MAP-ONLY
+    formulation (``minhash_signature_exprs`` — array_min folds over the
+    row's own shingle array, bit-identical to the batch explode+groupBy
+    form, which on a stream would be a stateful aggregation), band keys
+    are a projection, and the index probe tests bits of the broadcast
+    bitset in place — no join on the document side, no state store, no
+    watermark trade.  ``docs`` may therefore be a STREAMING frame: each
+    micro-batch probes the static bitset (re-resolved per trigger, so a
+    periodically republished index shows up without a restart);
+    stream ≡ batch is pinned in tests.  Shingle-less docs pass through,
+    matching the batch operator.
+
+    The Bloom trade (same direction as ``bloom_decontaminate``): false
+    positives DROP a bounded ~(keys·k/m)^k fraction of genuinely novel
+    documents; false negatives are impossible, so a banded near-dup
+    never slips through.  For the exact decision run the batch
+    ``dedup_against_neardup`` join; ``m_log2``/``bloom_k`` must match
+    the bitset's build parameters."""
+    from ..pipeline.decontaminate import BLOOM_K, BLOOM_M_LOG2, \
+        _bloom_probe_exprs
+    from ..pipeline.dedup import (_band_hash_arr, minhash_signature_exprs,
+                                  shingles_from_tokens, tokens_col)
+
+    m = 1 << (BLOOM_M_LOG2 if m_log2 is None else m_log2)
+    kk = BLOOM_K if bloom_k is None else bloom_k
+    cols = docs.columns
+    base = (docs
+            .withColumn("_t", tokens_col(F.col(text_col)))
+            .withColumn("_s", shingles_from_tokens(F.col("_t"), shingle_n)))
+    base = base.select(*cols, "_s",
+                       *minhash_signature_exprs(F.col("_s"), k))
+    bands = k // rows_per_band
+    band_keys = F.zip_with(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        _band_hash_arr(k, rows_per_band),
+        lambda b, bh: F.concat(b.cast("string"), F.lit(":"), bh))
+    keys = F.when(F.size("_s") > 0, band_keys) \
+            .otherwise(F.array().cast("array<string>"))
+    pairs, n_hit = _bloom_probe_exprs(m, kk, grams_col="_keys")
+    return (base.crossJoin(F.broadcast(index_bits))
+            .withColumn("_keys", keys)
+            .withColumn("_hp", F.expr(pairs))
+            .filter(F.expr(n_hit) == 0)
+            .select(*cols))
 
 
 def stream_exact_dedup(stream_df: DataFrame, text_col: str = "text",

@@ -85,3 +85,90 @@ def test_unbounded_dedup_requires_opt_in(spark):
         stream_exact_dedup(stream)
     out = stream_exact_dedup(stream, allow_unbounded_state=True)
     assert "content_hash" in out.columns
+
+
+def test_neardup_bloom_filter_matches_exact_batch(spark):
+    """The zero-shuffle Bloom near-dup filter agrees with the exact
+    dedup_against_neardup join on the sf0.001 corpus split (no false
+    positive fires at 2^20 bits on this key count — deterministic md5,
+    so this equality is stable), and the map-only signature expressions
+    are bit-identical to the exploded batch signatures."""
+    from hta_spark.pipeline.dedup import (dedup_against_neardup,
+                                          lsh_band_buckets,
+                                          minhash_signature_exprs,
+                                          shingles_from_tokens, tokens_col)
+    from hta_spark.streaming.dedup_stream import (neardup_bloom_filter,
+                                                  neardup_index_bitset)
+
+    docs = _docs(spark)
+    seen = docs.filter(F.col("doc_id") % 3 != 0)
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+
+    # map-only signatures == exploded batch signatures, bit for bit
+    mo = (docs.select(F.col("doc_id"), tokens_col(F.col("text")).alias("_t"))
+          .select("doc_id", shingles_from_tokens(F.col("_t"), 3).alias("_s"))
+          .filter(F.size("_s") > 0)
+          .select("doc_id", *minhash_signature_exprs(F.col("_s"))))
+    ex = minhash_signatures(docs)
+    assert mo.exceptAll(ex).count() == 0 and ex.exceptAll(mo).count() == 0
+
+    idx = lsh_band_buckets(minhash_signatures(seen))
+    bits = neardup_index_bitset(idx)
+    got = {r["doc_id"]
+           for r in neardup_bloom_filter(incoming, bits).collect()}
+    want = {r["doc_id"]
+            for r in dedup_against_neardup(incoming, seen).collect()}
+    assert got == want and got
+
+
+def test_neardup_bloom_filter_stream_equals_batch(spark, tmp_path):
+    """File-source stream through neardup_bloom_filter emits exactly the
+    batch filter's survivors (stateless map-only op: stream == batch)."""
+    from hta_spark.pipeline.dedup import lsh_band_buckets
+    from hta_spark.streaming.dedup_stream import (neardup_bloom_filter,
+                                                  neardup_index_bitset)
+
+    docs = _docs(spark)
+    seen = docs.filter(F.col("doc_id") % 3 != 0)
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+    bits = neardup_index_bitset(
+        lsh_band_buckets(minhash_signatures(seen)))
+    bits = bits.cache()
+    bits.count()              # a stable static side for every trigger
+
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.parquet(str(src / "b0"))
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "b*")))
+    q = (neardup_bloom_filter(stream, bits)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+         .format("memory").queryName("nd_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"] for r in spark.sql(
+        "SELECT doc_id FROM nd_out").collect()}
+    want = {r["doc_id"]
+            for r in neardup_bloom_filter(incoming, bits).collect()}
+    assert got == want and got
+    bits.unpersist()
+
+
+def test_neardup_bloom_shingleless_passes(spark):
+    from hta_spark.pipeline.dedup import lsh_band_buckets, \
+        minhash_signatures as _ms
+    from hta_spark.streaming.dedup_stream import (neardup_bloom_filter,
+                                                  neardup_index_bitset)
+    seen = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    tiny = spark.createDataFrame([(20, "two words")],
+                                 "doc_id long, text string")
+    bits = neardup_index_bitset(lsh_band_buckets(_ms(seen)))
+    assert [r["doc_id"]
+            for r in neardup_bloom_filter(tiny, bits).collect()] == [20]
