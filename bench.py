@@ -124,9 +124,14 @@ def _partitionless_windows(plan: str) -> list[str]:
     """Arguments of physical ``Window`` nodes carrying NO partition spec —
     the single-partition scale-killer whose WARN this bench deliberately
     quiets (see main()).  The formatted node prints
-    ``Arguments: [functions], [partitionSpec], [orderSpec]``; the
-    partition-less form drops the middle list, so fewer than three
-    top-level bracket groups means unpartitioned."""
+    ``Arguments: [functions], [partitionSpec], [orderSpec]`` — but EMPTY
+    specs are omitted entirely, so two bracket groups is ambiguous: an
+    unpartitioned-but-ordered window prints ``[funcs], [orderSpec]``
+    while a partitioned-but-unordered one (e.g. ``count(*) over
+    (partition by g)``) prints ``[funcs], [partitionSpec]``.  The two are
+    told apart by the sort-direction markers only order specs carry
+    (r11: the old <3-groups rule false-positived on every unordered
+    partitioned window)."""
     import re
     bad = []
     for m in re.finditer(r"\(\d+\) Window\n(?:Input.*\n)?Arguments: (.*)",
@@ -142,7 +147,14 @@ def _partitionless_windows(plan: str) -> list[str]:
                 depth -= 1
                 if depth == 0:
                     groups.append(args[start:i + 1])
-        if len(groups) < 3:
+        if len(groups) >= 3:
+            partitioned = groups[1] != "[]"
+        elif len(groups) == 2:
+            # order specs read "col ASC NULLS FIRST" / "col DESC ..."
+            partitioned = not re.search(r"\b(ASC|DESC)\b", groups[1])
+        else:
+            partitioned = False
+        if not partitioned:
             bad.append(args)
     return bad
 

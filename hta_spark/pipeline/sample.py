@@ -89,7 +89,11 @@ def top_fraction_by(df: DataFrame, frac_bp: int, score_col: str,
         raise ValueError(f"frac_bp must be in [0, {BP}], got {frac_bp}")
     part = [group_col] if group_col else []
     w = Window.partitionBy(*part).orderBy(F.desc(score_col), F.col(key_col))
-    wn = Window.partitionBy(*part)
+    # the group count rides the SAME ordered spec with an explicit
+    # full-partition frame: one Window node / one sort instead of two
+    # (a full unbounded frame is computed once per partition — O(n),
+    # unlike moving unboundedFollowing frames)
+    wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     keep = F.call_function(
         "div", F.count("*").over(wn) * F.lit(int(frac_bp)) + F.lit(BP - 1),
         F.lit(BP))

@@ -60,3 +60,21 @@ def test_host_canary_normalization(spark):
     s = _canary_single()
     assert 0.0 < s < 5.0
     assert set(CANARY_REF) == {"single_sec", "cores_sec"}
+
+
+def test_tripwire_quiet_on_unordered_partitioned_window(spark):
+    """r11 false positive: count(*) over (partition by g) prints only two
+    bracket groups ([funcs], [partitionSpec]) — the guard must recognize
+    the second group as a partition spec (no ASC/DESC markers)."""
+    df = spark.range(10).withColumn("g", F.col("id") % 2).withColumn(
+        "n", F.count("*").over(Window.partitionBy("g")))
+    assert not _partitionless_windows(_plan(df))
+    _assert_windows_partitioned(df, "fine_unordered")
+
+
+def test_tripwire_fires_on_unpartitioned_unordered_window(spark):
+    df = spark.range(10).withColumn(
+        "n", F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)))
+    assert _partitionless_windows(_plan(df))
