@@ -58,7 +58,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS_r10); r11 rotates in the remaining never-driver-gated
 #: block: the three r10 ops + the new chunking query, the TPC-H
 #: remainder (q1/q3/q5 are headline-benched; q2-q22 relied on the
-#: sweep), and the window/scalar breadth set.
+#: sweep), and the window/scalar breadth set.  r12 candidates (added
+#: during r11, currently sweep-only): dedup_incremental_neardup,
+#: dedup_source_overlap, sample_top_quality, plus the remaining
+#: trailing scalar/string entries.
 _GATE_ROTATION = [
     "dedup_simhash_pairs", "text_tfidf", "ann_semantic_dedup",
     "text_chunk_windows",
