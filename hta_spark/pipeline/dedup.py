@@ -22,7 +22,8 @@ from ..compat import default_parallelism, pin, release
 
 __all__ = ["normalize_text", "tokens_col", "shingles_col", "md5_long",
            "exact_dedup", "prefix_dedup", "minhash_signatures",
-           "minhash_signature_exprs", "lsh_pairs",
+           "minhash_signature_exprs", "minhash_signatures_maponly",
+           "lsh_pairs",
            "lsh_band_buckets", "dedup_against_neardup", "source_overlap",
            "ngram_jaccard_pairs", "simhash", "simhash_pairs"]
 
@@ -193,20 +194,25 @@ def dedup_against_neardup(incoming: DataFrame, seen: DataFrame,
     stored :func:`lsh_band_buckets` table — the 100 TB path: the corpus
     side is read pre-banded, so the pass costs one signature computation
     over the CRAWL plus one equi-join, both linear in the crawl).
-    Candidate acceptance is the standard banding rule (>= 1 shared
-    band); recall/precision follow the (k, rows_per_band) banding curve
-    exactly as in :func:`lsh_pairs`."""
+    Signatures use the MAP-ONLY form (:func:`minhash_signatures_maponly`
+    — bit-identical, zero shuffle), so the only exchanges are the
+    band-key semi-join and the id anti-join.  Candidate acceptance is
+    the standard banding rule (>= 1 shared band); recall/precision
+    follow the (k, rows_per_band) banding curve exactly as in
+    :func:`lsh_pairs`."""
     if "bh" in seen.columns:
         idx = seen.select("band", "bh")
     else:
         idx = lsh_band_buckets(
-            minhash_signatures(seen, text_col=text_col, id_col=id_col,
-                               k=k, shingle_n=shingle_n),
+            minhash_signatures_maponly(seen, text_col=text_col,
+                                       id_col=id_col, k=k,
+                                       shingle_n=shingle_n),
             id_col=id_col, k=k, rows_per_band=rows_per_band) \
             .select("band", "bh")
     inc = lsh_band_buckets(
-        minhash_signatures(incoming, text_col=text_col, id_col=id_col,
-                           k=k, shingle_n=shingle_n),
+        minhash_signatures_maponly(incoming, text_col=text_col,
+                                   id_col=id_col, k=k,
+                                   shingle_n=shingle_n),
         id_col=id_col, k=k, rows_per_band=rows_per_band)
     dup_ids = (inc.join(idx.distinct(), ["band", "bh"], "left_semi")
                .select(F.col("id").alias(id_col)).distinct())
@@ -270,6 +276,24 @@ def minhash_signature_exprs(shingles: Column, k: int = 8) -> list[Column]:
             shingles, slot_hash(1 if s % 2 == 0 else 17, f"{s // 2}|")))
         .alias(f"mh_{s}")
         for s in range(k)]
+
+
+def minhash_signatures_maponly(docs: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", k: int = 8,
+                               shingle_n: int = 3) -> DataFrame:
+    """:func:`minhash_signatures` with ZERO shuffle: per-row
+    :func:`minhash_signature_exprs` folds (bit-identical signatures,
+    equivalence-tested) — docs with fewer than ``shingle_n`` tokens emit
+    no row, matching the exploded form.  The right choice when the
+    signature pass feeds a map-side consumer (banding, the Bloom probe):
+    it trades ~2× the md5 work per shingle for not shuffling the whole
+    corpus through a groupBy; works on streaming frames."""
+    return (docs
+            .select(F.col(id_col), tokens_col(F.col(text_col)).alias("_t"))
+            .select(F.col(id_col),
+                    shingles_from_tokens(F.col("_t"), shingle_n).alias("_s"))
+            .filter(F.size("_s") > 0)
+            .select(F.col(id_col), *minhash_signature_exprs(F.col("_s"), k)))
 
 
 def lsh_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 8,

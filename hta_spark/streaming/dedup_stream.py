@@ -90,6 +90,9 @@ def neardup_bloom_filter(docs: DataFrame, index_bits: DataFrame,
     m = 1 << (BLOOM_M_LOG2 if m_log2 is None else m_log2)
     kk = BLOOM_K if bloom_k is None else bloom_k
     cols = docs.columns
+    # inline (not minhash_signatures_maponly): the shingle-less rows must
+    # stay IN the frame here — they pass the filter with zero keys —
+    # while the signature helpers drop them to match the exploded form
     base = (docs
             .withColumn("_t", tokens_col(F.col(text_col)))
             .withColumn("_s", shingles_from_tokens(F.col("_t"), shingle_n)))
