@@ -16,7 +16,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_contiguous", "chunk_documents"]
+__all__ = ["pack_contiguous", "chunk_documents", "bin_report"]
+
+
+def bin_report(packed: DataFrame, budget: int,
+               shard_col: str | None = None,
+               size_col: str = "n_chars") -> DataFrame:
+    """Packing-efficiency report per shard over :func:`pack_contiguous`
+    output — the training-batch utilization diagnostic: ``(shard?,
+    n_docs, n_bins, total_size, last_bin_fill, max_docs_per_bin)``.
+
+    Concatenate-and-slice packing is CONTIGUOUS, so every bin except the
+    shard's last is exactly full by construction — the only waste in the
+    stream is the last bin's unfilled tail, ``budget - last_bin_fill``
+    (``last_bin_fill = total_size - (n_bins-1)*budget``; a straddling
+    doc's spill-over belongs to the next bin, which the start-offset
+    math already accounts for).  ``max_docs_per_bin`` bounds the
+    per-window document mixing a loader sees.  Two map-side-combined
+    aggregations (bin then shard) — output is #shards rows."""
+    if int(budget) < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    part = [shard_col] if shard_col else []
+    per_bin = (packed.groupBy(*part, "bin_id")
+               .agg(F.count("*").cast("long").alias("_docs"),
+                    F.sum(size_col).cast("long").alias("_size")))
+    rep = (per_bin.groupBy(*part)
+           .agg(F.sum("_docs").cast("long").alias("n_docs"),
+                F.count("*").cast("long").alias("n_bins"),
+                F.sum("_size").cast("long").alias("total_size"),
+                F.max("_docs").cast("long").alias("max_docs_per_bin")))
+    last_fill = (F.col("total_size")
+                 - (F.col("n_bins") - 1) * F.lit(int(budget)))
+    cols = part + ["n_docs", "n_bins", "total_size"]
+    return rep.select(*cols, last_fill.alias("last_bin_fill"),
+                      "max_docs_per_bin")
 
 
 def chunk_documents(docs: DataFrame, size: int, stride: int | None = None,

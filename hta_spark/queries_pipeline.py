@@ -752,6 +752,36 @@ FROM s
 """
 
 
+def q_pack_bin_report(spark, sf_dir):
+    """Per-shard packing-efficiency report over the standard packing
+    (4096-char bins, 8 shards): bin count, payload, last-bin fill (the
+    stream's only waste — interior bins are exactly full by
+    construction) and the max docs mixed into one window."""
+    from .pipeline.pack import bin_report, pack_contiguous
+    docs = _docs(spark, sf_dir).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)))
+    packed = pack_contiguous(docs, PACK_BUDGET, size_col="n_chars",
+                             key_col="doc_id", shard_col="shard")
+    return bin_report(packed, PACK_BUDGET, shard_col="shard")
+
+
+SQL_PACK_BIN_REPORT = f"""
+WITH p AS ({SQL_PACK_CONTIGUOUS}),
+per_bin AS (
+  SELECT shard, bin_id, CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(n_chars) AS BIGINT) AS size
+  FROM p GROUP BY 1, 2)
+SELECT shard,
+       CAST(sum(docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(size) AS BIGINT) AS total_size,
+       CAST(sum(size) - (count(*) - 1) * {PACK_BUDGET} AS BIGINT)
+           AS last_bin_fill,
+       CAST(max(docs) AS BIGINT) AS max_docs_per_bin
+FROM per_bin GROUP BY shard
+"""
+
+
 # -- repetition quality signals ---------------------------------------------
 
 def q_text_repetition(spark, sf_dir):
@@ -1152,4 +1182,5 @@ PIPELINE_QUERIES: dict[str, tuple] = {
                                   _sql_incremental_neardup()),
     "dedup_source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "sample_top_quality": (q_sample_top_quality, _sql_top_quality()),
+    "pack_bin_report": (q_pack_bin_report, SQL_PACK_BIN_REPORT),
 }

@@ -129,3 +129,20 @@ def test_top_fraction_bounds(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="frac_bp"):
         top_fraction_by(df, 10_001, "score")
+
+
+def test_bin_report_fields(spark):
+    from hta_spark.pipeline.pack import bin_report, pack_contiguous
+    df = spark.createDataFrame(
+        [(1, 60), (2, 50), (3, 30), (4, 10)],    # offsets 0,60,110,140
+        "doc_id long, n_chars long")
+    packed = pack_contiguous(df, 100)            # bins 0,0,1,1
+    got = bin_report(packed, 100).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_docs"], r["n_bins"], r["total_size"]) == (4, 2, 150)
+    assert r["last_bin_fill"] == 50              # 150 - 1*100
+    assert r["max_docs_per_bin"] == 2
+    import pytest as _pt
+    with _pt.raises(ValueError, match="budget"):
+        bin_report(packed, 0)
