@@ -1005,7 +1005,7 @@ def _pipeline_latency(spark, qs) -> dict:
                  "dedup_simhash_pairs", "text_tfidf",
                  "ann_semantic_dedup", "text_chunk_windows",
                  "dedup_incremental_neardup", "dedup_source_overlap",
-                 "sample_top_quality"):
+                 "sample_top_quality", "pack_bin_report"):
         fn = qs.get(name)
         if fn is None:
             continue
