@@ -28,12 +28,17 @@ def bin_report(packed: DataFrame, budget: int,
 
     Concatenate-and-slice packing is CONTIGUOUS, so every bin except the
     shard's last is exactly full by construction — the only waste in the
-    stream is the last bin's unfilled tail, ``budget - last_bin_fill``
-    (``last_bin_fill = total_size - (n_bins-1)*budget``; a straddling
-    doc's spill-over belongs to the next bin, which the start-offset
-    math already accounts for).  ``max_docs_per_bin`` bounds the
-    per-window document mixing a loader sees.  Two map-side-combined
-    aggregations (bin then shard) — output is #shards rows."""
+    stream is the last bin's unfilled tail, ``budget - last_bin_fill``.
+    ``n_bins`` is the count of bins the stream actually OCCUPIES,
+    ``ceil(total_size / budget)`` — NOT the count of bins containing a
+    document start (a straddling doc's spill-over occupies bins no doc
+    starts in, so start-bin counting undercounts and can report
+    ``last_bin_fill > budget``).  ``last_bin_fill = total_size -
+    (n_bins-1)*budget`` follows, always in ``[1, budget]`` for a
+    non-empty shard.  ``max_docs_per_bin`` counts docs by their START
+    bin (the packing assignment) and bounds the per-window document
+    mixing a loader sees.  Two map-side-combined aggregations (bin then
+    shard) — output is #shards rows."""
     if int(budget) < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     part = [shard_col] if shard_col else []
@@ -42,11 +47,14 @@ def bin_report(packed: DataFrame, budget: int,
                     F.sum(size_col).cast("long").alias("_size")))
     rep = (per_bin.groupBy(*part)
            .agg(F.sum("_docs").cast("long").alias("n_docs"),
-                F.count("*").cast("long").alias("n_bins"),
                 F.sum("_size").cast("long").alias("total_size"),
                 F.max("_docs").cast("long").alias("max_docs_per_bin")))
+    budget_l = F.lit(int(budget))
+    n_bins = F.call_function(
+        "div", F.col("total_size") + budget_l - 1, budget_l).cast("long")
+    rep = rep.withColumn("n_bins", n_bins)
     last_fill = (F.col("total_size")
-                 - (F.col("n_bins") - 1) * F.lit(int(budget)))
+                 - (F.col("n_bins") - 1) * budget_l)
     cols = part + ["n_docs", "n_bins", "total_size"]
     return rep.select(*cols, last_fill.alias("last_bin_fill"),
                       "max_docs_per_bin")

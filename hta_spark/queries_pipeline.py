@@ -773,10 +773,12 @@ per_bin AS (
   FROM p GROUP BY 1, 2)
 SELECT shard,
        CAST(sum(docs) AS BIGINT) AS n_docs,
-       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST((sum(size) + {PACK_BUDGET} - 1) // {PACK_BUDGET} AS BIGINT)
+           AS n_bins,
        CAST(sum(size) AS BIGINT) AS total_size,
-       CAST(sum(size) - (count(*) - 1) * {PACK_BUDGET} AS BIGINT)
-           AS last_bin_fill,
+       CAST(sum(size)
+            - ((sum(size) + {PACK_BUDGET} - 1) // {PACK_BUDGET} - 1)
+              * {PACK_BUDGET} AS BIGINT) AS last_bin_fill,
        CAST(max(docs) AS BIGINT) AS max_docs_per_bin
 FROM per_bin GROUP BY shard
 """

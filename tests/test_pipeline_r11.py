@@ -146,3 +146,17 @@ def test_bin_report_fields(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="budget"):
         bin_report(packed, 0)
+
+
+def test_bin_report_counts_occupied_bins(spark):
+    # ADVICE r11: two 9-char docs at budget 10 start in bin 0 but the
+    # stream occupies 2 bins; start-bin counting reported n_bins=1 and
+    # last_bin_fill=18 > budget
+    from hta_spark.pipeline.pack import bin_report, pack_contiguous
+    df = spark.createDataFrame([(1, 9), (2, 9)], "doc_id long, n_chars long")
+    r = bin_report(pack_contiguous(df, 10), 10).collect()[0]
+    assert (r["n_bins"], r["total_size"], r["last_bin_fill"]) == (2, 18, 8)
+    # a single doc exceeding budget occupies ceil(25/10)=3 bins
+    df2 = spark.createDataFrame([(1, 25)], "doc_id long, n_chars long")
+    r2 = bin_report(pack_contiguous(df2, 10), 10).collect()[0]
+    assert (r2["n_bins"], r2["last_bin_fill"]) == (3, 5)
