@@ -688,23 +688,28 @@ def _se_semdedup_hot(spark, n_base: int = 69_700, planted: int = 300,
             "semantic_pairs_sec": sec}
 
 
-def _se_throttle_cap(spark, n: int = 8_500_000) -> dict:
+def _se_throttle_cap(spark, n: int = 8_100_000) -> dict:
     """scale_evidence (c): ``throttle_auto``'s straggler cap at its
     DEFAULT (``seq_rows_cap=8_000_000``) on generated data.
 
-    One 8.5M-point metric (just past the cap): auto with NO knobs must
-    dispatch the pointer-doubling parallel arm, and its kept set must
-    fingerprint-equal the sequential arm's.  The parallel arm is slower
-    locally — that is the recorded price of bounded per-task memory at
-    cluster width (same trade as the IVF sub-block), not a defect; the
-    cooldown keeps ~n/8192 points so the doubling runs ~11 rounds."""
+    One 8.1M-point metric (the smallest round size past the cap —
+    VERDICT r11 item 6: the guard binds identically at any size past the
+    threshold, so the insurance arm runs the cheapest such shape): auto
+    with NO knobs must dispatch the pointer-doubling parallel arm, and
+    its kept set must fingerprint-equal the sequential arm's.  The
+    parallel arm is slower locally — that is the recorded price of
+    bounded per-task memory at cluster width (same trade as the IVF
+    sub-block), not a defect; the cooldown keeps ~n/65536 points so the
+    doubling converges in ~8 rounds (each round is an O(n) jump-table
+    self-join — the cell's dominant cost — so fewer kept points cut wall
+    time without touching what the guard proves)."""
     from pyspark.sql import functions as F  # noqa: F401  (plan probe)
     from hta_spark.operators.tools import dummy, throttle, throttle_auto
 
     raw = dummy(spark, count=n, time_delta_ns=50_000_000,
                 value=None).cache()
     raw.count()
-    cooldown = 50_000_000 * 8192 - 1
+    cooldown = 50_000_000 * 65536 - 1
 
     t0 = time.perf_counter()
     auto = throttle_auto(raw, cooldown)            # ALL defaults
@@ -725,14 +730,16 @@ def _se_throttle_cap(spark, n: int = 8_500_000) -> dict:
             "auto_parallel_sec": auto_sec, "seq_arm_sec": seq_sec}
 
 
-def _se_ivf_subblock(spark, n: int = 70_000, dim: int = 32,
+def _se_ivf_subblock(spark, n: int = 66_000, dim: int = 16,
                      k: int = 5, sample: int = 2048) -> dict:
     """scale_evidence (d): the IVF sub-block bound at its DEFAULT
     (``max_cluster_rows=65536``) on generated data.
 
-    70k vectors all assigned to ONE centroid (maximal hot cluster, past
-    the default bound -> ceil(70000/65536) = 2 salted sub-blocks per the
-    guard's arithmetic): ``knn_join_ivf`` with no knobs must still
+    66k vectors all assigned to ONE centroid (a hot cluster just past
+    the default bound -> ceil(66000/65536) = 2 salted sub-blocks per the
+    guard's arithmetic; VERDICT r11 item 6 shrank the shape — and the
+    GEMM-irrelevant dim — to the smallest size that still trips the
+    guard): ``knn_join_ivf`` with no knobs must still
     produce the exact result (one centroid + nprobe 1 probes every
     member, so any difference is the sub-blocking itself).  Ground truth
     is an INDEPENDENT driver-side numpy oracle — full-row stable argsort
@@ -797,6 +804,55 @@ def _se_ivf_subblock(spark, n: int = 70_000, dim: int = 32,
             "ivf_subblocked_sec": ivf_sec}
 
 
+def _se_top_fraction(spark, big: int = 4_200_000,
+                     small: int = 50_000) -> dict:
+    """scale_evidence (f, r12 — VERDICT r11 "What's wrong #1"):
+    ``top_fraction_by``'s size dispatch at its DEFAULT
+    (``rows_cap=4_000_000``) with ONE dominant group — the skew shape a
+    ``partitionBy(source)`` selection hits on any real corpus.
+
+    4.2M rows in one group (past the cap) + a 50k group: the auto call
+    with NO knobs must take the banded arm (no task ever sorts the full
+    group: the threshold comes from the per-group score histogram, rows
+    strictly above the threshold bin pass by a map-side filter, and only
+    the ~group/n_bins boundary band is sorted), and its kept set must
+    fingerprint-equal the full-sort window arm's on the identical input
+    — the banded arm is EXACT, not approximate.  Scores carry heavy ties
+    (10^5 distinct values over 4.2M rows) so the boundary band genuinely
+    exercises the key tie-break."""
+    from pyspark.sql import functions as F
+    from hta_spark.pipeline.sample import (_top_fraction_window,
+                                           top_fraction_by)
+
+    df = spark.range(big + small).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < big, F.lit("big")).otherwise(F.lit("small"))
+         .alias("source"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(100_000))
+         .cast("double") / 1000.0).alias("score")).cache()
+    df.count()
+
+    t0 = time.perf_counter()
+    auto = top_fraction_by(df, 2500, "score", group_col="source")
+    banded = "_tbin" in auto._jdf.queryExecution().analyzed().toString()
+    auto_n, auto_h = _hash_set(auto, ["doc_id"])
+    auto_sec = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    win_n, win_h = _hash_set(
+        _top_fraction_window(df, 2500, "score", ["source"], "doc_id"),
+        ["doc_id"])
+    win_sec = round(time.perf_counter() - t0, 3)
+    df.unpersist()
+    expected = (big * 2500 + 9999) // 10000 + (small * 2500 + 9999) // 10000
+    return {"rows": big + small, "dominant_group_rows": big,
+            "default_rows_cap": 4_000_000,
+            "guard_engaged": banded,
+            "kept_rows": auto_n, "kept_rows_expected": expected,
+            "kept_sets_equal": (auto_n, auto_h) == (win_n, win_h),
+            "banded_arm_sec": auto_sec, "window_arm_sec": win_sec}
+
+
 def _cell(label: str, fn, *args, **kw):
     """Failure-isolated bench cell (VERDICT r10 items 2/3): one crashing
     cell records ``{"error": ..., "trace_head": ...}`` instead of
@@ -832,7 +888,8 @@ def _scale_evidence(spark) -> dict:
         ("gemm_broadcast_guard", _se_gemm_guard),
         ("semdedup_hot_cluster", _se_semdedup_hot),
         ("throttle_auto_cap", _se_throttle_cap),
-        ("ivf_subblock", _se_ivf_subblock))}
+        ("ivf_subblock", _se_ivf_subblock),
+        ("top_fraction_dispatch", _se_top_fraction))}
 
 
 def _streaming_throughput(spark, n: int = 2 ** 21) -> dict:

@@ -65,7 +65,10 @@ def stratified_sample(df: DataFrame, rates: DataFrame | dict,
 
 def top_fraction_by(df: DataFrame, frac_bp: int, score_col: str,
                     group_col: str | None = None,
-                    key_col: str = "doc_id") -> DataFrame:
+                    key_col: str = "doc_id",
+                    rows_cap: int = 4_000_000,
+                    n_bins: int = 1024,
+                    scale: int = 1_000_000) -> DataFrame:
     """Keep the best ``frac_bp``/10000 rows per group ranked by
     ``score_col`` DESC (``key_col`` tiebreak) — quality-based selection,
     the "keep the top 25% by quality score per source" stage of a
@@ -77,22 +80,53 @@ def top_fraction_by(df: DataFrame, frac_bp: int, score_col: str,
     Deterministic: the kept set is a pure function of the scores and
     keys, independent of partitioning.
 
-    Scale shape: one shuffle on the group key with BOTH window functions
-    (row_number + count) sharing the single sort — per-group ranking is
-    inherently a global ordering within the group, so this operator
-    shuffles the corpus once; when an approximate threshold suffices at
-    100 TB, compute a per-group score quantile (sketch.hist_quantiles
-    grouped) and map-filter on it instead."""
-    from pyspark.sql import Window
-
+    Size-dispatched (throttle_auto pattern, VERDICT r11 "What's wrong
+    #1"): one grouped-count planner job; when every group holds at most
+    ``rows_cap`` rows, a single partitioned window ranks each group
+    (row_number + count share one sort).  Past the cap a full-group sort
+    on a low-cardinality key (``partitionBy(source)``) would ship an
+    entire source into one task, so the oversized input takes the EXACT
+    banded arm instead — :func:`_top_fraction_banded`: per-group integer
+    score histogram (two map-side-combined aggregates), a descending
+    cumulative over the <= ``n_bins`` histogram rows picks the threshold
+    bin, rows in strictly-higher bins pass by a map-side filter, and only
+    the boundary band (expected group_size/n_bins rows) is sorted for the
+    exact top-up.  Both arms return the identical kept set (binning is
+    monotone in the score, property-tested in
+    tests/test_pipeline_sample.py)."""
     if not 0 <= int(frac_bp) <= BP:
         raise ValueError(f"frac_bp must be in [0, {BP}], got {frac_bp}")
     part = [group_col] if group_col else []
+    # planner job (throttle_auto pattern, operators/tools.py): the
+    # straggler bound is the LARGEST group, the only size that matters —
+    # one grouped count reduced to (max, #groups)
+    n_max, n_groups = (df.groupBy(*part).count()
+                       .agg(F.max("count"),
+                            F.count(F.lit(1))).collect()[0])
+    if n_max is None or n_groups == 0:
+        return df.filter(F.lit(False))           # empty input, either arm
+    if int(n_max) <= int(rows_cap):
+        return _top_fraction_window(df, frac_bp, score_col, part, key_col)
+    # the per-group stats/threshold frames are #groups rows: broadcast
+    # while that is clearly executor-safe, else a plain (AQE skew-safe)
+    # shuffle join — the banded arm's point is avoiding the full-group
+    # SORT, which neither join strategy reintroduces
+    return _top_fraction_banded(df, frac_bp, score_col, part, key_col,
+                                n_bins, scale,
+                                broadcast_ok=int(n_groups) <= 2_000_000)
+
+
+def _top_fraction_window(df: DataFrame, frac_bp: int, score_col: str,
+                         part: list, key_col: str) -> DataFrame:
+    """Exact single-window arm: one shuffle on the group key with BOTH
+    window functions (row_number + count) sharing the single sort — the
+    count rides the SAME ordered spec with an explicit full-partition
+    frame, so one Window node / one sort instead of two (a full
+    unbounded frame is computed once per partition — O(n), unlike moving
+    unboundedFollowing frames)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(*part).orderBy(F.desc(score_col), F.col(key_col))
-    # the group count rides the SAME ordered spec with an explicit
-    # full-partition frame: one Window node / one sort instead of two
-    # (a full unbounded frame is computed once per partition — O(n),
-    # unlike moving unboundedFollowing frames)
     wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     keep = F.call_function(
         "div", F.count("*").over(wn) * F.lit(int(frac_bp)) + F.lit(BP - 1),
@@ -101,6 +135,91 @@ def top_fraction_by(df: DataFrame, frac_bp: int, score_col: str,
             .withColumn("_keep", keep)
             .filter(F.col("_rk") <= F.col("_keep"))
             .drop("_rk", "_keep"))
+
+
+def _top_fraction_banded(df: DataFrame, frac_bp: int, score_col: str,
+                         part: list, key_col: str,
+                         n_bins: int, scale: int,
+                         broadcast_ok: bool = True) -> DataFrame:
+    """EXACT banded arm — never sorts a full group.
+
+    Correctness argument: ``v = round(score * scale)`` and the per-group
+    bin ``div(v - lo, w)`` are both monotone non-decreasing in the score,
+    so a row in a strictly higher bin has a strictly higher score than
+    every row in a lower bin.  The threshold bin ``b*`` is the unique bin
+    where the descending cumulative first reaches ``keep``; rows above
+    ``b*`` are therefore EXACTLY the top ``above`` rows of the group
+    under (score DESC, key) and pass unsorted, and the remaining
+    ``keep - above`` rows come from sorting ONLY bin ``b*`` by the same
+    (score DESC, key) order — the global top-``keep`` set, bit-identical
+    to the window arm.  NULL scores sort last under ``desc`` in both
+    engines and land in a dedicated band below every real bin (_bin=-1,
+    key-ordered), so groups whose ``keep`` extends past the non-null
+    rows stay exact too.
+
+    Scale shape: two map-side-combined aggregates (group bounds, then
+    per-(group,bin) counts), windows over <= n_bins rows per group, one
+    join of the rows against #groups-row broadcast frames, a map-side
+    filter, and one sort of the boundary band (expected group/n_bins
+    rows; degenerate only when the whole group shares one score).  No
+    task ever receives a full group."""
+    from pyspark.sql import Window
+
+    out_cols = list(df.columns)
+    v = F.round(F.col(score_col).cast("double") * F.lit(int(scale)))\
+        .cast("long")
+    rows = df.withColumn("_v", v)
+    stats = (rows.groupBy(*part)
+             .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                  F.min("_v").alias("_slo"), F.max("_v").alias("_shi")))
+    # exact int64 width, same rule as sketch.hist_width
+    width = F.greatest(
+        F.lit(1).cast("long"),
+        F.call_function("div", F.col("_shi") - F.col("_slo"),
+                        F.lit(int(n_bins))) + F.lit(1))
+    stats = stats.withColumn("_w", width)
+    hint = F.broadcast if broadcast_ok else (lambda x: x)
+    joined = (rows.join(hint(stats), part) if part
+              else rows.crossJoin(F.broadcast(stats)))
+    raw_bin = F.call_function("div", F.col("_v") - F.col("_slo"),
+                              F.col("_w"))
+    bin_c = F.when(
+        F.col("_v").isNotNull() & F.col("_slo").isNotNull(),
+        F.least(F.greatest(raw_bin, F.lit(0).cast("long")),
+                F.lit(int(n_bins) - 1).cast("long"))
+    ).otherwise(F.lit(-1).cast("long"))          # NULL-score band, last
+    binned = joined.withColumn("_bin", bin_c)
+    per_bin = (binned.groupBy(*part, "_bin", "_n")
+               .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    # threshold bin per group: descending cumulative over <= n_bins+1
+    # histogram rows (partitioned window — parallel across groups; the
+    # no-group case partitions by the constant-but-genuine `_n`
+    # attribute, the hist_quantiles trick, so WindowExec never sees an
+    # empty partition spec)
+    wcum = (Window.partitionBy(*(part or ["_n"]))
+            .orderBy(F.desc("_bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    keep = F.call_function(
+        "div", F.col("_n") * F.lit(int(frac_bp)) + F.lit(BP - 1),
+        F.lit(BP))
+    thr = (per_bin.withColumn("_cum", F.sum("_c").over(wcum))
+           .withColumn("_above", F.col("_cum") - F.col("_c"))
+           .withColumn("_keep", keep)
+           .filter((F.col("_above") < F.col("_keep"))
+                   & (F.col("_keep") <= F.col("_cum")))
+           .select(*part, F.col("_bin").alias("_tbin"), "_above", "_keep"))
+    routed = (binned.join(hint(thr), part) if part
+              else binned.crossJoin(F.broadcast(thr)))
+    # strictly above the threshold bin: kept unsorted, map-side
+    sure = routed.filter(F.col("_bin") > F.col("_tbin")).select(*out_cols)
+    # boundary band: exact top-(keep-above), sorting ONLY band rows
+    band = routed.filter(F.col("_bin") == F.col("_tbin"))
+    wb = Window.partitionBy(*(part or ["_keep"])).orderBy(
+        F.desc(score_col), F.col(key_col))
+    topped = (band.withColumn("_rk", F.row_number().over(wb).cast("long"))
+              .filter(F.col("_rk") <= F.col("_keep") - F.col("_above"))
+              .select(*out_cols))
+    return sure.unionByName(topped)
 
 
 def group_cap(df: DataFrame, k: int, group_col: str = "source",
