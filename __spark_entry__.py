@@ -55,26 +55,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #: committed sf0.1 full sweep still covers all of them each round.
 #:
 #: r10 rotated the LLM-pipeline core in (all 32 driver-green in
-#: CORRECTNESS_r10); r11 rotates in the remaining never-driver-gated
-#: block: the three r10 ops + the new chunking query, the TPC-H
-#: remainder (q1/q3/q5 are headline-benched; q2-q22 relied on the
-#: sweep), and the window/scalar breadth set.  r12 candidates (added
-#: during r11, currently sweep-only): dedup_incremental_neardup,
-#: dedup_source_overlap, sample_top_quality, plus the remaining
-#: trailing scalar/string entries.
+#: CORRECTNESS_r10); r11 rotated the TPC-H remainder + window/scalar
+#: breadth (all green in CORRECTNESS_r11).  r12 (VERDICT r11 item 2)
+#: promotes the LAST 15 never-driver-gated entries — the four r11
+#: additions (dedup_incremental_neardup, dedup_source_overlap,
+#: sample_top_quality, pack_bin_report) plus the trailing dedup/sketch/
+#: text/scalar entries — and back-fills the remaining slots with the
+#: STALEST rows (last green r1-r9: the IVF pair, fingerprint/repetition,
+#: as-of/sessionize/pivot, and the r9 relational block), so every
+#: registry entry keeps a recent driver-green row.
 _GATE_ROTATION = [
-    "dedup_simhash_pairs", "text_tfidf", "ann_semantic_dedup",
-    "text_chunk_windows",
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_profit_by_nation",
-    "q10_returned_items", "q11_important_stock", "q12_priority_case",
-    "q13_order_distribution", "q14_promo_share", "q15_top_supplier",
-    "q16_supplier_variety", "q17_below_avg", "q18_large_orders",
-    "q19_disjunction", "q20_excess_suppliers", "q21_last_shipper",
-    "q22_idle_balances",
-    "q_window_funcs", "q_full_outer", "q_percentiles",
-    "q_string_breadth", "q_date_breadth", "q_array_stats",
-    "q_session_window", "q_range_frame", "q_json_props",
+    # never driver-gated (15)
+    "dedup_injected", "dedup_incremental_neardup", "dedup_source_overlap",
+    "sample_top_quality", "pack_bin_report", "hta_means",
+    "decontaminate_bloom_fp", "sketch_hist_by_group",
+    "q_range_join_incidents", "text_rules", "q_bucketed_join",
+    "ann_knn_label_accuracy", "q_unpivot", "text_vocab",
+    "text_unigram_surprisal",
+    # stalest driver-green rows (r1-r6)
+    "text_fingerprint", "ann_ivf_assign", "ann_ivf_topk",
+    "text_repetition", "dedup_prefix", "q_asof_signup", "q_sessionize",
+    "q_pivot_events", "q_running_sum",
+    # r9 relational block
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q_topk_per_group", "q_rollup_orders", "q_cube_lineitem",
+    "q_semi_anti", "q_set_ops",
 ]
 
 
