@@ -150,8 +150,13 @@ def _partitionless_windows(plan: str) -> list[str]:
         if len(groups) >= 3:
             partitioned = groups[1] != "[]"
         elif len(groups) == 2:
-            # order specs read "col ASC NULLS FIRST" / "col DESC ..."
-            partitioned = not re.search(r"\b(ASC|DESC)\b", groups[1])
+            # order specs read "col ASC NULLS FIRST" / "col DESC NULLS
+            # LAST" — match the full direction+null-order shape (ADVICE
+            # r11: a PARTITION column literally named ASC/DESC, or an
+            # expression embedding those words, must not be misread as
+            # an order spec)
+            partitioned = not re.search(
+                r"\b(ASC|DESC) NULLS (FIRST|LAST)\b", groups[1])
         else:
             partitioned = False
         if not partitioned:
@@ -657,20 +662,22 @@ def _se_semdedup_hot(spark, n_base: int = 69_700, planted: int = 300,
 
     70k rows > 65 536: the bound must route the cluster through
     within-cluster SRP banding instead of the O(B^2) exact pair join.
-    ``planted`` pairs are IDENTICAL copies (cos exactly 1.0): identical
-    vectors have identical SRP signatures, so the banded path must
-    recover every one — recall 1.0 is an equivalence check, not a
-    statistic — while random pairs (~cos 0) stay excluded by the 0.999
-    threshold."""
+    ``planted`` pairs are NEAR-identical copies (4 coords perturbed,
+    cos ~0.998 — VERDICT r11 item 3: identical copies collide in every
+    SRP band by construction, so they measure nothing), so the reported
+    recall is the MEASURED SRP recall at the hot-path defaults
+    (``hot_n_planes=72``, ``hot_rows_per_band=24``; the analytic
+    expectation at cos 0.998 is ~((1-(1-acos(c)/pi)^24)^3 miss) ~0.94),
+    while random pairs (~cos 0) stay excluded by the 0.99 threshold."""
     from pyspark.sql import functions as F
     from hta_spark.pipeline.semdedup import semantic_pairs
 
     n = n_base + planted
     emb, est_bytes = _planted_embeddings(spark, n_base, planted, dim,
-                                         perturb=False)
+                                         perturb=True)
     t0 = time.perf_counter()
     pairs = semantic_pairs(emb, k=1, iterations=1,
-                           threshold=0.999).cache()   # ALL defaults
+                           threshold=0.99).cache()    # ALL scale defaults
     pairs_n = pairs.count()
     sec = round(time.perf_counter() - t0, 3)
     recovered = pairs.filter((F.col("b") - F.col("a") == n_base)

@@ -183,7 +183,8 @@ def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",
 def dedup_against_neardup(incoming: DataFrame, seen: DataFrame,
                           text_col: str = "text", id_col: str = "doc_id",
                           k: int = 8, rows_per_band: int = 2,
-                          shingle_n: int = 3) -> DataFrame:
+                          shingle_n: int = 3,
+                          seen_is_index: bool | None = None) -> DataFrame:
     """Cross-corpus incremental NEAR-dup: rows of ``incoming`` that share
     no LSH band bucket with any document of ``seen`` — the per-crawl
     "new documents only" step at near-duplicate (not just exact)
@@ -199,8 +200,33 @@ def dedup_against_neardup(incoming: DataFrame, seen: DataFrame,
     band-key semi-join and the id anti-join.  Candidate acceptance is
     the standard banding rule (>= 1 shared band); recall/precision
     follow the (k, rows_per_band) banding curve exactly as in
-    :func:`lsh_pairs`."""
-    if "bh" in seen.columns:
+    :func:`lsh_pairs`.
+
+    ``seen_is_index``: pass explicitly when ``seen``'s shape is
+    ambiguous.  The default inference requires BOTH ``band`` and ``bh``
+    columns AND the absence of ``text_col`` to take the index path
+    (ADVICE r11: a raw document frame that happens to carry an unrelated
+    ``bh`` column must not silently take the pre-banded path — that
+    would band garbage and miss every duplicate)."""
+    has_idx = {"band", "bh"} <= set(seen.columns)
+    has_text = text_col in seen.columns
+    if seen_is_index is None:
+        if has_idx == has_text:
+            raise ValueError(
+                "dedup_against_neardup: cannot infer whether `seen` is a "
+                f"band index (needs 'band'+'bh', found {sorted(seen.columns)}"
+                f") or a raw document frame (needs {text_col!r}); pass "
+                "seen_is_index explicitly")
+        seen_is_index = has_idx
+    if seen_is_index and not has_idx:
+        raise ValueError(
+            "dedup_against_neardup: seen_is_index=True but `seen` lacks "
+            f"'band'/'bh' columns (has {sorted(seen.columns)})")
+    if not seen_is_index and not has_text:
+        raise ValueError(
+            "dedup_against_neardup: seen_is_index=False but `seen` lacks "
+            f"the text column {text_col!r} (has {sorted(seen.columns)})")
+    if seen_is_index:
         idx = seen.select("band", "bh")
     else:
         idx = lsh_band_buckets(

@@ -60,8 +60,18 @@ def semantic_pairs(emb: DataFrame, k: int = 8, iterations: int = 3,
     Both pair joins re-attach vectors through :func:`attach_vectors`:
     the vector-carrying sides must never broadcast off stats-blind
     estimates (the r10 bench OOM class).
+
+    NOTE (ADVICE r11): with ``max_cluster_rows`` set (the default) this
+    function runs an EAGER Spark job at DataFrame-construction time —
+    the k-row cluster-sizes collect that decides the hot routing (same
+    planner discipline as ``aggregate_auto``).  On the classic path the
+    assignment is localCheckpoint-pinned so that planner pass and the
+    pair joins share one scan (checkpoint blocks are GC-reclaimed with
+    the returned frame — no leak); on the Connect persist fallback the
+    pin is SKIPPED — one extra map-only assignment pass per join beats
+    leaking a session-lifetime cached Dataset per call.
     """
-    from ..compat import pin
+    from ..compat import FORCE_FALLBACK, _lc_supported, pin
 
     assigned = kmeans_lite(emb, k=k, iterations=iterations,
                            id_col=id_col, vec_col=vec_col,
@@ -75,8 +85,12 @@ def semantic_pairs(emb: DataFrame, k: int = 8, iterations: int = 3,
         # sizes collect, lazily: the collect below materializes it, so
         # the planner pass and the pair joins share ONE assignment scan
         # instead of re-running the map-only kmeans assignment (an extra
-        # full corpus pass at 100 TB)
-        assigned = pin(assigned, eager=False)
+        # full corpus pass at 100 TB).  Classic path only: there is no
+        # matching release (the returned lineage reads the pin), and on
+        # the persist fallback that would leak one cached Dataset per
+        # call for the session lifetime (ADVICE r11) — recompute instead.
+        if not FORCE_FALLBACK and _lc_supported(emb.sparkSession):
+            assigned = pin(assigned, eager=False)
         # k-row planner collect (k = cluster count, driver-bounded by
         # construction): decides the plan, same discipline as the
         # aggregate auto planner's cached stats

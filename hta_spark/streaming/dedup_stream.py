@@ -47,9 +47,15 @@ def neardup_index_bitset(index: DataFrame,
     keys = index.select(
         F.concat(F.col("band").cast("string"), F.lit(":"), F.col("bh"))
         .alias("key")).distinct()
-    return bitset_from_keys(keys, "key",
-                            BLOOM_M_LOG2 if m_log2 is None else m_log2,
-                            BLOOM_K if bloom_k is None else bloom_k)
+    m = BLOOM_M_LOG2 if m_log2 is None else int(m_log2)
+    kk = BLOOM_K if bloom_k is None else int(bloom_k)
+    # build parameters ride ALONG the bitset as literal columns so the
+    # probe can verify them (ADVICE r11: a probe with mismatched m/k
+    # silently passes duplicates as novel or drops novel docs — the
+    # contract was a docstring note, now it fails loudly)
+    return (bitset_from_keys(keys, "key", m, kk)
+            .withColumn("m_log2", F.lit(m).cast("int"))
+            .withColumn("bloom_k", F.lit(kk).cast("int")))
 
 
 def neardup_bloom_filter(docs: DataFrame, index_bits: DataFrame,
@@ -81,14 +87,19 @@ def neardup_bloom_filter(docs: DataFrame, index_bits: DataFrame,
     documents; false negatives are impossible, so a banded near-dup
     never slips through.  For the exact decision run the batch
     ``dedup_against_neardup`` join; ``m_log2``/``bloom_k`` must match
-    the bitset's build parameters."""
+    the bitset's build parameters — when the bitset frame carries them
+    (:func:`neardup_index_bitset` embeds both as literal columns) a
+    mismatch fails the job with a named error instead of silently
+    filtering wrong, and the bitset's word count is checked against
+    ``2^m_log2/64`` either way (ADVICE r11)."""
     from ..pipeline.decontaminate import BLOOM_K, BLOOM_M_LOG2, \
         _bloom_probe_exprs
     from ..pipeline.dedup import (_band_hash_arr, minhash_signature_exprs,
                                   shingles_from_tokens, tokens_col)
 
-    m = 1 << (BLOOM_M_LOG2 if m_log2 is None else m_log2)
-    kk = BLOOM_K if bloom_k is None else bloom_k
+    ml = BLOOM_M_LOG2 if m_log2 is None else int(m_log2)
+    m = 1 << ml
+    kk = BLOOM_K if bloom_k is None else int(bloom_k)
     cols = docs.columns
     # inline (not minhash_signatures_maponly): the shingle-less rows must
     # stay IN the frame here — they pass the filter with zero keys —
@@ -106,9 +117,24 @@ def neardup_bloom_filter(docs: DataFrame, index_bits: DataFrame,
     keys = F.when(F.size("_s") > 0, band_keys) \
             .otherwise(F.array().cast("array<string>"))
     pairs, n_hit = _bloom_probe_exprs(m, kk, grams_col="_keys")
+    # executor-side build/probe parameter check (lsh_pairs guard style:
+    # the condition is per-row data, so the refusal lives in the
+    # expression; assert_true returns NULL when the check holds, and the
+    # when() wrapper keeps it un-prunable)
+    ok = F.size(F.col("bits")) * 64 == F.lit(m)
+    if {"m_log2", "bloom_k"} <= set(index_bits.columns):
+        ok = ok & (F.col("m_log2") == F.lit(ml)) \
+                & (F.col("bloom_k") == F.lit(kk))
+    chk = F.assert_true(
+        ok, F.concat(
+            F.lit(f"neardup_bloom_filter: probe params m_log2={ml}/"
+                  f"k={kk} do not match the bitset (bitset words="),
+            F.size(F.col("bits")).cast("string"),
+            F.lit("): rebuild the index bitset or pass the build's "
+                  "m_log2/bloom_k")))
     return (base.crossJoin(F.broadcast(index_bits))
             .withColumn("_keys", keys)
-            .withColumn("_hp", F.expr(pairs))
+            .withColumn("_hp", F.when(chk.isNull(), F.expr(pairs)))
             .filter(F.expr(n_hit) == 0)
             .select(*cols))
 

@@ -64,3 +64,25 @@ def test_source_overlap_counts_distinct_shared_keys(spark):
     got = {(r["src_a"], r["src_b"]): r["n_shared"]
            for r in source_overlap(docs).collect()}
     assert got == {("a", "b"): 1, ("a", "c"): 2, ("b", "c"): 1}
+
+
+def test_neardup_seen_shape_validation(spark, corpora):
+    """ADVICE r11: an unrelated `bh` column on a raw document frame must
+    not silently route `seen` through the pre-banded-index path."""
+    import pytest as _pt
+    from hta_spark.pipeline.dedup import dedup_against_neardup
+    incoming, seen = corpora
+    trap = seen.withColumn("bh", F.lit("junk")).withColumn("band", F.lit(0))
+    with _pt.raises(ValueError, match="cannot infer"):
+        dedup_against_neardup(incoming, trap)
+    # explicit override resolves the ambiguity to the document path
+    got = {r.doc_id for r in dedup_against_neardup(
+        incoming, trap, seen_is_index=False).collect()}
+    want = {r.doc_id for r in dedup_against_neardup(
+        incoming, seen).collect()}
+    assert got == want
+    with _pt.raises(ValueError, match="lacks 'band'/'bh'"):
+        dedup_against_neardup(incoming, seen, seen_is_index=True)
+    with _pt.raises(ValueError, match="lacks the text column"):
+        dedup_against_neardup(
+            incoming, trap.select("band", "bh"), seen_is_index=False)

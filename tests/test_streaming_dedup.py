@@ -172,3 +172,25 @@ def test_neardup_bloom_shingleless_passes(spark):
     bits = neardup_index_bitset(lsh_band_buckets(_ms(seen)))
     assert [r["doc_id"]
             for r in neardup_bloom_filter(tiny, bits).collect()] == [20]
+
+
+def test_neardup_bloom_param_mismatch_fails_loudly(spark):
+    """ADVICE r11: probing with m_log2/bloom_k that differ from the
+    bitset's build parameters must raise a named error, not silently
+    misfilter."""
+    import pytest as _pt
+    from hta_spark.pipeline.dedup import (lsh_band_buckets,
+                                          minhash_signatures)
+    from hta_spark.streaming.dedup_stream import (neardup_bloom_filter,
+                                                  neardup_index_bitset)
+    seen = _docs(spark).limit(50)
+    bits = neardup_index_bitset(
+        lsh_band_buckets(minhash_signatures(seen)), m_log2=18)
+    assert bits.columns[-2:] == ["m_log2", "bloom_k"]
+    inc = _docs(spark).limit(10)
+    ok = neardup_bloom_filter(inc, bits, m_log2=18)
+    assert ok.count() >= 0                      # matching params run fine
+    with _pt.raises(Exception, match="do not match the bitset"):
+        neardup_bloom_filter(inc, bits, m_log2=20).collect()
+    with _pt.raises(Exception, match="do not match the bitset"):
+        neardup_bloom_filter(inc, bits, m_log2=18, bloom_k=3).collect()
