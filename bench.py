@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -811,6 +812,113 @@ def _se_ivf_subblock(spark, n: int = 66_000, dim: int = 16,
             "ivf_subblocked_sec": ivf_sec}
 
 
+def _se_incremental_neardup(spark, corpus_n: int = 1_000_000,
+                            crawl_n: int = 50_000,
+                            dup_n: int = 5_000) -> dict:
+    """scale_evidence (g, r12 — VERDICT r11 item 4): the incremental
+    near-dup's 100 TB shape on a 10^6-doc STORED band index + a 50k-doc
+    crawl with 5k planted near-duplicates.
+
+    Proves the pre-banded path: the corpus is banded ONCE into a parquet
+    ``lsh_band_buckets`` table; the crawl pass reads it back and must
+    (a) never re-band or re-aggregate the index — the plan carries
+    EXACTLY the two HashAggregate nodes of the crawl-side id-distinct,
+    so the index side's only exchange is the semi-join's own — and
+    (b) drop every planted duplicate while keeping the novel docs
+    (banding has no false negatives on identical text).
+
+    Also measures the streaming Bloom twin's false-positive DROP rate vs
+    the exact join — at the DEFAULT 2^20 bits (sized for ~10^4-key
+    indexes; 4M keys saturate it, so the measured drop rate documents
+    WHY the docstring says to raise m_log2 with the corpus) and at the
+    corpus-sized 2^26 (16 bits/key), where novel docs must survive at
+    ~1 - bands*fp_key.  False negatives are impossible in either case:
+    every planted duplicate must still drop."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from hta_spark.pipeline.dedup import (dedup_against_neardup,
+                                          lsh_band_buckets,
+                                          minhash_signatures_maponly)
+    from hta_spark.streaming.dedup_stream import (neardup_bloom_filter,
+                                                  neardup_index_bitset)
+
+    def text_of(base_id, salt: int):
+        return F.concat_ws(" ", *[
+            F.hex(F.xxhash64(base_id, F.lit(salt + j))) for j in range(10)])
+
+    corpus = spark.range(corpus_n).select(
+        F.col("id").alias("doc_id"), text_of(F.col("id"), 0).alias("text"))
+    # crawl ids continue past the corpus; the first dup_n reuse corpus
+    # texts (same text -> same signature -> guaranteed band hit), the
+    # rest are novel (salt 100 draws disjoint hex words)
+    crawl = spark.range(corpus_n, corpus_n + crawl_n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < corpus_n + dup_n,
+               text_of(F.col("id") - corpus_n, 0))
+         .otherwise(text_of(F.col("id"), 100)).alias("text")).cache()
+    crawl.count()
+
+    tmp = tempfile.mkdtemp(prefix="neardup_idx_")
+    try:
+        t0 = time.perf_counter()
+        lsh_band_buckets(minhash_signatures_maponly(corpus)) \
+            .write.mode("overwrite").parquet(tmp)
+        build_sec = round(time.perf_counter() - t0, 3)
+        idx = spark.read.parquet(tmp)
+
+        kept_df = dedup_against_neardup(crawl, idx)
+        # plan evidence BEFORE caching (an InMemoryRelation embeds its
+        # child plan text and double-counts nodes): the only aggregates
+        # allowed are the crawl-side id-distinct's partial/final pair —
+        # the index side must reach its semi-join as a bare scan
+        plan = kept_df._sc._jvm.PythonSQLUtils.explainString(
+            kept_df._jdf.queryExecution(), "formatted")
+        # node headers only ("(14) HashAggregate") — the formatted text
+        # prints every node a second time in the details section
+        n_agg = len(re.findall(r"\n\(\d+\) HashAggregate", plan))
+        t0 = time.perf_counter()
+        kept = kept_df.cache()
+        kept_n = kept.count()
+        pass_sec = round(time.perf_counter() - t0, 3)
+        dups_dropped = crawl.count() - kept_n
+
+        def bloom_arm(m_log2: int) -> dict:
+            t1 = time.perf_counter()
+            bits = neardup_index_bitset(idx, m_log2=m_log2)
+            bkept = neardup_bloom_filter(crawl, bits,
+                                         m_log2=m_log2).cache()
+            bkept_n = bkept.count()
+            sec = round(time.perf_counter() - t1, 3)
+            # exact-kept novel docs the Bloom filter wrongly drops
+            false_drops = kept.join(bkept, "doc_id", "left_anti").count()
+            # a kept doc the exact join dropped would be a false NEGATIVE
+            false_keeps = bkept.join(kept, "doc_id", "left_anti").count()
+            bkept.unpersist()
+            return {"m_log2": m_log2, "kept": bkept_n,
+                    "false_drop_frac": round(false_drops / max(kept_n, 1),
+                                             4),
+                    "false_negatives": false_keeps, "sec": sec}
+
+        bloom_default = bloom_arm(20)          # the documented default
+        bloom_sized = bloom_arm(26)            # 16 bits/key at 4M keys
+        kept.unpersist()
+        crawl.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"corpus_docs": corpus_n, "crawl_docs": crawl_n,
+            "planted_dups": dup_n,
+            "index_build_sec_once": build_sec,
+            "crawl_pass_sec": pass_sec,
+            "kept": kept_n, "dups_dropped": dups_dropped,
+            "all_planted_dropped": dups_dropped >= dup_n,
+            "plan_hashaggregates": n_agg,
+            "index_never_reaggregated": n_agg == 2,
+            "bloom_default": bloom_default,
+            "bloom_sized": bloom_sized}
+
+
 def _se_top_fraction(spark, big: int = 4_200_000,
                      small: int = 50_000) -> dict:
     """scale_evidence (f, r12 — VERDICT r11 "What's wrong #1"):
@@ -896,7 +1004,8 @@ def _scale_evidence(spark) -> dict:
         ("semdedup_hot_cluster", _se_semdedup_hot),
         ("throttle_auto_cap", _se_throttle_cap),
         ("ivf_subblock", _se_ivf_subblock),
-        ("top_fraction_dispatch", _se_top_fraction))}
+        ("top_fraction_dispatch", _se_top_fraction),
+        ("incremental_neardup", _se_incremental_neardup))}
 
 
 def _streaming_throughput(spark, n: int = 2 ** 21) -> dict:

@@ -240,7 +240,13 @@ def dedup_against_neardup(incoming: DataFrame, seen: DataFrame,
                                    id_col=id_col, k=k,
                                    shingle_n=shingle_n),
         id_col=id_col, k=k, rows_per_band=rows_per_band)
-    dup_ids = (inc.join(idx.distinct(), ["band", "bh"], "left_semi")
+    # NO distinct on the index side: a left-semi join is insensitive to
+    # right-side duplicates, and distinct() would re-shuffle + aggregate
+    # the ENTIRE stored index on every crawl — the exact cost the
+    # pre-banded path exists to avoid (r12; the index side's only
+    # exchange is the semi-join's own, plan-asserted in the
+    # incremental_neardup scale-evidence cell)
+    dup_ids = (inc.join(idx, ["band", "bh"], "left_semi")
                .select(F.col("id").alias(id_col)).distinct())
     return incoming.join(dup_ids, id_col, "left_anti")
 
