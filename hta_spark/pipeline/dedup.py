@@ -439,7 +439,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 16) -> DataFrame:
+            bits: int = 64) -> DataFrame:
     """SimHash fingerprint over token hashes: bit i is the sign of
     sum(+1/-1 per token's i-th hash bit).  Returns (id, simhash).
 
@@ -447,8 +447,16 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     conditional-sum COLUMNS of one map-side-combined groupBy(id) — the
     r1-r10 shape exploded every token row ``bits``× (a 16× shuffle-volume
     blowup) and aggregated twice.  Arithmetic is identical (same +-1
-    votes, same >0 sign rule), so fingerprints are bit-for-bit unchanged
-    — the DuckDB oracle and the sweep pin it."""
+    votes, same >0 sign rule) regardless of width.
+
+    Default is the SCALE width, 64 bits (VERDICT r11 item 5: the 16-bit
+    default made the out-of-box banding a small-corpus tool).  The
+    ``md5_long`` token hash yields 60 usable bits (15 hex chars), so
+    vote bits 60-63 see a constant 0 and the corresponding fingerprint
+    bits are always 0 — Hamming distances and pigeonhole exactness are
+    unaffected, and the top band still spans 2^12 effective buckets.
+    Bit 63's would-be contribution is the two's-complement literal
+    ``-(1 << 63)`` (the +2^63 power does not exist in int64)."""
     toks = (_spread(docs)
             .select(F.col(id_col).alias("id"),
                     F.explode(tokens_col(F.col(text_col))).alias("tok"))
@@ -458,7 +466,9 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                      1).otherwise(-1)).alias(f"v{i}")
         for i in range(bits)]
     fp = sum(
-        (F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        (F.when(F.col(f"v{i}") > 0,
+                F.lit(-(1 << 63) if i == 63 else (1 << i)))
+         .otherwise(F.lit(0))
          for i in range(bits)),
         start=F.lit(0))
     return (toks.groupBy("id").agg(*votes)
@@ -467,7 +477,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", bits: int = 16, bands: int = 4,
+                  id_col: str = "doc_id", bits: int = 64, bands: int = 4,
                   max_hamming: int = 2,
                   max_bucket: int | None = 4096,
                   hot_action: str = "error") -> DataFrame:
@@ -489,12 +499,15 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     defaults to ``hot_action="error"`` (ADVICE r10): a band bucket past
     ``max_bucket`` raises a clean executor-side error naming the knobs
     instead of silently switching to the star expansion, which would
-    drop true hamming<=``max_hamming`` pairs — with the 16-bit default
-    there are only 16 possible buckets per band, so a corpus past ~65k
-    docs WILL trip it.  At corpus scale use ``bits=64, bands=4`` (16-bit
-    bands -> 65 536 buckets per band) so bucket sizes stay ~n/65 536;
-    ``hot_action="star"`` opts back into the bounded-recall MinHash
-    behaviour for pipelines that only feed connected components.
+    drop true hamming<=``max_hamming`` pairs.  The DEFAULT knobs are the
+    scale ones (VERDICT r11 item 5): ``bits=64, bands=4`` gives 16-bit
+    bands — ~2^16 buckets per band (2^12 in the top band, whose high 4
+    fingerprint bits are constant; see :func:`simhash`) — so bucket
+    sizes stay ~n/65 536 and a 10^5-doc corpus runs without tripping the
+    guard.  ``bits=16`` remains available for tiny corpora but errors
+    past ~65k docs by design (16 buckets/band); ``hot_action="star"``
+    opts into the bounded-recall MinHash behaviour for pipelines that
+    only feed connected components.
     """
     if bits % bands:
         raise ValueError(f"bands ({bands}) must divide bits ({bits})")

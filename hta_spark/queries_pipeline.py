@@ -203,10 +203,23 @@ SQL_LSH_RECALL = _sql_lsh_recall()
 # -- simhash ---------------------------------------------------------------
 
 def q_simhash(spark, sf_dir):
-    return simhash(_docs(spark, sf_dir), bits=16)
+    return simhash(_docs(spark, sf_dir))        # 64-bit scale default
 
 
-SQL_SIMHASH = f"""
+def _sql_simhash(bits: int = 64) -> str:
+    """DuckDB twin of pipeline.dedup.simhash at any width — per-bit
+    conditional-sum COLUMNS (the Spark formulation), not a bits-x row
+    unnest, so the oracle stays linear in tokens at 64 bits.  Bit 63's
+    power is the two's-complement literal, mirroring the Spark side."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits))
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN "
+        + ("(-9223372036854775807 - 1)" if i == 63 else f"({1 << i}::BIGINT)")
+        + " ELSE 0 END)"
+        for i in range(bits))
+    return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
   FROM documents
@@ -215,17 +228,17 @@ h AS (
   SELECT doc_id, ('0x' || substr(md5('sim|' || tok), 1, 15))::BIGINT AS h
   FROM toks
 ),
-bits AS (SELECT doc_id, unnest(range(0, 16)) AS i, h FROM h),
 votes AS (
-  SELECT doc_id, i,
-         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM bits GROUP BY 1, 2
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY 1
 )
-SELECT doc_id,
-       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
-           AS simhash
-FROM votes GROUP BY 1
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+FROM votes
 """
+
+
+SQL_SIMHASH = _sql_simhash()
 
 
 # -- language id ------------------------------------------------------------

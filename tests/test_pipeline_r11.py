@@ -160,3 +160,22 @@ def test_bin_report_counts_occupied_bins(spark):
     df2 = spark.createDataFrame([(1, 25)], "doc_id long, n_chars long")
     r2 = bin_report(pack_contiguous(df2, 10), 10).collect()[0]
     assert (r2["n_bins"], r2["last_bin_fill"]) == (3, 5)
+
+
+def test_simhash_default_knobs_survive_100k_docs(spark):
+    """VERDICT r11 item 5: the DEFAULT simhash_pairs knobs are the scale
+    ones (bits=64 -> 16-bit bands) — a 10^5-doc corpus must run without
+    tripping the hot-bucket guard, and planted duplicate pairs must
+    surface (identical text -> identical fingerprint -> hamming 0)."""
+    n, planted = 100_000, 20
+    base = F.when(F.col("id") < planted, F.col("id") % (planted // 2)) \
+            .otherwise(F.col("id"))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[F.hex(F.xxhash64(base, F.lit(j)))
+                           for j in range(12)]).alias("text"))
+    pairs = simhash_pairs(docs)                 # ALL defaults, error-guard
+    got = {(r.a, r.b) for r in
+           pairs.filter(F.col("b") < planted).collect()}
+    want = {(i, i + planted // 2) for i in range(planted // 2)}
+    assert want <= got
