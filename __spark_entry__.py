@@ -72,6 +72,8 @@ _GATE_ROTATION = [
     "q_range_join_incidents", "text_rules", "q_bucketed_join",
     "ann_knn_label_accuracy", "q_unpivot", "text_vocab",
     "text_unigram_surprisal",
+    # new in r12: the streaming Bloom near-dup's driver-gated twin
+    "dedup_neardup_bloom",
     # stalest driver-green rows (r1-r6)
     "text_fingerprint", "ann_ivf_assign", "ann_ivf_topk",
     "text_repetition", "dedup_prefix", "q_asof_signup", "q_sessionize",
@@ -79,7 +81,7 @@ _GATE_ROTATION = [
     # r9 relational block
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_topk_per_group", "q_rollup_orders", "q_cube_lineitem",
-    "q_semi_anti", "q_set_ops",
+    "q_semi_anti",
 ]
 
 
