@@ -326,36 +326,62 @@ def knn_join(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
 
 
 def _subblock_clusters(members: DataFrame, probes: DataFrame,
-                       max_cluster_rows: int) -> tuple[DataFrame, DataFrame]:
-    """Bound :func:`knn_join_ivf`'s per-task work (VERDICT r5 item 2): a
-    hot centroid (skewed embedding space) would otherwise put its whole
-    member list through ONE cogroup task with O(cluster_size * dim)
-    memory.  Members salt into ``ceil(cluster_size / max_cluster_rows)``
-    sub-blocks by an md5 hash of the member id (near-uniform regardless
-    of id distribution); probes replicate once per sub-block.  Each
-    candidate pair (a, b) lands in exactly the one block holding b, so
-    per-block top-k lists merge exactly under the strict (-cos, b) total
-    order — output is unchanged (hot-centroid + full-probe equivalence
-    tested).  The cluster-size stats are one map-side-combined count with
-    a codebook-sized broadcast result."""
+                       max_cluster_rows: int,
+                       max_probe_rows: int) -> tuple[DataFrame, DataFrame]:
+    """Bound :func:`knn_join_ivf`'s per-task work (VERDICT r5 item 2) in
+    BOTH dimensions — the 2-D block decomposition of a distributed GEMM.
+
+    Member axis: a hot centroid (skewed embedding space) would otherwise
+    put its whole member list through ONE cogroup task with
+    O(cluster_size * dim) memory.  Members salt into
+    ``ceil(cluster_size / max_cluster_rows)`` sub-blocks by an md5 hash
+    of the member id (near-uniform regardless of id distribution);
+    probes replicate once per sub-block.
+
+    Probe axis (r12): member sub-blocks alone leave a hot cluster's
+    PARALLELISM at #sub-blocks — every task still scores every probe
+    (measured: the 66k-probe bench cell ran its whole GEMM+top-k on 2 of
+    32 cores).  Probes salt into ``ceil(cluster_probes /
+    max_probe_rows)`` chunks by md5 of the probe id; members replicate
+    once per chunk.  A hot cluster now runs as chunks x sub-blocks
+    bounded tasks; the shuffle price is member-bytes x probe-chunks
+    (symmetric to the probe-bytes x sub-blocks the member axis already
+    pays), which the quadratic GEMM it parallelizes dwarfs.
+
+    Each candidate pair (a, b) lands in exactly the one (chunk(a),
+    block(b)) task, so per-task top-k lists merge exactly under the
+    strict (-cos, b) total order — output is unchanged (hot-centroid +
+    full-probe + forced-chunk equivalence tested).  The per-cluster
+    size stats are map-side-combined counts with codebook-sized
+    broadcast results."""
     from .dedup import md5_long
 
-    if int(max_cluster_rows) < 1:
-        # a non-positive bound would make _nb null/negative and silently
-        # drop every member from the cogroup — fail loudly instead
+    if int(max_cluster_rows) < 1 or int(max_probe_rows) < 1:
+        # a non-positive bound would make _nb/_pb null/negative and
+        # silently drop every row from the cogroup — fail loudly instead
         raise ValueError(
-            f"max_cluster_rows must be >= 1, got {max_cluster_rows}")
+            f"max_cluster_rows and max_probe_rows must be >= 1, got "
+            f"{max_cluster_rows}/{max_probe_rows}")
     sizes = members.groupBy("_c").agg(
         F.ceil(F.count("*") / F.lit(int(max_cluster_rows)))
         .cast("long").alias("_nb"))
+    psizes = probes.groupBy("_c").agg(
+        F.ceil(F.count("*") / F.lit(int(max_probe_rows)))
+        .cast("long").alias("_pb"))
     m2 = (members.join(F.broadcast(sizes), "_c")
+          .join(F.broadcast(psizes), "_c")
           .withColumn("_blk", F.pmod(
               md5_long(F.col("b").cast("string"), "ivfblk"), F.col("_nb")))
-          .drop("_nb"))
+          .withColumn("_pblk", F.explode(
+              F.sequence(F.lit(0).cast("long"), F.col("_pb") - 1)))
+          .drop("_nb", "_pb"))
     p2 = (probes.join(F.broadcast(sizes), "_c")
+          .join(F.broadcast(psizes), "_c")
           .withColumn("_blk", F.explode(
               F.sequence(F.lit(0).cast("long"), F.col("_nb") - 1)))
-          .drop("_nb"))
+          .withColumn("_pblk", F.pmod(
+              md5_long(F.col("a").cast("string"), "ivfpblk"), F.col("_pb")))
+          .drop("_nb", "_pb"))
     return m2, p2
 
 
@@ -363,7 +389,8 @@ def knn_join_ivf(emb: DataFrame, centroids: list[tuple[int, list[float]]],
                  k: int = 5, nprobe: int = 2, id_col: str = "vec_id",
                  vec_col: str = "embedding",
                  block_rows: int = 256,
-                 max_cluster_rows: int = 65536) -> DataFrame:
+                 max_cluster_rows: int = 65536,
+                 max_probe_rows: int = 8192) -> DataFrame:
     """:func:`knn_join` beyond the broadcast guard: IVF-probed candidate
     generation.  Every vector is scored only against the members of its
     ``nprobe`` nearest clusters; recall follows the IVF trade (with
@@ -382,12 +409,16 @@ def knn_join_ivf(emb: DataFrame, centroids: list[tuple[int, list[float]]],
     per-cluster top-k lists is exact over the probed candidate set.
 
     Per-task memory is O(min(cluster_size, max_cluster_rows) * dim) for
-    the member matrix plus an O(block_rows * that) score block: clusters
-    larger than ``max_cluster_rows`` are salted into sub-blocks
-    (:func:`_subblock_clusters`), so a hot centroid becomes several
-    bounded tasks instead of one straggler/OOM task — in addition to the
-    standard IVF knob (more centroids → smaller clusters); the probe
-    fan-out itself never materializes as join rows.
+    the member matrix plus an O(block_rows * that) score block, and
+    per-task WORK is additionally bounded by ``max_probe_rows`` probes:
+    clusters larger than ``max_cluster_rows`` salt into member
+    sub-blocks and probe sets larger than ``max_probe_rows`` salt into
+    probe chunks (:func:`_subblock_clusters` — the 2-D block
+    decomposition of a distributed GEMM, r12), so a hot centroid becomes
+    chunks x sub-blocks bounded PARALLEL tasks instead of one
+    straggler/OOM task — in addition to the standard IVF knob (more
+    centroids → smaller clusters); the probe fan-out itself never
+    materializes as join rows.
 
     Same output contract as :func:`knn_join`: ``a, b, cos_sim, rank``
     with deterministic (-round(cos,4), b) ranking, self excluded.
@@ -448,9 +479,10 @@ def knn_join_ivf(emb: DataFrame, centroids: list[tuple[int, list[float]]],
                     "b": cand_b[sel], "cos_sim": cand_c[sel]}))
         return pd.concat(out) if out else empty
 
-    members, probes = _subblock_clusters(members, probes, max_cluster_rows)
-    cand = (probes.groupby("_c", "_blk")
-            .cogroup(members.groupby("_c", "_blk"))
+    members, probes = _subblock_clusters(members, probes, max_cluster_rows,
+                                         max_probe_rows)
+    cand = (probes.groupby("_c", "_blk", "_pblk")
+            .cogroup(members.groupby("_c", "_blk", "_pblk"))
             .applyInPandas(_score, "a long, b long, cos_sim double"))
     w = Window.partitionBy("a").orderBy(F.desc("cos_sim"), F.col("b"))
     return (cand.withColumn("rank",

@@ -289,6 +289,15 @@ def test_knn_join_ivf_full_probe_equals_exact(spark):
                          knn_join_ivf(emb, cents, k=3, nprobe=4,
                                       max_cluster_rows=4).collect()))
     assert blocked == exact
+    # aggressive probe-chunking (r12 2-D blocking: every cluster's probe
+    # set split into 7-probe chunks, members replicated per chunk) must
+    # not change a single row either — each (a, b) pair scores in exactly
+    # one (chunk(a), block(b)) task
+    chunked = sorted(map(tuple,
+                         knn_join_ivf(emb, cents, k=3, nprobe=4,
+                                      max_cluster_rows=4,
+                                      max_probe_rows=7).collect()))
+    assert chunked == exact
 
 
 def test_knn_join_ivf_hot_centroid_subblocks(spark):
@@ -319,7 +328,7 @@ def test_knn_join_ivf_hot_centroid_subblocks(spark):
         F.col("centroid_id").alias("_c"))
     probes = members.select(F.col("b").alias("a"),
                             F.col("_vb").alias("_va"), "_c")
-    m2, p2 = _subblock_clusters(members, probes, 8)
+    m2, p2 = _subblock_clusters(members, probes, 8, 1 << 30)
     counts = {(r["_c"], r["_blk"]): r["n"] for r in
               m2.groupBy("_c", "_blk").agg(F.count("*").alias("n")).collect()}
     assert all(blk in range(8) for (_c, blk) in counts)
@@ -327,6 +336,15 @@ def test_knn_join_ivf_hot_centroid_subblocks(spark):
     assert max(counts.values()) <= 3 * 8         # near-uniform, never O(n)
     assert len(counts) >= 4
     assert p2.count() == 60 * 8                  # one probe copy per block
+    # probe axis (r12): 60 probes at cap 16 -> 4 chunks; members replicate
+    # once per chunk, probes partition across chunks within each block
+    m3, p3 = _subblock_clusters(members, probes, 8, 16)
+    assert m3.count() == 60 * 4                  # one member copy per chunk
+    pc = {(r["_blk"], r["_pblk"]): r["n"] for r in
+          p3.groupBy("_blk", "_pblk").agg(F.count("*").alias("n")).collect()}
+    assert all(pb in range(4) for (_blk, pb) in pc)
+    assert sum(pc.values()) == 60 * 8            # still one copy per block
+    assert max(p for (_b, p) in pc) <= 3         # chunk ids within range
 
 
 def test_knn_join_ivf_plan_uses_window_group_limit(spark):
