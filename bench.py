@@ -805,6 +805,7 @@ def _se_ivf_subblock(spark, n: int = 66_000, dim: int = 16,
     return {"vectors": n, "dim": dim,
             "default_max_cluster_rows": 65536,
             "sub_blocks": math.ceil(n / 65536),
+            "probe_chunks": math.ceil(n / 8192),   # r12 2-D blocking axis
             "guard_engaged": n > 65536,
             "knn_rows": ivf_n, "knn_rows_expected": n * k,
             "sampled_probes": len(probe_ids),
