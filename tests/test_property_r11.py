@@ -76,3 +76,11 @@ def test_top_fraction_matches_model(spark, rows, frac_bp):
         keep = (len(members) * frac_bp + 9999) // 10_000
         want.extend(i for _, i in members[:keep])
     assert got == sorted(want)
+    # the EXACT banded arm (r12 scale dispatch) must keep the identical
+    # set: rows_cap=1 forces it through the public API, n_bins=4
+    # stresses band boundaries so most groups resolve via the
+    # boundary-band top-up
+    banded = sorted(r["doc_id"] for r in
+                    top_fraction_by(df, frac_bp, "score", group_col="g",
+                                    rows_cap=1, n_bins=4).collect())
+    assert banded == sorted(want)
