@@ -133,7 +133,6 @@ def _partitionless_windows(plan: str) -> list[str]:
     told apart by the sort-direction markers only order specs carry
     (r11: the old <3-groups rule false-positived on every unordered
     partitioned window)."""
-    import re
     bad = []
     for m in re.finditer(r"\(\d+\) Window\n(?:Input.*\n)?Arguments: (.*)",
                          plan):

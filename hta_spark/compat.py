@@ -53,8 +53,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["pin", "release", "default_parallelism", "bc_value",
-           "set_log_level", "FORCE_FALLBACK"]
+__all__ = ["pin", "release", "lc_available", "default_parallelism",
+           "bc_value", "set_log_level", "FORCE_FALLBACK"]
 
 # Test hook: when True every helper skips its classic path (simulating a
 # Connect client).  Set/restored by tests only.
@@ -96,6 +96,17 @@ def _lc_supported(spark: SparkSession) -> bool:
     return got
 
 
+def lc_available(spark: SparkSession) -> bool:
+    """True when :func:`pin` would take the classic ``localCheckpoint``
+    path (lineage-truncating, blocks GC-reclaimed with the DataFrame —
+    leak-free without a release).  Callers that cannot pair a pin with a
+    :func:`release` (the returned lineage reads the pinned frame, e.g.
+    ``semantic_pairs``) gate their pin on this instead of re-deriving
+    the capability check — ONE source of truth with pin's own dispatch
+    (review r12)."""
+    return not FORCE_FALLBACK and _lc_supported(spark)
+
+
 def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df`` so downstream branches reuse one computation.
 
@@ -113,7 +124,7 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     per round without releasing grows the cache without bound (ADVICE
     r9); on the classic path release is a free no-op.
     """
-    if not FORCE_FALLBACK and _lc_supported(df.sparkSession):
+    if lc_available(df.sparkSession):
         # unguarded: a failure here is a real job failure, not a
         # capability gap (capability was probed above)
         return df.localCheckpoint(eager=eager)

@@ -50,8 +50,14 @@ def bin_report(packed: DataFrame, budget: int,
                 F.sum("_size").cast("long").alias("total_size"),
                 F.max("_docs").cast("long").alias("max_docs_per_bin")))
     budget_l = F.lit(int(budget))
-    n_bins = F.call_function(
-        "div", F.col("total_size") + budget_l - 1, budget_l).cast("long")
+    # greatest(1, ...): a shard whose docs are all zero-size still
+    # occupies bin 0 (docs sit at offset 0), so a non-empty shard never
+    # reports n_bins=0 / last_bin_fill=budget (review r12)
+    n_bins = F.greatest(
+        F.lit(1).cast("long"),
+        F.call_function(
+            "div", F.col("total_size") + budget_l - 1, budget_l)
+        .cast("long"))
     rep = rep.withColumn("n_bins", n_bins)
     last_fill = (F.col("total_size")
                  - (F.col("n_bins") - 1) * budget_l)

@@ -157,6 +157,17 @@ def _top_fraction_banded(df: DataFrame, frac_bp: int, score_col: str,
     key-ordered), so groups whose ``keep`` extends past the non-null
     rows stay exact too.
 
+    Non-finite scores (review r12): the window arm's ``desc`` order puts
+    NaN ABOVE every finite score (Spark treats NaN as largest) and NULL
+    last, so NaN rows get a dedicated band above every real bin
+    (``_bin = n_bins``) and NULL rows the band below (``_bin = -1``) —
+    both key-ordered inside, matching the window's tie behaviour.
+    ``±Infinity`` casts saturate and the quantized value is clamped to
+    ``±2^61`` so the span arithmetic can never wrap int64 (an -Inf
+    score would otherwise make ``_shi - _slo`` overflow and silently
+    INVERT bin order); clamp-collapsed extremes just widen the boundary
+    band, which resolves by raw score — exactness is unaffected.
+
     Scale shape: two map-side-combined aggregates (group bounds, then
     per-(group,bin) counts), windows over <= n_bins rows per group, one
     join of the rows against #groups-row broadcast frames, a map-side
@@ -166,8 +177,14 @@ def _top_fraction_banded(df: DataFrame, frac_bp: int, score_col: str,
     from pyspark.sql import Window
 
     out_cols = list(df.columns)
-    v = F.round(F.col(score_col).cast("double") * F.lit(int(scale)))\
-        .cast("long")
+    sd = F.col(score_col).cast("double")
+    capd = F.lit(float(1 << 61))   # |span| <= 2^62 < Long.MAX, wrap-proof
+    # clamp in DOUBLE space BEFORE the long cast: under ANSI mode an
+    # ±Inf (or huge) score would raise castingCauseOverflowError inside
+    # the cast itself; 2^61 is exactly representable in both types
+    v = F.when(F.isnan(sd), F.lit(None).cast("long")).otherwise(
+        F.round(F.least(F.greatest(sd * F.lit(int(scale)), -capd), capd))
+        .cast("long"))
     rows = df.withColumn("_v", v)
     stats = (rows.groupBy(*part)
              .agg(F.count(F.lit(1)).cast("long").alias("_n"),
@@ -184,6 +201,9 @@ def _top_fraction_banded(df: DataFrame, frac_bp: int, score_col: str,
     raw_bin = F.call_function("div", F.col("_v") - F.col("_slo"),
                               F.col("_w"))
     bin_c = F.when(
+        F.isnan(F.col(score_col).cast("double")),
+        F.lit(int(n_bins)).cast("long")          # NaN band, ABOVE all bins
+    ).when(
         F.col("_v").isNotNull() & F.col("_slo").isNotNull(),
         F.least(F.greatest(raw_bin, F.lit(0).cast("long")),
                 F.lit(int(n_bins) - 1).cast("long"))

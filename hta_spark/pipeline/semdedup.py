@@ -71,7 +71,7 @@ def semantic_pairs(emb: DataFrame, k: int = 8, iterations: int = 3,
     pin is SKIPPED — one extra map-only assignment pass per join beats
     leaking a session-lifetime cached Dataset per call.
     """
-    from ..compat import FORCE_FALLBACK, _lc_supported, pin
+    from ..compat import lc_available, pin
 
     assigned = kmeans_lite(emb, k=k, iterations=iterations,
                            id_col=id_col, vec_col=vec_col,
@@ -89,7 +89,7 @@ def semantic_pairs(emb: DataFrame, k: int = 8, iterations: int = 3,
         # matching release (the returned lineage reads the pin), and on
         # the persist fallback that would leak one cached Dataset per
         # call for the session lifetime (ADVICE r11) — recompute instead.
-        if not FORCE_FALLBACK and _lc_supported(emb.sparkSession):
+        if lc_available(emb.sparkSession):
             assigned = pin(assigned, eager=False)
         # k-row planner collect (k = cluster count, driver-bounded by
         # construction): decides the plan, same discipline as the

@@ -786,11 +786,12 @@ per_bin AS (
   FROM p GROUP BY 1, 2)
 SELECT shard,
        CAST(sum(docs) AS BIGINT) AS n_docs,
-       CAST((sum(size) + {PACK_BUDGET} - 1) // {PACK_BUDGET} AS BIGINT)
-           AS n_bins,
+       CAST(greatest(1, (sum(size) + {PACK_BUDGET} - 1) // {PACK_BUDGET})
+           AS BIGINT) AS n_bins,
        CAST(sum(size) AS BIGINT) AS total_size,
        CAST(sum(size)
-            - ((sum(size) + {PACK_BUDGET} - 1) // {PACK_BUDGET} - 1)
+            - (greatest(1, (sum(size) + {PACK_BUDGET} - 1)
+                           // {PACK_BUDGET}) - 1)
               * {PACK_BUDGET} AS BIGINT) AS last_bin_fill,
        CAST(max(docs) AS BIGINT) AS max_docs_per_bin
 FROM per_bin GROUP BY shard
@@ -915,10 +916,11 @@ FROM ranked WHERE rn = 1 ORDER BY component
 
 def q_simhash_pairs(spark, sf_dir):
     """Near-dup pairs by simhash Hamming distance <= 2: banded candidate
-    generation (4 x 4-bit bands through the lsh_pairs bucket machinery —
-    EXACT for hamming <= bands-1 by pigeonhole) + exact bit_count(xor)
-    verify.  The oracle brute-forces all pairs; the Spark path never
-    does."""
+    generation (the r12 scale defaults — 64-bit fingerprints in 4 x
+    16-bit bands through the lsh_pairs bucket machinery, ~2^16 buckets
+    per band — EXACT for hamming <= bands-1 by pigeonhole) + exact
+    bit_count(xor) verify.  The oracle brute-forces all pairs; the
+    Spark path never does."""
     from .pipeline.dedup import simhash_pairs
     return simhash_pairs(_docs(spark, sf_dir))
 

@@ -196,3 +196,42 @@ def test_top_fraction_dispatch_and_equality(spark):
     again = top_fraction_by(df.repartition(13), 2500, "score", "source",
                             rows_cap=10)
     assert _kept(again) == _kept(big)
+
+
+def test_top_fraction_banded_nonfinite_scores(spark):
+    """Review r12: NaN sorts ABOVE every finite score under Spark desc
+    and NULL last; ±Inf saturates the long cast — an -Inf score made the
+    span arithmetic wrap int64 and silently INVERT bin order.  The
+    banded arm must keep the window arm's exact set through all of it."""
+    from hta_spark.pipeline.sample import _top_fraction_banded, \
+        _top_fraction_window
+    rows = [(0, float("nan")), (1, float("inf")), (2, float("-inf")),
+            (3, 5.0), (4, 5.0), (5, -3.0), (6, None), (7, float("nan")),
+            (8, 0.0), (9, 1e18)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    for frac in (1, 2000, 5000, 9000, 10_000):
+        exact = _kept(_top_fraction_window(df, frac, "score", [],
+                                           "doc_id"))
+        got = _kept(_top_fraction_banded(df, frac, "score", [], "doc_id",
+                                         8, 1_000_000))
+        assert got == exact, f"frac={frac}: {got} != {exact}"
+    # grouped, with one all-NaN group and one -Inf-heavy group
+    rows2 = [(i, "a", float("nan")) for i in range(4)]
+    rows2 += [(10 + i, "b", float("-inf") if i % 2 else float(i))
+              for i in range(6)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, g string, score double")
+    exact2 = _kept(_top_fraction_window(df2, 5000, "score", ["g"],
+                                        "doc_id"))
+    got2 = _kept(_top_fraction_banded(df2, 5000, "score", ["g"], "doc_id",
+                                      8, 1_000_000))
+    assert got2 == exact2
+
+
+def test_bin_report_zero_size_shard(spark):
+    """Review r12: a shard whose docs are all zero-size still occupies
+    bin 0 — n_bins must be 1 (not 0) and last_bin_fill 0 (not budget)."""
+    from hta_spark.pipeline.pack import bin_report, pack_contiguous
+    df = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, n_chars long")
+    r = bin_report(pack_contiguous(df, 10), 10).collect()[0]
+    assert (r["n_docs"], r["n_bins"], r["total_size"],
+            r["last_bin_fill"], r["max_docs_per_bin"]) == (2, 1, 0, 0, 2)
