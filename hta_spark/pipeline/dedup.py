@@ -409,12 +409,30 @@ def lsh_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 8,
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
-                        min_shared: int = 1) -> DataFrame:
+                        min_shared: int = 1,
+                        max_df: int | None = 4096) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing >= min_shared shingles.
 
     Pair generation via a shingle inverted index (equi-join on shingle),
     not a cross join; Jaccard = shared / (|A| + |B| - shared).
-    """
+
+    Hot-shingle guard (``max_df``, r12): a boilerplate shingle present
+    in B documents expands to B(B-1)/2 join rows — 10⁶ docs sharing
+    "all rights reserved" would be ~5·10¹¹ rows from ONE shingle, the
+    same blowup class :func:`lsh_pairs`/:func:`simhash_pairs` cap.
+    Because exact Jaccard is this function's CONTRACT (a star or a
+    silent drop would corrupt every ``shared`` count), a shingle past
+    ``max_df`` raises a clean executor-side error naming the knobs: the
+    per-shingle document frequency is one map-side-combined count, the
+    assert rides its (#distinct-shingles-sized) frame, and a left-semi
+    join puts that frame on the self-join's input so the check cannot
+    be pruned — pair generation itself stays the codegen'd equi-join
+    (the collect_list+combination-expansion alternative measured 3×
+    slower here: millions of tiny postings pay the interpreted-lambda
+    overhead per bucket that lsh_pairs' few-buckets-per-doc shape
+    amortizes).  For boilerplate-heavy corpora use the banded operators
+    (:func:`lsh_pairs` / :func:`simhash_pairs`), raise ``max_df``, or
+    strip boilerplate upstream; ``max_df=None`` disables the guard."""
     sh = (docs
           .select(F.col(id_col).alias("id"),
                   tokens_col(F.col(text_col)).alias("_toks"))
@@ -423,11 +441,25 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                       shingles_from_tokens(F.col("_toks"), shingle_n)))
                   .alias("sh")))
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    l, r = sh.alias("l"), sh.alias("r")
+    shq = sh
+    if max_df is not None:
+        chk = F.assert_true(
+            F.col("_df") <= F.lit(int(max_df)),
+            F.concat(F.lit("ngram_jaccard_pairs: shingle in "),
+                     F.col("_df").cast("string"),
+                     F.lit(f" docs exceeds max_df={max_df}: exact "
+                           "Jaccard cannot cap this bucket without "
+                           "corrupting shared counts — use the banded "
+                           "operators (lsh_pairs/simhash_pairs), raise "
+                           "max_df, or strip boilerplate upstream")))
+        ok = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+              .select(F.when(chk.isNull(), F.col("sh")).alias("sh")))
+        shq = sh.join(ok, "sh", "left_semi")
+    l, r = shq.alias("l"), shq.alias("r")
     shared = (l.join(r, (F.col("l.sh") == F.col("r.sh"))
                      & (F.col("l.id") < F.col("r.id")))
               .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-              .agg(F.count("*").alias("shared"))
+              .agg(F.count(F.lit(1)).alias("shared"))
               .filter(F.col("shared") >= min_shared))
     sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))

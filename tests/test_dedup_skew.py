@@ -72,3 +72,22 @@ def test_hyperplane_lsh_subset_of_exact(spark):
     again = {(r["a"], r["b"]) for r in
              hyperplane_lsh_pairs(emb, threshold=0.4).collect()}
     assert lsh == again
+
+
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """r12: exact Jaccard refuses (naming the knobs) when a shingle's
+    document frequency exceeds max_df, instead of an O(B^2) blowup; the
+    bound disabled or raised reproduces the exact result."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from hta_spark.pipeline.dedup import ngram_jaccard_pairs
+    rows = [(i, "common shared boilerplate line here") for i in range(6)]
+    rows += [(10, "a wholly different document text body")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with _pt.raises(Exception, match="max_df"):
+        ngram_jaccard_pairs(docs, max_df=4).collect()
+    got = {(r.a, r.b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, max_df=6).collect()}
+    assert got == {(a, b): 1.0 for a in range(6) for b in range(a + 1, 6)}
+    assert got == {(r.a, r.b): r.jaccard
+                   for r in ngram_jaccard_pairs(docs, max_df=None).collect()}
