@@ -63,7 +63,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: text/scalar entries — and back-fills the remaining slots with the
 #: STALEST rows (last green r1-r9: the IVF pair, fingerprint/repetition,
 #: as-of/sessionize/pivot, and the r9 relational block), so every
-#: registry entry keeps a recent driver-green row.
+#: registry entry keeps a recent driver-green row.  After r12 EVERY
+#: registry entry has been driver-gated at least once; from r13 on,
+#: rotate by staleness (oldest CORRECTNESS_r* row first) plus any
+#: newly added entries.
 _GATE_ROTATION = [
     # never driver-gated (15)
     "dedup_injected", "dedup_incremental_neardup", "dedup_source_overlap",
