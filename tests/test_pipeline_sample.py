@@ -235,3 +235,96 @@ def test_bin_report_zero_size_shard(spark):
     r = bin_report(pack_contiguous(df, 10), 10).collect()[0]
     assert (r["n_docs"], r["n_bins"], r["total_size"],
             r["last_bin_fill"], r["max_docs_per_bin"]) == (2, 1, 0, 0, 2)
+
+
+def test_top_fraction_null_group_keys(spark):
+    """ADVICE r12 high: a plain equi-join never matches NULL group keys,
+    so the banded arm silently dropped every NULL-keyed row while the
+    window arm's partitionBy kept NULL as a group.  Both arms (and the
+    public dispatch past rows_cap) must keep the identical set."""
+    from hta_spark.pipeline.sample import _top_fraction_banded, \
+        _top_fraction_window, top_fraction_by
+    rows = [(i, None if i % 3 == 0 else "g%d" % (i % 2), float(i % 37))
+            for i in range(300)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, score double")
+    for frac in (1, 2500, 5000, 9999):
+        exact = _kept(_top_fraction_window(df, frac, "score", ["source"],
+                                           "doc_id"))
+        got = _kept(_top_fraction_banded(df, frac, "score", ["source"],
+                                         "doc_id", 16, 1_000_000))
+        assert got == exact, f"frac={frac}"
+    # the ADVICE repro shape: dispatch engages the banded arm on data
+    # with NULL group keys; kept count for the NULL group is exact
+    pub = top_fraction_by(df, 5000, "score", "source", rows_cap=10)
+    assert _kept(pub) == _kept(
+        _top_fraction_window(df, 5000, "score", ["source"], "doc_id"))
+    n_null = df.filter(F.col("source").isNull()).count()
+    kept_null = pub.filter(F.col("source").isNull()).count()
+    assert kept_null == (n_null * 5000 + BP - 1) // BP > 0
+
+
+def test_key_band_value_monotone_string_and_long(spark):
+    """The single-score band's key projection must be monotone
+    NON-INCREASING along the window arm's ASCENDING key order (it is the
+    negated natural order), NULLs strictly first — for binary-tricky
+    strings (prefixes, NUL bytes, multi-byte UTF-8) and clamped longs."""
+    from hta_spark.pipeline.sample import _key_band_value
+    keys = ["", "a", "ab", "abc", "abcdefgh", "abcdefgz", "z", "Z", "zz",
+            "a\x00b", "é", "€x", None]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id string")
+    proj = {r.doc_id: r.kv for r in df.select(
+        "doc_id", _key_band_value(df, "doc_id").alias("kv")).collect()}
+    native = [r.doc_id for r in df.orderBy(F.col("doc_id").asc()).collect()]
+    vals = [proj[k] for k in native]
+    assert all(vals[i] >= vals[i + 1] for i in range(len(vals) - 1)), vals
+    assert native[0] is None and vals[0] > vals[1]   # NULL strictly first
+    longs = [None, -(1 << 62), -5, 0, 7, (1 << 62)]
+    df2 = spark.createDataFrame([(k,) for k in longs], "doc_id long")
+    proj2 = {r.doc_id: r.kv for r in df2.select(
+        "doc_id", _key_band_value(df2, "doc_id").alias("kv")).collect()}
+    native2 = [r.doc_id for r in
+               df2.orderBy(F.col("doc_id").asc()).collect()]
+    vals2 = [proj2[k] for k in native2]
+    assert all(vals2[i] >= vals2[i + 1] for i in range(len(vals2) - 1))
+    assert native2[0] is None and vals2[0] > vals2[1]
+
+
+def test_top_fraction_single_score_groups(spark):
+    """VERDICT r12 item 4: groups sharing ONE score (incl. all-NaN and
+    all-NULL) band on the key projection instead of degenerating the
+    whole group into the boundary band — kept set identical to the
+    window arm for long keys, string keys, and unsupported key types
+    (which keep the documented band sort)."""
+    from hta_spark.pipeline.sample import _key_band_value, \
+        _top_fraction_banded, _top_fraction_window
+    rows = [(i, "one", 7.5) for i in range(200)]
+    rows += [(1000 + i, "nan", float("nan")) for i in range(60)]
+    rows += [(2000 + i, "null", None) for i in range(60)]
+    rows += [(3000 + i, "mix", float(i % 9)) for i in range(120)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, score double")
+    for frac in (500, 2500, 7500):
+        exact = _kept(_top_fraction_window(df, frac, "score", ["source"],
+                                           "doc_id"))
+        got = _kept(_top_fraction_banded(df, frac, "score", ["source"],
+                                         "doc_id", 16, 1_000_000))
+        assert got == exact, f"frac={frac}"
+    # string keys, single score: tiebreak is binary string order
+    srows = [("doc%05d" % i if i % 7 else "Z%d" % i, 1.0)
+             for i in range(300)]
+    sdf = spark.createDataFrame(srows, "doc_id string, score double")
+    sexact = sorted(r.doc_id for r in _top_fraction_window(
+        sdf, 2500, "score", [], "doc_id").collect())
+    sgot = sorted(r.doc_id for r in _top_fraction_banded(
+        sdf, 2500, "score", [], "doc_id", 16, 1_000_000).collect())
+    assert sgot == sexact
+    # unsupported key type (double): _one path disabled, still exact
+    drows = [(float(i) / 3.0, 2.0) for i in range(100)]
+    ddf = spark.createDataFrame(drows, "doc_id double, score double")
+    assert _key_band_value(ddf, "doc_id") is None
+    dexact = sorted(r.doc_id for r in _top_fraction_window(
+        ddf, 4000, "score", [], "doc_id").collect())
+    dgot = sorted(r.doc_id for r in _top_fraction_banded(
+        ddf, 4000, "score", [], "doc_id", 16, 1_000_000).collect())
+    assert dgot == dexact
