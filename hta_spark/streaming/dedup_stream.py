@@ -38,16 +38,28 @@ def neardup_index_bitset(index: DataFrame,
     index into the ONE-ROW Bloom bitset :func:`neardup_bloom_filter`
     probes — key = ``band || ':' || bh`` (distinct), built once per index
     publish, broadcast as ``2^m_log2 / 8`` bytes regardless of corpus
-    size.  Size ``m_log2`` for the index cardinality (n_docs × bands
-    keys): FP per key ≈ (keys·k/m)^k — at the default 2^20 bits / k=7
-    a 10^4-key index probes at ~1e-9; raise ``m_log2`` as the corpus
-    grows (2^30 bits = 128 MiB still broadcasts)."""
-    from ..pipeline.decontaminate import BLOOM_K, BLOOM_M_LOG2, \
-        bitset_from_keys
-    keys = index.select(
+    size.
+
+    ``m_log2=None`` (the default) AUTO-SIZES the bitset from the index's
+    distinct key count (``sized_m_log2`` — one count job in this
+    build-once path).  VERDICT r12: the old fixed 2^20 default silently
+    saturated under a corpus-sized index (~4M keys) and the probe then
+    dropped 100% of novel documents as near-duplicates; auto-sizing
+    keeps ~14 bits/key (per-key FP ~1e-3) up to the 2^30 broadcast cap
+    and refuses loudly past it.  An EXPLICIT ``m_log2`` keeps that exact
+    layout (the oracle-mirrored regime) but the build now asserts a
+    <= 50% fill fraction, so an undersized explicit bitset fails the
+    build instead of filtering wrong.  The chosen parameters ride along
+    the bitset as literal columns for the probe to verify/adopt."""
+    from ..pipeline.decontaminate import BLOOM_K, bitset_from_keys, \
+        sized_m_log2
+    keys = (index.select(
         F.concat(F.col("band").cast("string"), F.lit(":"), F.col("bh"))
-        .alias("key")).distinct()
-    m = BLOOM_M_LOG2 if m_log2 is None else int(m_log2)
+        .alias("key")).distinct())
+    if m_log2 is None:
+        m = sized_m_log2(keys.count())
+    else:
+        m = int(m_log2)
     kk = BLOOM_K if bloom_k is None else int(bloom_k)
     # build parameters ride ALONG the bitset as literal columns so the
     # probe can verify them (ADVICE r11: a probe with mismatched m/k
@@ -97,9 +109,19 @@ def neardup_bloom_filter(docs: DataFrame, index_bits: DataFrame,
     from ..pipeline.dedup import (_band_hash_arr, minhash_signature_exprs,
                                   shingles_from_tokens, tokens_col)
 
-    ml = BLOOM_M_LOG2 if m_log2 is None else int(m_log2)
+    if m_log2 is None and \
+            {"m_log2", "bloom_k"} <= set(index_bits.columns):
+        # adopt the build's parameters off the one-row bitset frame (the
+        # auto-sized default has no fixed m to assume); the params-only
+        # select prunes the bits column, so this probe job is cheap
+        prm = index_bits.select("m_log2", "bloom_k").first()
+        ml, kk = int(prm["m_log2"]), int(prm["bloom_k"])
+        if bloom_k is not None:
+            kk = int(bloom_k)
+    else:
+        ml = BLOOM_M_LOG2 if m_log2 is None else int(m_log2)
+        kk = BLOOM_K if bloom_k is None else int(bloom_k)
     m = 1 << ml
-    kk = BLOOM_K if bloom_k is None else int(bloom_k)
     cols = docs.columns
     # inline (not minhash_signatures_maponly): the shingle-less rows must
     # stay IN the frame here — they pass the filter with zero keys —
