@@ -96,6 +96,67 @@ ORDER BY jaccard DESC, s.a, s.b LIMIT 50
 """
 
 
+# -- n-gram jaccard, boilerplate-strip arm (r13) ----------------------------
+#
+# VERDICT r12 missing #1: the max_df guard refused hot shingles but no
+# operator acted on the refusal.  This query plants a boilerplate footer
+# on 40% of the corpus (df far past the cap) and runs on_hot='drop': the
+# footer shingles are stripped from the shingle universe BEFORE pairing,
+# Jaccard (sizes included) is over the remaining rare-shingle sets, and
+# the oracle restates exactly that changed definition.
+
+HOTDROP_MAX_DF = 64
+HOTDROP_FOOTER = ("all rights reserved by example corp "
+                  "redistribution is prohibited")
+
+
+def q_ngram_jaccard_hotdrop(spark, sf_dir):
+    from .pipeline.dedup import ngram_jaccard_pairs
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 < 2,
+               F.concat(F.col("text"), F.lit(" " + HOTDROP_FOOTER)))
+         .otherwise(F.col("text")))
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, min_shared=2,
+                                max_df=HOTDROP_MAX_DF, on_hot="drop")
+    return pairs.orderBy(F.desc("jaccard"), "a", "b").limit(50)
+
+
+SQL_NGRAM_JACCARD_HOTDROP = f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 < 2
+              THEN text || ' {HOTDROP_FOOTER}' ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+         FROM docs2),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shs
+  FROM toks WHERE len(t) >= 3
+),
+ex0 AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM sh),
+ex AS (
+  SELECT * FROM ex0
+  WHERE sh IN (SELECT sh FROM ex0 GROUP BY sh
+               HAVING count(*) <= {HOTDROP_MAX_DF})
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY 1),
+shared AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM ex l JOIN ex r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT s.a, s.b, round(s.shared / (sa.sz + sb.sz - s.shared), 4) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.a = sa.doc_id
+JOIN sizes sb ON s.b = sb.doc_id
+ORDER BY jaccard DESC, s.a, s.b LIMIT 50
+"""
+
+
 # -- minhash + LSH candidate pairs ------------------------------------------
 
 MINHASH_K = 8
@@ -1177,6 +1238,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_prefix": (q_dedup_prefix, SQL_DEDUP_PREFIX),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_ngram_jaccard_hotdrop": (q_ngram_jaccard_hotdrop,
+                                    SQL_NGRAM_JACCARD_HOTDROP),
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_minhash()),
     "dedup_lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
