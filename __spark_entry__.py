@@ -56,35 +56,35 @@ def entry(spark: SparkSession) -> DataFrame:
 #:
 #: r10 rotated the LLM-pipeline core in (all 32 driver-green in
 #: CORRECTNESS_r10); r11 rotated the TPC-H remainder + window/scalar
-#: breadth (all green in CORRECTNESS_r11).  r12 (VERDICT r11 item 2)
-#: promotes the LAST 15 never-driver-gated entries — the four r11
-#: additions (dedup_incremental_neardup, dedup_source_overlap,
-#: sample_top_quality, pack_bin_report) plus the trailing dedup/sketch/
-#: text/scalar entries — and back-fills the remaining slots with the
-#: STALEST rows (last green r1-r9: the IVF pair, fingerprint/repetition,
-#: as-of/sessionize/pivot, and the r9 relational block), so every
-#: registry entry keeps a recent driver-green row.  After r12 EVERY
-#: registry entry has been driver-gated at least once; from r13 on,
-#: rotate by staleness (oldest CORRECTNESS_r* row first) plus any
-#: newly added entries.
+#: breadth (all green in CORRECTNESS_r11); r12 promoted the last 15
+#: never-gated entries plus the stalest r1-r9 rows — after r12 every
+#: registry entry has been driver-gated at least once.
+#:
+#: From r13 on the policy is PURE STALENESS: the rotation holds any
+#: never-gated new entries first, then the 49 oldest last-green rows
+#: (computed by unioning CORRECTNESS_r*.json), and `_registry` leads
+#: with this block so the driver's leading-50 sample IS the rotation.
+#: r13: the new dedup_ngram_jaccard_hotdrop (boilerplate-strip arm) +
+#: the r9 scalar/set block + the r10 LLM-pipeline core + the oldest
+#: r11 rows.
 _GATE_ROTATION = [
-    # never driver-gated (15)
-    "dedup_injected", "dedup_incremental_neardup", "dedup_source_overlap",
-    "sample_top_quality", "pack_bin_report", "hta_means",
-    "decontaminate_bloom_fp", "sketch_hist_by_group",
-    "q_range_join_incidents", "text_rules", "q_bucketed_join",
-    "ann_knn_label_accuracy", "q_unpivot", "text_vocab",
-    "text_unigram_surprisal",
-    # new in r12: the streaming Bloom near-dup's driver-gated twin
-    "dedup_neardup_bloom",
-    # stalest driver-green rows (r1-r6)
-    "text_fingerprint", "ann_ivf_assign", "ann_ivf_topk",
-    "text_repetition", "dedup_prefix", "q_asof_signup", "q_sessionize",
-    "q_pivot_events", "q_running_sum",
-    # r9 relational block
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q_topk_per_group", "q_rollup_orders", "q_cube_lineitem",
-    "q_semi_anti",
+    "dedup_ngram_jaccard_hotdrop", "q_date_agg", "q_distinct_agg",
+    "q_scalar_functions", "q_set_ops", "q_sort_limit",
+    "ann_cosine_topk", "ann_ivf_recall", "ann_kmeans_lite",
+    "ann_knn_join", "ann_knn_join_ivf", "curation_report",
+    "decontaminate_bloom", "decontaminate_overlap", "dedup_cluster_keep",
+    "dedup_components", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_incremental", "dedup_lsh_recall", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "mix_weights",
+    "pack_contiguous", "pipeline_funnel", "q_dense_ids",
+    "sample_domain_cap", "sample_stratified", "sketch_hist_quantiles",
+    "sketch_kmv_distinct", "text_bpe_merges", "text_bpe_segment",
+    "text_classifier_score", "text_lang_id", "text_pii_scrub",
+    "text_quality", "text_token_stats", "ann_semantic_dedup",
+    "dedup_simhash_pairs", "q10_returned_items", "q11_important_stock",
+    "q12_priority_case", "q13_order_distribution", "q14_promo_share",
+    "q15_top_supplier", "q16_supplier_variety", "q17_below_avg",
+    "q18_large_orders", "q19_disjunction",
 ]
 
 
@@ -100,9 +100,13 @@ def _registry() -> dict[str, tuple]:
     full.update(PIPELINE_QUERIES)
     full.update(EXTRA_QUERIES)
     full.update(SCALE_QUERIES)
-    reg: dict[str, tuple] = dict(HTA_QUERIES)
+    # the rotation block LEADS so the driver's leading-50 gate sample is
+    # exactly the staleness-selected set (r13 policy change: HTA queries
+    # are now the freshest rows, so they rotate out like everything else)
+    reg: dict[str, tuple] = {}
     for name in _GATE_ROTATION:
         reg[name] = full[name]
+    reg.update(HTA_QUERIES)
     reg.update(full)              # everything else, original order
     return reg
 
