@@ -627,17 +627,25 @@ def _se_gemm_guard(spark, n_base: int = 559_500, planted: int = 500,
         guard_raised, guard_msg = True, str(e)
     guard_sec = round(time.perf_counter() - t0, 3)
 
-    # the named substitute serves the same corpus: banded SRP-LSH with
-    # scale-appropriate banding (24-bit bands -> bucket size ~1 at 560k)
+    # the named substitute serves the corpus class: banded SRP-LSH with
+    # scale-appropriate banding (24-bit bands -> bucket size ~1).  r13
+    # (VERDICT r12 item 5): the recall measurement runs at HALF the
+    # guard shape — SRP recall is a per-pair property independent of
+    # corpus size (bucket collisions only ADD candidates), so the
+    # insurance arm pays half the wall while the guard still refuses
+    # the full 273 MiB corpus above
+    emb.unpersist()
+    lsh_base = n_base // 2
+    emb2, _ = _planted_embeddings(spark, lsh_base, planted, dim)
     t0 = time.perf_counter()
-    pairs = hyperplane_lsh_pairs(emb, threshold=0.99,
+    pairs = hyperplane_lsh_pairs(emb2, threshold=0.99,
                                  n_planes=72, rows_per_band=24).cache()
     pairs_n = pairs.count()
     lsh_sec = round(time.perf_counter() - t0, 3)
-    recovered = pairs.filter((F.col("b") - F.col("a") == n_base)
+    recovered = pairs.filter((F.col("b") - F.col("a") == lsh_base)
                              & (F.col("a") < planted)).count()
     pairs.unpersist()
-    emb.unpersist()
+    emb2.unpersist()
     return {"vectors": n, "dim": dim,
             "matrix_mib": round(n * dim * 8 / 2 ** 20),
             "plan_stats_mib": round(est_bytes / 2 ** 20),
@@ -647,6 +655,7 @@ def _se_gemm_guard(spark, n_base: int = 559_500, planted: int = 500,
             "guard_check_sec": guard_sec,
             "lsh_params": {"n_planes": 72, "rows_per_band": 24,
                            "threshold": 0.99},
+            "lsh_corpus_vectors": lsh_base + planted,
             "lsh_pairs": pairs_n, "lsh_sec": lsh_sec,
             "planted_pairs": planted,
             "planted_recovered": recovered,
@@ -699,42 +708,62 @@ def _se_throttle_cap(spark, n: int = 8_100_000) -> dict:
     """scale_evidence (c): ``throttle_auto``'s straggler cap at its
     DEFAULT (``seq_rows_cap=8_000_000``) on generated data.
 
-    One 8.1M-point metric (the smallest round size past the cap —
-    VERDICT r11 item 6: the guard binds identically at any size past the
-    threshold, so the insurance arm runs the cheapest such shape): auto
-    with NO knobs must dispatch the pointer-doubling parallel arm, and
-    its kept set must fingerprint-equal the sequential arm's.  The
-    parallel arm is slower locally — that is the recorded price of
-    bounded per-task memory at cluster width (same trade as the IVF
-    sub-block), not a defect; the cooldown keeps ~n/65536 points so the
-    doubling converges in ~8 rounds (each round is an O(n) jump-table
-    self-join — the cell's dominant cost — so fewer kept points cut wall
-    time without touching what the guard proves)."""
+    r13 split (VERDICT r12 item 5 — this cell's insurance arms were 58 s
+    of the bench wall): the GUARD is a dispatch property, so it is
+    observed binding at 8.1M rows (the smallest round size past the
+    default cap) from the PLAN — auto with no knobs must choose the
+    pointer-doubling arm — without executing the 8.1M throttle; the
+    arm-equivalence insurance (parallel kept set fingerprint-equals the
+    sequential arm's) executes BOTH arms at half the shape, where the
+    equality is the same statement (the recurrence has no
+    size-dependent branch; the dispatch is the only thing the cap
+    changes, and it is pinned by the plan probe above plus
+    tests/test_scale_ops.py's forced-arm equivalences).  The parallel
+    arm is slower locally — the recorded price of bounded per-task
+    memory at cluster width; the doubling converges in ~log2(kept)
+    rounds, and the cooldown keeps ~n/2^20 points (~3 rounds)."""
     from pyspark.sql import functions as F  # noqa: F401  (plan probe)
     from hta_spark.operators.tools import dummy, throttle, throttle_auto
 
+    cooldown = 50_000_000 * (1 << 20) - 1
+
+    # guard binding at DEFAULT knobs, 8.1M rows: the dispatch decision
+    # itself (throttle_auto_arm — the same planner call throttle_auto
+    # branches on; throttle_parallel runs eagerly at construction, so
+    # observing the arm through a built frame would execute the 8.1M
+    # throttle this split exists to avoid)
+    from hta_spark.operators.tools import throttle_auto_arm
     raw = dummy(spark, count=n, time_delta_ns=50_000_000,
                 value=None).cache()
     raw.count()
-    cooldown = 50_000_000 * 65536 - 1
-
     t0 = time.perf_counter()
-    auto = throttle_auto(raw, cooldown)            # ALL defaults
-    arm = ("seq" if "FlatMapGroupsInPandas"
-           in auto._jdf.queryExecution().analyzed().toString() else "par")
-    auto_n, auto_h = _hash_set(auto, ["metric", "time", "value"])
-    auto_sec = round(time.perf_counter() - t0, 3)
+    arm = throttle_auto_arm(raw)                   # DEFAULT cap
+    dispatch_sec = round(time.perf_counter() - t0, 3)
+    raw.unpersist()
 
+    # arm equivalence at half shape
+    half = n // 2
+    raw2 = dummy(spark, count=half, time_delta_ns=50_000_000,
+                 value=None).cache()
+    raw2.count()
     t0 = time.perf_counter()
-    seq_n, seq_h = _hash_set(throttle(raw, cooldown),
+    # through the auto dispatch (cap lowered to keep the par arm + its
+    # default salting) so the tested path IS the product path
+    par_n, par_h = _hash_set(
+        throttle_auto(raw2, cooldown, seq_rows_cap=half - 1),
+        ["metric", "time", "value"])
+    par_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    seq_n, seq_h = _hash_set(throttle(raw2, cooldown),
                              ["metric", "time", "value"])
     seq_sec = round(time.perf_counter() - t0, 3)
-    raw.unpersist()
+    raw2.unpersist()
     return {"rows": n, "default_seq_rows_cap": 8_000_000,
             "auto_arm": arm, "guard_engaged": arm == "par",
-            "kept_rows": auto_n,
-            "kept_sets_equal": (auto_n, auto_h) == (seq_n, seq_h),
-            "auto_parallel_sec": auto_sec, "seq_arm_sec": seq_sec}
+            "dispatch_check_sec": dispatch_sec,
+            "equivalence_rows": half, "kept_rows": par_n,
+            "kept_sets_equal": (par_n, par_h) == (seq_n, seq_h),
+            "auto_parallel_sec": par_sec, "seq_arm_sec": seq_sec}
 
 
 def _se_ivf_subblock(spark, n: int = 66_000, dim: int = 16,

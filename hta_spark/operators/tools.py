@@ -350,6 +350,21 @@ def _throttle_empty(raw: DataFrame) -> DataFrame:
         F.col("value").cast("double").alias("value"))
 
 
+def throttle_auto_arm(raw: DataFrame,
+                      seq_rows_cap: int = 8_000_000) -> str:
+    """The :func:`throttle_auto` dispatch decision, exposed so callers
+    (and the bench's guard-binding cell) can observe which arm the
+    planner chooses WITHOUT constructing the chosen arm —
+    ``throttle_parallel`` runs its pin/doubling jobs eagerly at build
+    time, so "check the plan" is not free there.  One grouped-count
+    planner job; returns ``"empty" | "seq" | "par"``."""
+    n_max = (raw.groupBy("metric").count()
+             .agg(F.max("count")).collect()[0][0])
+    if n_max is None:
+        return "empty"
+    return "seq" if int(n_max) <= seq_rows_cap else "par"
+
+
 def throttle_auto(raw: DataFrame, cooldown_ns: int,
                   seq_rows_cap: int = 8_000_000, **parallel_kw) -> DataFrame:
     """T4-auto: size-dispatched throttle (VERDICT r6 "What's wrong #4").
@@ -386,18 +401,26 @@ def throttle_auto(raw: DataFrame, cooldown_ns: int,
     arm the kwargs are meaningless there, and a ``UserWarning`` is issued
     so a caller tuning ``salt_chunks`` can see which arm consumed it
     (ADVICE r8)."""
-    n_max = (raw.groupBy("metric").count()
-             .agg(F.max("count")).collect()[0][0])
-    if n_max is None:
+    arm = throttle_auto_arm(raw, seq_rows_cap)
+    if arm == "empty":
         return _throttle_empty(raw)
-    if int(n_max) <= seq_rows_cap:
+    if arm == "seq":
         if parallel_kw:
             warnings.warn(
                 "throttle_auto dispatched to the sequential arm; parallel-"
                 f"only kwargs {sorted(parallel_kw)} are ignored there",
                 UserWarning, stacklevel=2)
         return throttle(raw, cooldown_ns)
-    return throttle_parallel(raw, cooldown_ns, **parallel_kw)
+    pk = dict(parallel_kw)
+    if "salt_chunks" not in pk:
+        # r13: the parallel arm is chosen precisely because ONE metric
+        # is past the cap — unsalted, that metric's successor suffix-min
+        # runs as a single-partition window (the arm's measured dominant
+        # cost at 8M rows).  Default the salt to the cluster width; the
+        # salted suffix-min is equivalence-tested against the plain one.
+        pk["salt_chunks"] = max(
+            2, raw.sparkSession.sparkContext.defaultParallelism)
+    return throttle_parallel(raw, cooldown_ns, **pk)
 
 
 def clone(raw: DataFrame, new_meta: Meta) -> dict[int, DataFrame]:

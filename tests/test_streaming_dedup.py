@@ -224,3 +224,74 @@ def test_neardup_bitset_autosize_and_saturation_refusal(spark):
         neardup_bloom_filter(
             incoming, neardup_index_bitset(idx, m_log2=8),
             m_log2=8).collect()
+
+
+def test_neardup_bloom_restart_resumes_exactly(spark, tmp_path):
+    """VERDICT r12 item 6: the zero-state claim must survive a REAL
+    restart at scale — a 10^5-doc crawl stream through the Bloom filter
+    is killed mid-stream, restarted from its checkpoint onto the same
+    exactly-once file sink, and the final kept set must equal the batch
+    filter's bit-for-bit (no lost, duplicated, or re-dropped docs).
+    The filter carries no state store, so the only restart surface is
+    the source/sink checkpoint — which is exactly what this pins."""
+    import time as _time
+
+    from hta_spark.pipeline.dedup import (lsh_band_buckets,
+                                          minhash_signatures_maponly)
+    from hta_spark.streaming.dedup_stream import (neardup_bloom_filter,
+                                                  neardup_index_bitset)
+
+    corpus_n, crawl_n, dup_n = 50_000, 100_000, 5_000
+
+    def text_of(base_id, salt: int):
+        return F.concat_ws(" ", *[
+            F.hex(F.xxhash64(base_id, F.lit(salt + j))) for j in range(10)])
+
+    corpus = spark.range(corpus_n).select(
+        F.col("id").alias("doc_id"), text_of(F.col("id"), 0).alias("text"))
+    crawl = spark.range(corpus_n, corpus_n + crawl_n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < corpus_n + dup_n,
+               text_of(F.col("id") - corpus_n, 0))
+         .otherwise(text_of(F.col("id"), 100)).alias("text"))
+
+    bits = neardup_index_bitset(
+        lsh_band_buckets(minhash_signatures_maponly(corpus))).cache()
+    bits.count()
+
+    src = tmp_path / "crawl_src"
+    crawl.repartition(8).write.parquet(str(src))
+    sink = str(tmp_path / "kept_sink")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def start():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(str(src)))
+        return (neardup_bloom_filter(stream, bits)
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .format("parquet").option("path", sink).start())
+
+    # run 1: kill mid-stream after >=2 micro-batches
+    q1 = start()
+    deadline = _time.time() + 120
+    while len(q1.recentProgress) < 2 and _time.time() < deadline:
+        _time.sleep(0.05)
+    q1.stop()
+    run1_batches = len(q1.recentProgress)
+    assert run1_batches >= 2, "stream finished before the kill"
+
+    # run 2: resume from the checkpoint, drain the rest
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = spark.read.parquet(sink)
+    want = neardup_bloom_filter(crawl, bits)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # every planted duplicate still dropped across the restart
+    assert got.filter(F.col("doc_id") <
+                      corpus_n + dup_n).count() == 0
+    bits.unpersist()
