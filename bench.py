@@ -1229,7 +1229,8 @@ def _pipeline_latency(spark, qs) -> dict:
                  "dedup_simhash_pairs", "text_tfidf",
                  "ann_semantic_dedup", "text_chunk_windows",
                  "dedup_incremental_neardup", "dedup_source_overlap",
-                 "sample_top_quality", "pack_bin_report"):
+                 "sample_top_quality", "pack_bin_report",
+                 "dedup_ngram_jaccard_hotdrop", "dedup_neardup_bloom"):
         fn = qs.get(name)
         if fn is None:
             continue
