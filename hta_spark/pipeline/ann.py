@@ -262,6 +262,51 @@ def _topk_order(sims: np.ndarray, take: int) -> np.ndarray:
     return np.argsort(-key, axis=1)[:, :take]
 
 
+def _topk_block(a_mat, a_norms, b_mat, b_norms, lo, hi, take,
+                sim_buf, div_buf, skew):
+    """One ``(block x m)`` rounded-cosine block plus its exact
+    top-``take`` order under the ``(-round(cos,4), column)`` contract —
+    the IN-PLACE form of the original
+    ``round((A @ B.T) / outer(na, nb), 4)`` + :func:`_topk_order`
+    composition.  r13: that composition allocated ~5 full ``block x m``
+    temporaries per block (raw sims, rounded copy, skewed key, its
+    negation, the outer-product divisor) — measured as ~half the whole
+    IVF task at the 33k-member bench width; this version reuses two
+    caller-owned buffers and matches the original OPERATION FOR
+    OPERATION (same matmul, same single division by the outer product,
+    same round, same skewed strict total order), so the returned sims
+    and order are BIT-IDENTICAL (pinned by
+    tests/test_scale_ops.py::test_topk_block_bitexact)."""
+    n = hi - lo
+    s = sim_buf[:n]
+    np.matmul(a_mat[lo:hi], b_mat.T, out=s)
+    d = div_buf[:n]
+    np.multiply(a_norms[lo:hi, None], b_norms[None, :], out=d)
+    s /= d
+    np.round(s, 4, out=s)
+    sims = s.copy()               # rounded values, before the skew
+    m = s.shape[1]
+    s -= skew[None, :]
+    t = min(take, m)
+    if m > 4 * t:
+        # top-t from the partition TAIL — same set as the old
+        # argpartition(-key) head (the skewed key is a strict total
+        # order), without materializing a negated copy
+        part = np.argpartition(s, m - t, axis=1)[:, m - t:]
+        sub = np.take_along_axis(s, part, axis=1)
+        order = np.take_along_axis(part, np.argsort(-sub, axis=1), axis=1)
+    else:
+        order = np.argsort(-s, axis=1)[:, :t]
+    return sims, order
+
+
+def _topk_buffers(block_rows: int, m: int):
+    """The two reusable per-task buffers + the column-skew vector for
+    :func:`_topk_block` (see _topk_order for the skew derivation)."""
+    return (np.empty((block_rows, m)), np.empty((block_rows, m)),
+            np.arange(m, dtype=np.float64) * (1e-5 / max(m, 1)))
+
+
 def knn_join(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
              vec_col: str = "embedding", max_broadcast_mb: int = 256,
              block_rows: int = 256) -> DataFrame:
@@ -297,15 +342,14 @@ def knn_join(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
             a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             a_norms = np.linalg.norm(a_mat, axis=1)
+            bufs = _topk_buffers(block_rows, len(b_ids))
             for lo in range(0, len(a_ids), block_rows):
                 hi = min(lo + block_rows, len(a_ids))
                 m = hi - lo
-                sims = np.round(
-                    (a_mat[lo:hi] @ b_mat.T)
-                    / (a_norms[lo:hi, None] * b_norms[None, :]), 4)
                 # top k+1 per row in (-cos, b_id) order, fully vectorized
                 # (k+1 because at most one of them is the row itself)
-                order = _topk_order(sims, kk + 1)
+                sims, order = _topk_block(a_mat, a_norms, b_mat, b_norms,
+                                          lo, hi, kk + 1, *bufs)
                 ridx = np.arange(m)[:, None]
                 cand_b = b_ids[order]
                 cand_c = sims[ridx, order]
@@ -460,13 +504,12 @@ def knn_join_ivf(emb: DataFrame, centroids: list[tuple[int, list[float]]],
         b_mat = np.array(list(mem["_vb"]), dtype=np.float64)
         b_norms = np.linalg.norm(b_mat, axis=1)
         out = []
+        bufs = _topk_buffers(blk, len(b_ids))
         for lo in range(0, len(a_ids), blk):
             hi = min(lo + blk, len(a_ids))
-            sims = np.round(
-                (a_mat[lo:hi] @ b_mat.T)
-                / (a_norms[lo:hi, None] * b_norms[None, :]), 4)
             # k+1: at most one candidate is self
-            order = _topk_order(sims, kk + 1)
+            sims, order = _topk_block(a_mat, a_norms, b_mat, b_norms,
+                                      lo, hi, kk + 1, *bufs)
             ridx = np.arange(hi - lo)[:, None]
             cand_b = b_ids[order]
             cand_c = sims[ridx, order]

@@ -512,3 +512,32 @@ def test_range_join_extra_keys_copartition(spark):
            range_join_points(p, iv, "t", "b", "e", cell=10,
                              extra_keys=["k"]).collect()]
     assert got == [(1, 9)]
+
+
+def test_topk_block_bitexact():
+    """r13: the in-place _topk_block must match the original
+    round((A@B.T)/outer, 4) + _topk_order composition BIT-FOR-BIT —
+    same sims block, same selection order — across tie-heavy rounded
+    values, wide/narrow member sides, and the m <= 4*take path."""
+    import numpy as np
+    from hta_spark.pipeline.ann import (_topk_block, _topk_buffers,
+                                        _topk_order)
+
+    rng = np.random.default_rng(7)
+    for n_a, m, dim, take in ((64, 3000, 8, 6), (64, 17, 4, 6),
+                              (5, 12000, 16, 3), (7, 5, 3, 9)):
+        a = rng.random((n_a, dim)) * 2 - 1
+        # quantize some coordinates so 4-decimal rounding produces ties
+        b = np.round(rng.random((m, dim)) * 2 - 1, 1)
+        an = np.linalg.norm(a, axis=1)
+        bn = np.linalg.norm(b, axis=1)
+        bufs = _topk_buffers(32, m)
+        for lo in range(0, n_a, 32):
+            hi = min(lo + 32, n_a)
+            want_sims = np.round(
+                (a[lo:hi] @ b.T) / (an[lo:hi, None] * bn[None, :]), 4)
+            want_order = _topk_order(want_sims, take)
+            got_sims, got_order = _topk_block(a, an, b, bn, lo, hi,
+                                              take, *bufs)
+            assert np.array_equal(got_sims, want_sims), (n_a, m, lo)
+            assert np.array_equal(got_order, want_order), (n_a, m, lo)
