@@ -230,15 +230,18 @@ def _top_fraction_banded(df: DataFrame, frac_bp: int, score_col: str,
     Single-score degenerate band (VERDICT r12 item 4): a group whose
     rows ALL share one score (or are all NaN / all NULL) used to route
     its entire membership into one bin, so the "boundary band" WAS the
-    group and the arm sorted what it was built not to sort.  Such
-    groups now detect in the same stats pass (``_one``: non-null count
-    0, or min <=> max with no NULLs mixed in) and band on a MONOTONE
-    KEY PROJECTION instead (:func:`_key_band_value` — the negated
-    natural key order, so the same descending histogram machinery picks
-    the lowest-key prefix the window arm's ``key_col ASC`` tiebreak
-    keeps); the band sort's (score DESC, key) order is pure key order
-    inside such a group, so exactness is untouched.  Key types without
-    a cheap monotone projection keep the documented band sort.
+    group and the arm sorted what it was built not to sort.  Groups
+    with at most ONE distinct non-null RAW score (``_one`` — raw, not
+    the double cast: distinct long scores past 2^53 collapse as
+    doubles while the window arm still separates them) now band on a
+    MONOTONE KEY PROJECTION instead (:func:`_key_band_value` — the
+    negated natural key order, so the same descending histogram
+    machinery picks the lowest-key prefix the window arm's ``key_col
+    ASC`` tiebreak keeps), on TWO levels when NULL scores mix in
+    (non-null rows above, desc-nulls-last order preserved); the band
+    sort's (score DESC, key) order is pure key order inside each
+    level, so exactness is untouched.  Key types without a cheap
+    monotone projection keep the documented band sort.
 
     Scale shape: two map-side-combined aggregates (group bounds, then
     per-(group,bin) counts), windows over <= n_bins rows per group, one
@@ -267,9 +270,15 @@ def _top_fraction_banded(df: DataFrame, frac_bp: int, score_col: str,
     kv = _key_band_value(df, key_col)
     if kv is not None:
         rows = rows.withColumn("_kv", kv)
+    # single-score detection compares min/max of the RAW column, not the
+    # double cast: the window arm orders by the raw column, and two
+    # distinct long scores past 2^53 (or decimals past double precision)
+    # collapse to one double — a cast-based check would falsely take the
+    # key-banded path and break kept-set equality (r13 self-review)
+    raw = F.col(score_col)
     aggs = [F.count(F.lit(1)).cast("long").alias("_n"),
-            F.count(sd).cast("long").alias("_nn"),
-            F.min(sd).alias("_rlo"), F.max(sd).alias("_rhi"),
+            F.count(raw).cast("long").alias("_nn"),
+            F.min(raw).alias("_rlo"), F.max(raw).alias("_rhi"),
             F.min("_v").alias("_slo"), F.max("_v").alias("_shi")]
     if kv is not None:
         aggs += [F.min("_kv").alias("_klo"), F.max("_kv").alias("_khi")]
@@ -280,12 +289,14 @@ def _top_fraction_banded(df: DataFrame, frac_bp: int, score_col: str,
             F.lit(1).cast("long"),
             F.call_function("div", F.col(hi) - F.col(lo),
                             F.lit(int(n_bins))) + F.lit(1))
-    # one distinct ordering value in the whole group: all-NULL scores,
-    # or no NULLs and min <=> max (NaN <=> NaN holds; a NaN/finite mix
-    # has min != max because Spark sorts NaN greatest)
-    one = (F.col("_nn") == 0) | \
-          ((F.col("_nn") == F.col("_n"))
-           & F.col("_rlo").eqNullSafe(F.col("_rhi")))
+    # at most one distinct NON-NULL score in the group: all-NULL, or
+    # min <=> max over the raw column (min/max skip NULLs; NaN <=> NaN
+    # holds; a NaN/finite mix has min != max because Spark sorts NaN
+    # greatest).  Groups mixing that one score with NULLs key-band on
+    # TWO levels (non-null rows the upper n_bins, NULL rows the lower)
+    # so the (score DESC nulls-last, key ASC) window order is preserved
+    # bin-monotonically.
+    one = (F.col("_nn") == 0) | F.col("_rlo").eqNullSafe(F.col("_rhi"))
     stats = (stats.withColumn("_w", _width("_shi", "_slo"))
              .withColumn("_one", one if kv is not None else F.lit(False)))
     if kv is not None:
@@ -309,6 +320,11 @@ def _top_fraction_banded(df: DataFrame, frac_bp: int, score_col: str,
                                        F.col("_wk")),
                        F.lit(0).cast("long")),
             F.lit(int(n_bins) - 1).cast("long"))
+        # two levels: the group's one non-null score ranks above its
+        # NULL rows under desc-nulls-last, each level key-banded
+        key_bin = key_bin + F.when(F.col(score_col).isNull(),
+                                   F.lit(0).cast("long")) \
+                             .otherwise(F.lit(int(n_bins)).cast("long"))
         bin_c = F.when(F.col("_one"), key_bin).otherwise(score_bin)
     else:
         bin_c = score_bin

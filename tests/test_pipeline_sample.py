@@ -328,3 +328,37 @@ def test_top_fraction_single_score_groups(spark):
     dgot = sorted(r.doc_id for r in _top_fraction_banded(
         ddf, 4000, "score", [], "doc_id", 16, 1_000_000).collect())
     assert dgot == dexact
+
+
+def test_top_fraction_one_score_raw_vs_cast_and_null_mix(spark):
+    """r13 self-review: (a) single-score detection must compare the RAW
+    score column — two distinct long scores past 2^53 collapse to one
+    double, and a cast-based check would falsely key-band a group the
+    window arm still separates by score; (b) a group mixing ONE non-null
+    score with NULLs key-bands on two levels (value rows above, NULLs
+    below) instead of degenerating."""
+    from hta_spark.pipeline.sample import _top_fraction_banded, \
+        _top_fraction_window
+    big = 1 << 60
+    rows = [(i, "big", big + (i % 2)) for i in range(100)]   # 2 raw scores
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, score long")
+    for frac in (100, 2500, 5000):
+        exact = _kept(_top_fraction_window(df, frac, "score", ["source"],
+                                           "doc_id"))
+        got = _kept(_top_fraction_banded(df, frac, "score", ["source"],
+                                         "doc_id", 16, 1_000_000))
+        assert got == exact, f"2^60 scores, frac={frac}"
+        # the window arm keeps ODD doc_ids first (score 2^60+1 > 2^60)
+        if frac == 2500:
+            assert all(d % 2 == 1 for d in got)
+    # one score + NULLs mixed: keep must take value rows (key asc) first
+    rows2 = [(i, "mix", 3.25 if i % 3 else None) for i in range(300)]
+    df2 = spark.createDataFrame(rows2,
+                                "doc_id long, source string, score double")
+    for frac in (1000, 6000, 8000):
+        exact = _kept(_top_fraction_window(df2, frac, "score", ["source"],
+                                           "doc_id"))
+        got = _kept(_top_fraction_banded(df2, frac, "score", ["source"],
+                                         "doc_id", 16, 1_000_000))
+        assert got == exact, f"null-mix, frac={frac}"
