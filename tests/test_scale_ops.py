@@ -525,10 +525,14 @@ def test_topk_block_bitexact():
 
     rng = np.random.default_rng(7)
     for n_a, m, dim, take in ((64, 3000, 8, 6), (64, 17, 4, 6),
-                              (5, 12000, 16, 3), (7, 5, 3, 9)):
+                              (5, 12000, 16, 3), (7, 5, 3, 9),
+                              (33, 64 * 6, 8, 6), (33, 64 * 6 + 1, 8, 6),
+                              (33, 500, 8, 6), (9, 130, 4, 2)):
         a = rng.random((n_a, dim)) * 2 - 1
         # quantize some coordinates so 4-decimal rounding produces ties
         b = np.round(rng.random((m, dim)) * 2 - 1, 1)
+        if m > 100:
+            b[m // 2] = 0.0          # zero-norm member -> NaN cosine
         an = np.linalg.norm(a, axis=1)
         bn = np.linalg.norm(b, axis=1)
         bufs = _topk_buffers(32, m)
@@ -539,5 +543,6 @@ def test_topk_block_bitexact():
             want_order = _topk_order(want_sims, take)
             got_sims, got_order = _topk_block(a, an, b, bn, lo, hi,
                                               take, *bufs)
-            assert np.array_equal(got_sims, want_sims), (n_a, m, lo)
+            assert np.array_equal(got_sims, want_sims,
+                                  equal_nan=True), (n_a, m, lo)
             assert np.array_equal(got_order, want_order), (n_a, m, lo)
