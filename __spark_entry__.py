@@ -64,11 +64,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: never-gated new entries first, then the 49 oldest last-green rows
 #: (computed by unioning CORRECTNESS_r*.json), and `_registry` leads
 #: with this block so the driver's leading-50 sample IS the rotation.
-#: r13: the new dedup_ngram_jaccard_hotdrop (boilerplate-strip arm) +
-#: the r9 scalar/set block + the r10 LLM-pipeline core + the oldest
-#: r11 rows.
+#: r13: the two new entries (dedup_ngram_jaccard_hotdrop,
+#: text_strip_boilerplate — the shingle- and line-level boilerplate
+#: arms) + the r9 scalar/set block + the r10 LLM-pipeline core + the
+#: oldest r11 rows.
 _GATE_ROTATION = [
-    "dedup_ngram_jaccard_hotdrop", "q_date_agg", "q_distinct_agg",
+    "dedup_ngram_jaccard_hotdrop", "text_strip_boilerplate",
+    "q_date_agg", "q_distinct_agg",
     "q_scalar_functions", "q_set_ops", "q_sort_limit",
     "ann_cosine_topk", "ann_ivf_recall", "ann_kmeans_lite",
     "ann_knn_join", "ann_knn_join_ivf", "curation_report",
@@ -84,7 +86,7 @@ _GATE_ROTATION = [
     "dedup_simhash_pairs", "q10_returned_items", "q11_important_stock",
     "q12_priority_case", "q13_order_distribution", "q14_promo_share",
     "q15_top_supplier", "q16_supplier_variety", "q17_below_avg",
-    "q18_large_orders", "q19_disjunction",
+    "q18_large_orders",
 ]
 
 

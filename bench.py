@@ -1230,7 +1230,8 @@ def _pipeline_latency(spark, qs) -> dict:
                  "ann_semantic_dedup", "text_chunk_windows",
                  "dedup_incremental_neardup", "dedup_source_overlap",
                  "sample_top_quality", "pack_bin_report",
-                 "dedup_ngram_jaccard_hotdrop", "dedup_neardup_bloom"):
+                 "dedup_ngram_jaccard_hotdrop", "dedup_neardup_bloom",
+                 "text_strip_boilerplate"):
         fn = qs.get(name)
         if fn is None:
             continue

@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 from .dedup import normalize_text, shingles_from_tokens, tokens_col
 
 __all__ = ["LANG_MARKERS", "language_id", "quality_score", "token_stats",
-           "fingerprint", "repetition_stats", "tfidf_terms"]
+           "fingerprint", "repetition_stats", "strip_boilerplate_lines",
+           "tfidf_terms"]
 
 # tiny deterministic stopword marker lists (order = tie-break priority)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -177,3 +178,116 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         h.alias("fp_md5"),
         F.conv(F.substring(h, 1, 4), 16, 10).cast("int").alias("fp_bucket"),
     )
+
+
+def strip_boilerplate_lines(docs: DataFrame, max_line_df: int = 64,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            line_sep: str = "\n",
+                            hot_broadcast_cap: int = 100_000) -> DataFrame:
+    """LINE-level boilerplate removal (the CCNet / RefinedWeb curation
+    step): a trimmed line appearing in more than ``max_line_df``
+    DISTINCT documents is boilerplate — navigation chrome, cookie
+    banners, license footers — and every occurrence of it is removed;
+    the remaining lines reassemble in original order.  The
+    document-level complement of :func:`~hta_spark.pipeline.dedup
+    .ngram_jaccard_pairs`'s ``on_hot="drop"`` (that strips hot
+    SHINGLES from the similarity universe; this strips hot LINES from
+    the TEXT itself, upstream of every downstream operator).
+
+    Output: the input columns with ``text_col`` rewritten, plus
+    ``n_lines`` (original line count) and ``n_removed``.  A document
+    whose lines are all boilerplate keeps its row with empty text.
+    Ubiquitous blank lines count like any other trimmed line, so they
+    collapse once the corpus exceeds ``max_line_df`` — the usual
+    curation outcome.  The kept text is a pure function of the corpus
+    line-frequency table: rerun/backfill-stable, partition-invariant.
+
+    Scale shape — size-dispatched on the HOT-SET size, not the corpus
+    (one planner count over the per-document-DISTINCT line stream,
+    which is computed map-side with ``array_distinct`` so a line
+    repeated inside one document counts once and never shuffles as
+    duplicates):
+
+    - hot set <= ``hot_broadcast_cap``: the hot lines collect into ONE
+      broadcast array row and the strip is IN-ROW (``filter`` over the
+      split array + ``array_join``) — ZERO shuffle of the corpus, the
+      same zero-state shape as ``bloom_decontaminate``.  Boilerplate is
+      by definition high-frequency, so #hot <= corpus_lines /
+      max_line_df and this arm is the common case.
+    - bigger hot set: lines explode with positions, drop by a LEFT ANTI
+      join on the hot frame (AQE picks the strategy), and documents
+      reassemble with one grouped ``array_sort(collect_list(struct))``
+      — three shuffles, all keyed (line df, anti join, doc regroup).
+
+    Both arms return the identical frame (equality-tested); the
+    dispatch is observable via ``strip_boilerplate_arm``."""
+    import re as _re
+
+    pat = _re.escape(line_sep)
+    lines_arr = F.split(F.col(text_col), pat, -1)
+    norm_arr = F.array_distinct(
+        F.transform(lines_arr, lambda x: F.trim(x)))
+    per_doc = docs.select(F.col(id_col).alias("_id"),
+                          F.explode(norm_arr).alias("_norm"))
+    hot = (per_doc.groupBy("_norm")
+           .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+           .filter(F.col("_df") > F.lit(int(max_line_df)))
+           .select("_norm"))
+    n_hot = hot.count()               # planner job (throttle_auto style)
+    out_cols = list(docs.columns)
+    n_lines = F.size(lines_arr).cast("long")
+    if n_hot <= int(hot_broadcast_cap):
+        hot_arr = (hot.groupBy()
+                   .agg(F.coalesce(
+                       F.collect_list("_norm"),
+                       F.array().cast("array<string>")).alias("_hot")))
+        kept = F.filter(lines_arr,
+                        lambda x: ~F.array_contains(F.col("_hot"),
+                                                    F.trim(x)))
+        return (docs.crossJoin(F.broadcast(hot_arr))
+                .withColumn("_kept", kept)
+                .select(*[c if c != text_col else
+                          F.array_join(F.col("_kept"), line_sep)
+                          .alias(text_col) for c in out_cols],
+                        n_lines.alias("n_lines"),
+                        (n_lines - F.size("_kept").cast("long"))
+                        .alias("n_removed")))
+    ex = docs.select(F.col(id_col).alias("_id"),
+                     F.posexplode(lines_arr).alias("_pos", "_line"))
+    kept = (ex.withColumn("_norm", F.trim(F.col("_line")))
+            .join(hot, "_norm", "left_anti")
+            .groupBy("_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"]).alias("_klines")))
+    joined = docs.join(
+        kept.select(F.col("_id").alias(id_col),
+                    F.array_join("_klines", line_sep).alias("_ktext"),
+                    F.size("_klines").cast("long").alias("_nkept")),
+        id_col, "left")
+    nkept = F.coalesce(F.col("_nkept"), F.lit(0).cast("long"))
+    return joined.select(
+        *[c if c != text_col else
+          F.coalesce(F.col("_ktext"), F.lit("")).alias(text_col)
+          for c in out_cols],
+        n_lines.alias("n_lines"),
+        (n_lines - nkept).alias("n_removed"))
+
+
+def strip_boilerplate_arm(docs: DataFrame, max_line_df: int = 64,
+                          text_col: str = "text",
+                          line_sep: str = "\n",
+                          hot_broadcast_cap: int = 100_000) -> str:
+    """The :func:`strip_boilerplate_lines` dispatch decision (same
+    planner count), observable without building either arm —
+    ``"broadcast"`` or ``"antijoin"``."""
+    import re as _re
+    pat = _re.escape(line_sep)
+    norm_arr = F.array_distinct(
+        F.transform(F.split(F.col(text_col), pat, -1),
+                    lambda x: F.trim(x)))
+    n_hot = (docs.select(F.explode(norm_arr).alias("_norm"))
+             .groupBy("_norm").agg(F.count(F.lit(1)).alias("_df"))
+             .filter(F.col("_df") > F.lit(int(max_line_df))).count())
+    return "broadcast" if n_hot <= int(hot_broadcast_cap) else "antijoin"

@@ -393,6 +393,76 @@ FROM n
 """
 
 
+# -- line-level boilerplate strip (r13) --------------------------------------
+#
+# strip_boilerplate_lines is the CCNet/RefinedWeb repeated-line removal.
+# The corpus text is single-line, so the query synthesizes the multi-line
+# shape deterministically: 4-word lines via one global regexp_replace,
+# then a nav header on even doc_ids and a license footer on 60% — both
+# land far past max_line_df=64 at every sf while the body lines stay
+# unique.  The oracle replays the synthesis and the model (per-doc
+# DISTINCT trimmed lines -> df table -> hot set -> in-row list_filter).
+
+STRIP_MAX_DF = 64
+STRIP_NAV = "  home | about | contact  "
+STRIP_FOOTER = "all rights reserved by example corp"
+
+
+def _strip_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lined = F.regexp_replace(
+        F.col("text"), r"(\S+ \S+ \S+ \S+) ", "$1\n")
+    t = F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit(STRIP_NAV + "\n"), lined)).otherwise(lined)
+    t = F.when(F.col("doc_id") % 5 < 3,
+               F.concat(t, F.lit("\n" + STRIP_FOOTER))).otherwise(t)
+    return docs.select("doc_id", t.alias("text"))
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    from .pipeline.text import strip_boilerplate_lines
+    return strip_boilerplate_lines(_strip_docs(spark, sf_dir),
+                                   max_line_df=STRIP_MAX_DF)
+
+
+SQL_STRIP_BOILERPLATE = f"""
+WITH lined AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+) ',
+                        '\\1' || chr(10), 'g') AS t
+  FROM documents
+),
+synth AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0
+               THEN '{STRIP_NAV}' || chr(10) || t ELSE t END)
+         || (CASE WHEN doc_id % 5 < 3
+                  THEN chr(10) || '{STRIP_FOOTER}' ELSE '' END) AS text
+  FROM lined
+),
+perdoc AS (
+  SELECT DISTINCT doc_id, trim(l.x) AS norm
+  FROM synth, unnest(string_split(text, chr(10))) AS l(x)
+),
+hot AS (
+  SELECT COALESCE(list(norm), []) AS arr
+  FROM (SELECT norm FROM perdoc GROUP BY 1
+        HAVING count(*) > {STRIP_MAX_DF})
+)
+SELECT s.doc_id,
+       array_to_string(
+         list_filter(string_split(s.text, chr(10)),
+                     x -> NOT list_contains(h.arr, trim(x))),
+         chr(10)) AS text,
+       CAST(len(string_split(s.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(s.text, chr(10)))
+            - len(list_filter(string_split(s.text, chr(10)),
+                              x -> NOT list_contains(h.arr, trim(x))))
+            AS BIGINT) AS n_removed
+FROM synth s, hot h
+"""
+
+
 # -- embedding similarity ---------------------------------------------------
 
 def q_ann_topk(spark, sf_dir):
@@ -1247,6 +1317,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "text_quality": (q_quality, _sql_quality()),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "text_strip_boilerplate": (q_strip_boilerplate,
+                               SQL_STRIP_BOILERPLATE),
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_assign": (q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
