@@ -83,3 +83,16 @@ def test_strip_nothing_hot_is_identity(spark):
     got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
            for r in strip_boilerplate_lines(docs, max_line_df=5).collect()}
     assert got == {1: ("a\nb", 2, 0), 2: ("c\nd", 2, 0)}
+
+
+def test_strip_broadcast_arm_corpus_shuffle_free(corpus):
+    """The broadcast arm's 100 TB claim, plan-pinned: the corpus side is
+    probed IN-ROW — no exchange keyed by the document id anywhere in the
+    plan (the only exchanges belong to the tiny hot-set build), same
+    assertion style as bloom_decontaminate's."""
+    import re
+    out = strip_boilerplate_lines(corpus, max_line_df=10)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert not re.search(r"hashpartitioning\(doc_id", plan), plan[:3000]
