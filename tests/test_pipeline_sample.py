@@ -362,3 +362,38 @@ def test_top_fraction_one_score_raw_vs_cast_and_null_mix(spark):
         got = _kept(_top_fraction_banded(df2, frac, "score", ["source"],
                                          "doc_id", 16, 1_000_000))
         assert got == exact, f"null-mix, frac={frac}"
+
+
+def test_top_fraction_arms_hypothesis_differential(spark):
+    """Model-differential over random frames: scores drawn from a SMALL
+    pool (heavy ties, NaN, NULL, single-score groups arise naturally),
+    group keys including NULL, random frac — the banded arm must keep
+    the window arm's set every time, at a bin resolution coarse enough
+    to exercise boundary bands."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hta_spark.pipeline.sample import _top_fraction_banded, \
+        _top_fraction_window
+
+    pool = [None, float("nan"), float("-inf"), float("inf"),
+            -1.5, 0.0, 0.25, 0.25, 3.0]
+    rows_st = st.lists(
+        st.tuples(st.sampled_from([None, "a", "b", "c"]),
+                  st.sampled_from(pool)),
+        min_size=1, max_size=60)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(rows=rows_st, frac=st.sampled_from([1, 1700, 5000, 9999]))
+    def run(rows, frac):
+        data = [(i, g, s) for i, (g, s) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "doc_id long, source string, score double")
+        exact = _kept(_top_fraction_window(df, frac, "score", ["source"],
+                                           "doc_id"))
+        got = _kept(_top_fraction_banded(df, frac, "score", ["source"],
+                                         "doc_id", 4, 1_000_000))
+        assert got == exact
+
+    run()
