@@ -64,12 +64,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: never-gated new entries first, then the 49 oldest last-green rows
 #: (computed by unioning CORRECTNESS_r*.json), and `_registry` leads
 #: with this block so the driver's leading-50 sample IS the rotation.
-#: r13: the two new entries (dedup_ngram_jaccard_hotdrop,
+#: r13: the three new entries (dedup_ngram_jaccard_hotdrop,
 #: text_strip_boilerplate — the shingle- and line-level boilerplate
-#: arms) + the r9 scalar/set block + the r10 LLM-pipeline core + the
-#: oldest r11 rows.
+#: arms — and dedup_repeated_spans, the ExactSubstr fixed-window form)
+#: + the r9 scalar/set block + the r10 LLM-pipeline core + the oldest
+#: r11 rows.
 _GATE_ROTATION = [
     "dedup_ngram_jaccard_hotdrop", "text_strip_boilerplate",
+    "dedup_repeated_spans",
     "q_date_agg", "q_distinct_agg",
     "q_scalar_functions", "q_set_ops", "q_sort_limit",
     "ann_cosine_topk", "ann_ivf_recall", "ann_kmeans_lite",
@@ -86,7 +88,6 @@ _GATE_ROTATION = [
     "dedup_simhash_pairs", "q10_returned_items", "q11_important_stock",
     "q12_priority_case", "q13_order_distribution", "q14_promo_share",
     "q15_top_supplier", "q16_supplier_variety", "q17_below_avg",
-    "q18_large_orders",
 ]
 
 

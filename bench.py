@@ -1231,7 +1231,7 @@ def _pipeline_latency(spark, qs) -> dict:
                  "dedup_incremental_neardup", "dedup_source_overlap",
                  "sample_top_quality", "pack_bin_report",
                  "dedup_ngram_jaccard_hotdrop", "dedup_neardup_bloom",
-                 "text_strip_boilerplate"):
+                 "text_strip_boilerplate", "dedup_repeated_spans"):
         fn = qs.get(name)
         if fn is None:
             continue

@@ -393,6 +393,74 @@ FROM n
 """
 
 
+# -- exact repeated-substring spans (r13) ------------------------------------
+#
+# repeated_span_stats is the fixed-window ExactSubstr form (Lee et al.
+# 2022).  k=3 gives NATURAL cross-document repeats on this corpus (the
+# vocabulary is small, so 3-gram windows genuinely collide), no
+# synthesis needed; the oracle replays window hashing, the >= 2
+# occurrence rule (within-doc repeats count), and the island merge.
+
+SPAN_K = 3
+
+
+def q_repeated_spans(spark, sf_dir):
+    from .pipeline.dedup import repeated_span_stats
+    return repeated_span_stats(_docs(spark, sf_dir).select("doc_id", "text"),
+                               k=SPAN_K)
+
+
+SQL_REPEATED_SPANS = f"""
+WITH toks AS ({SQL_TOKS}),
+sh AS (
+  SELECT doc_id, len(t) AS ntok,
+         CASE WHEN len(t) >= {SPAN_K}
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE [] END AS shs
+  FROM toks
+),
+st AS (
+  SELECT doc_id, generate_subscripts(shs, 1) - 1 AS pos,
+         md5(unnest(shs)) AS h
+  FROM sh
+),
+hot AS (SELECT h FROM st GROUP BY h HAVING count(*) >= 2),
+mk AS (SELECT doc_id, pos FROM st WHERE h IN (SELECT h FROM hot)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > {SPAN_K} THEN 1 ELSE 0 END AS f
+  FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_K - 1} AS e
+  FROM isl2 GROUP BY doc_id, g
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS covered
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(sh.ntok AS BIGINT) AS n_tokens,
+       CAST(greatest(sh.ntok - {SPAN_K - 1}, 0) AS BIGINT) AS n_windows,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       COALESCE(a.covered, 0) AS covered_tokens,
+       CASE WHEN sh.ntok > 0
+            THEN round(COALESCE(a.covered, 0) / CAST(sh.ntok AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_span_frac
+FROM documents d
+JOIN sh ON sh.doc_id = d.doc_id
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 # -- line-level boilerplate strip (r13) --------------------------------------
 #
 # strip_boilerplate_lines is the CCNet/RefinedWeb repeated-line removal.
@@ -1310,6 +1378,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_ngram_jaccard_hotdrop": (q_ngram_jaccard_hotdrop,
                                     SQL_NGRAM_JACCARD_HOTDROP),
+    "dedup_repeated_spans": (q_repeated_spans, SQL_REPEATED_SPANS),
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_minhash()),
     "dedup_lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),

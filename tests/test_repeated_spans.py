@@ -1,0 +1,96 @@
+"""Exact repeated-substring spans (pipeline/dedup.py::
+repeated_window_spans / repeated_span_stats) — the fixed-window form of
+ExactSubstr dedup (Lee et al. 2022): window marking, within-doc repeats,
+adjacent/overlap span merging, and zero-span documents, all vs a direct
+Python model."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from hta_spark.pipeline.dedup import (repeated_span_stats,
+                                      repeated_window_spans)
+
+
+def _model(rows, k, min_occ):
+    win = Counter()
+    per_doc = {}
+    for did, text in rows:
+        toks = text.lower().strip().split(" ")
+        ws = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        per_doc[did] = (toks, ws)
+        win.update(ws)
+    hot = {w for w, c in win.items() if c >= min_occ}
+    spans = {}
+    stats = {}
+    for did, (toks, ws) in per_doc.items():
+        marked = [i for i, w in enumerate(ws) if w in hot]
+        out = []
+        for p in marked:
+            if out and p <= out[-1][1] - k + 1 + k:   # p <= prev_pos + k
+                out[-1] = (out[-1][0], p + k - 1)
+            else:
+                out.append((p, p + k - 1))
+        spans[did] = out
+        cov = sum(e - s + 1 for s, e in out)
+        nt = len(toks)
+        stats[did] = (nt, max(nt - k + 1, 0), len(out), cov,
+                      round(cov / nt, 4) if nt else 0.0)
+    return spans, stats
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "a b c d e f g h"),             # shares "a b c d" with 1
+        (1, "x y a b c d z w"),
+        (2, "p q r s t u v"),               # unique everywhere
+        (3, "m m m m m m m m m"),           # within-doc repeats
+        (4, "a b c d e f q r"),             # overlaps 0 on a longer run
+        (5, "one two"),                     # shorter than k
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_spans_match_model(corpus):
+    rows, df = corpus
+    for k, mo in ((4, 2), (3, 2), (4, 3)):
+        want_spans, want_stats = _model(rows, k, mo)
+        got = {}
+        for r in repeated_window_spans(df, k=k,
+                                       min_occurrences=mo).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"]))
+        got = {d: sorted(v) for d, v in got.items()}
+        want = {d: v for d, v in want_spans.items() if v}
+        assert got == want, f"k={k} min_occ={mo}"
+        gstats = {r["doc_id"]: (r["n_tokens"], r["n_windows"], r["n_spans"],
+                                r["covered_tokens"], r["dup_span_frac"])
+                  for r in repeated_span_stats(df, k=k,
+                                               min_occurrences=mo).collect()}
+        assert gstats == want_stats, f"k={k} min_occ={mo}"
+
+
+def test_spans_semantics_pinned(corpus):
+    rows, df = corpus
+    spans = {}
+    for r in repeated_window_spans(df, k=4).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    # docs 0/1/4 share "a b c d"; doc 0 and 4 also share "b c d e" and
+    # "c d e f" -> doc 0's marked windows 0,1,2 merge into ONE span 0..5
+    assert spans[0] == [(0, 5)]
+    assert spans[1] == [(2, 5)]
+    assert spans[4] == [(0, 5)]
+    # within-doc repetition: every window of doc 3 is the same 4-gram
+    assert spans[3] == [(0, 8)]
+    # unique and too-short docs produce nothing
+    assert 2 not in spans and 5 not in spans
+    # partition invariance
+    a = sorted(map(tuple, repeated_window_spans(df, k=4).collect()))
+    b = sorted(map(tuple, repeated_window_spans(
+        df.repartition(5), k=4).collect()))
+    assert a == b
