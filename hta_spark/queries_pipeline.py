@@ -461,6 +461,83 @@ LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 
 
+# -- repeated-span trim (r14) -------------------------------------------------
+#
+# trim_repeated_spans is the span-REMOVAL step that completes the
+# ExactSubstr workflow (Lee et al. 2022's dedup ACTION — cut every
+# repeated span, keep the corpus-first occurrence per window).  Same
+# k=3 natural-collision regime as dedup_repeated_spans; the oracle
+# replays keep-first (row_number over (doc_id, pos) per window hash),
+# the island merge, and the token-level rewrite.
+
+
+def q_trim_spans(spark, sf_dir):
+    from .pipeline.dedup import trim_repeated_spans
+    return trim_repeated_spans(_docs(spark, sf_dir).select("doc_id", "text"),
+                               k=SPAN_K)
+
+
+SQL_TRIM_SPANS = f"""
+WITH toks AS ({SQL_TOKS}),
+sh AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= {SPAN_K}
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE [] END AS shs
+  FROM toks
+),
+st AS (
+  SELECT doc_id, generate_subscripts(shs, 1) - 1 AS pos,
+         md5(unnest(shs)) AS h
+  FROM sh
+),
+rk AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY h) AS c,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM st
+),
+mk AS (SELECT doc_id, pos FROM rk WHERE c >= 2 AND rn > 1),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > {SPAN_K} THEN 1 ELSE 0 END AS f
+  FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_K - 1} AS e
+  FROM isl2 GROUP BY doc_id, g
+),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS p FROM spans
+),
+tokpos AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS p, unnest(t) AS tok
+  FROM toks
+),
+keep AS (
+  SELECT tp.doc_id, tp.p, tp.tok
+  FROM tokpos tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+  WHERE cov.p IS NULL
+),
+o AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(o.text, '') AS text,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(o.n_kept, 0) AS BIGINT) AS n_trimmed
+FROM toks t LEFT JOIN o USING (doc_id)
+"""
+
+
 # -- line-level boilerplate strip (r13) --------------------------------------
 #
 # strip_boilerplate_lines is the CCNet/RefinedWeb repeated-line removal.
@@ -1379,6 +1456,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard_hotdrop": (q_ngram_jaccard_hotdrop,
                                     SQL_NGRAM_JACCARD_HOTDROP),
     "dedup_repeated_spans": (q_repeated_spans, SQL_REPEATED_SPANS),
+    "dedup_trim_spans": (q_trim_spans, SQL_TRIM_SPANS),
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_minhash()),
     "dedup_lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),

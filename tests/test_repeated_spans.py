@@ -12,7 +12,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from hta_spark.pipeline.dedup import (repeated_span_stats,
-                                      repeated_window_spans)
+                                      repeated_window_spans,
+                                      trim_repeated_spans)
 
 
 def _model(rows, k, min_occ):
@@ -94,3 +95,69 @@ def test_spans_semantics_pinned(corpus):
     b = sorted(map(tuple, repeated_window_spans(
         df.repartition(5), k=4).collect()))
     assert a == b
+
+
+def _trim_model(rows, k, min_occ):
+    """Direct model of trim_repeated_spans: per-window keep-first
+    (corpus-smallest (doc_id, pos)), every other occurrence's positions
+    removed, token rewrite."""
+    occ = {}
+    per_doc = {}
+    for did, text in rows:
+        if text is None:
+            per_doc[did] = None
+            continue
+        toks = text.lower().strip().split(" ")
+        per_doc[did] = toks
+        for i in range(len(toks) - k + 1):
+            occ.setdefault(" ".join(toks[i:i + k]), []).append((did, i))
+    out = {}
+    for did, toks in per_doc.items():
+        if toks is None:
+            out[did] = (None, None, None)
+            continue
+        covered = set()
+        for i in range(len(toks) - k + 1):
+            w = " ".join(toks[i:i + k])
+            o = occ[w]
+            if len(o) >= min_occ and (did, i) != min(o):
+                covered.update(range(i, i + k))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        out[did] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    return out
+
+
+def test_trim_matches_model(corpus, spark):
+    rows, df = corpus
+    rows = rows + [(6, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, mo in ((4, 2), (3, 2), (4, 3)):
+        want = _trim_model(rows, k, mo)
+        got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_trimmed"])
+               for r in trim_repeated_spans(
+                   df, k=k, min_occurrences=mo).collect()}
+        assert got == want, f"k={k} min_occ={mo}"
+    # partition invariance
+    a = sorted(map(tuple, trim_repeated_spans(df, k=4).collect()))
+    b = sorted(map(tuple, trim_repeated_spans(
+        df.repartition(5), k=4).collect()))
+    assert a == b
+
+
+def test_trim_semantics_pinned(corpus):
+    rows, df = corpus
+    got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_trimmed"])
+           for r in trim_repeated_spans(df, k=4).collect()}
+    # doc 0 holds the corpus-FIRST occurrence of every window it shares
+    # -> untouched; doc 1's "a b c d" at pos 2 is a later occurrence
+    # -> its 4 tokens cut; doc 4 repeats doc 0's run -> whole run cut
+    assert got[0] == ("a b c d e f g h", 8, 0)
+    assert got[1] == ("x y z w", 8, 4)
+    assert got[4] == ("q r", 8, 6)
+    # within-doc repetition: windows 1..5 are non-first -> positions
+    # 1..8 covered; only token 0 survives (positional overlap with the
+    # kept window 0 is documented)
+    assert got[3] == ("m", 9, 8)
+    # unique / too-short docs untouched
+    assert got[2] == ("p q r s t u v", 7, 0)
+    assert got[5] == ("one two", 2, 0)
