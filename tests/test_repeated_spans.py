@@ -97,6 +97,56 @@ def test_spans_semantics_pinned(corpus):
     assert a == b
 
 
+def _coverage_from_model(rows, k, min_occ):
+    spans, _ = _model(rows, k, min_occ)
+    return {(d, p) for d, sp in spans.items()
+            for s, e in sp for p in range(s, e + 1)}
+
+
+def _coverage_brute(rows, k, min_occ):
+    """Positions inside ANY substring of length >= k occurring >=
+    min_occ times corpus-wide (all occurrences count, within-doc
+    included) — the maximal-repeat coverage the fixed-window form
+    claims to equal EXACTLY (repeated_window_spans docstring)."""
+    seqs = Counter()
+    toklists = [(d, t.lower().strip().split(" ")) for d, t in rows]
+    for _, toks in toklists:
+        for i in range(len(toks)):
+            for ln in range(k, len(toks) - i + 1):
+                seqs[tuple(toks[i:i + ln])] += 1
+    cov = set()
+    for d, toks in toklists:
+        for i in range(len(toks)):
+            for ln in range(k, len(toks) - i + 1):
+                if seqs[tuple(toks[i:i + ln])] >= min_occ:
+                    cov.update((d, p) for p in range(i, i + ln))
+    return cov
+
+
+def test_fixed_window_coverage_theorem():
+    """The documented fixed-k contract, property-tested (VERDICT r13
+    "What's missing #2"): window-coverage == maximal-repeat coverage,
+    exactly, for every corpus.  The Spark operator is pinned to _model
+    by test_spans_match_model, so pinning _model to the all-lengths
+    brute force closes the chain."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    doc = st.lists(st.sampled_from("abc"), min_size=1, max_size=14) \
+            .map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=5) \
+               .map(lambda ds: list(enumerate(ds)))
+
+    @settings(max_examples=300, deadline=None)
+    @given(corpus=corpus, k=st.sampled_from([2, 3]),
+           mo=st.sampled_from([2, 3]))
+    def run(corpus, k, mo):
+        assert _coverage_from_model(corpus, k, mo) == \
+            _coverage_brute(corpus, k, mo)
+
+    run()
+
+
 def _trim_model(rows, k, min_occ):
     """Direct model of trim_repeated_spans: per-window keep-first
     (corpus-smallest (doc_id, pos)), every other occurrence's positions
