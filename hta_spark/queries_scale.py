@@ -15,8 +15,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators.rangejoin import range_join_points
-from .pipeline.decontaminate import (BLOOM_K, BLOOM_M_LOG2,
-                                     bloom_decontaminate, decontaminate)
+from .pipeline.decontaminate import (BLOOM_BITS_PER_KEY, BLOOM_K,
+                                     BLOOM_M_LOG2, bloom_decontaminate,
+                                     decontaminate)
 from .pipeline.mix import mix_weights
 from .pipeline.rules import rule_filter
 from .pipeline.sample import BP, hash_bucket
@@ -115,17 +116,22 @@ FROM tr t LEFT JOIN per USING (doc_id)
 _BLOOM_M = 1 << BLOOM_M_LOG2
 
 
-def _bloom_pos_sql(hash_cte: str) -> str:
+def _bloom_pos_sql(hash_cte: str, m_expr: str | None = None) -> str:
     """Positions CTE body: ``hash_cte`` must expose (gram, h=md5('bloom|'||
     gram)); emits one row per (gram, probe i) with the probed bit index —
     the exact integer recurrence of ``_bloom_hash_pair`` (a + i*b mod m on
-    mod-reduced a, odd-forced b: values < 2^23, no overflow in either
-    engine)."""
+    mod-reduced a, odd-forced b: values < 2^23 at the fixed default, no
+    overflow in either engine; h halves are < 2^60 and m <= 2^30, so the
+    products stay < 2^63 for any auto-sized m too).  ``m_expr`` overrides
+    the fixed ``2^BLOOM_M_LOG2`` modulus with a SQL expression — a scalar
+    subquery when the bitset auto-sizes from the key count (ADVICE r13:
+    q_neardup_bloom's fixed 2^20 saturates past ~10^5 seen docs)."""
+    m = m_expr if m_expr is not None else str(_BLOOM_M)
     return f"""
   SELECT gram,
-         ((('0x' || substr(h, 1, 15))::BIGINT % {_BLOOM_M})
+         ((('0x' || substr(h, 1, 15))::BIGINT % {m})
           + i.range * ((('0x' || substr(h, 17, 15))::BIGINT * 2 + 1)
-                       % {_BLOOM_M})) % {_BLOOM_M} AS pos
+                       % {m})) % {m} AS pos
   FROM {hash_cte}, range({BLOOM_K}) i"""
 
 
@@ -285,12 +291,16 @@ FROM docs_j
 
 def q_neardup_bloom(spark, sf_dir):
     """Per-crawl near-dup filter through the ZERO-SHUFFLE Bloom path:
-    the seen 40%'s band index compiles to one broadcast bitset
-    (default 2^20 bits — the documented regime for this ~10^4-key
-    index), and the incoming 60% keep docs whose band keys hit nothing.
+    the seen 40%'s band index compiles to one broadcast bitset and the
+    incoming 60% keep docs whose band keys hit nothing.  The bitset
+    AUTO-SIZES from the distinct band-key count (``sized_m_log2`` —
+    ADVICE r13: the old explicit 2^20 saturates around ~10^5 seen docs,
+    where the fill guard would refuse while the oracle kept replaying
+    the saturated layout; now BOTH sides derive m from the key count,
+    so the query has no sf ceiling short of the 2^30 broadcast cap) and
+    the probe adopts m/k from the bitset frame's parameter columns.
     False positives drop a bounded fraction of novel docs (the oracle
     replays them exactly); false negatives are impossible."""
-    from .pipeline.decontaminate import BLOOM_M_LOG2
     from .pipeline.dedup import lsh_band_buckets, minhash_signatures
     from .queries_pipeline import (LSH_ROWS_PER_BAND, MINHASH_K,
                                    NEARDUP_SEEN_BP)
@@ -302,13 +312,9 @@ def q_neardup_bloom(spark, sf_dir):
     incoming = docs.filter(b >= F.lit(NEARDUP_SEEN_BP))
     idx = lsh_band_buckets(minhash_signatures(seen, k=MINHASH_K),
                            k=MINHASH_K, rows_per_band=LSH_ROWS_PER_BAND)
-    # EXPLICIT m_log2: the oracle mirrors the 2^20 bit layout (r13: the
-    # build default became auto-sizing, which would float m with the
-    # corpus; the explicit build still fill-guards itself)
     return neardup_bloom_filter(
-        incoming, neardup_index_bitset(idx, m_log2=BLOOM_M_LOG2),
-        k=MINHASH_K, rows_per_band=LSH_ROWS_PER_BAND,
-        m_log2=BLOOM_M_LOG2) \
+        incoming, neardup_index_bitset(idx, m_log2=None),
+        k=MINHASH_K, rows_per_band=LSH_ROWS_PER_BAND) \
         .select("doc_id", "lang", "source", "n_chars")
 
 
@@ -346,9 +352,19 @@ kb AS (
   FROM buckets bk JOIN split s ON s.doc_id = bk.id
   WHERE s.b < {NEARDUP_SEEN_BP}
 ),
+msz AS (
+  -- sized_m_log2 replayed exactly: max({BLOOM_M_LOG2},
+  -- bit_length(max(n,1)*{BLOOM_BITS_PER_KEY} - 1)); bin() length IS
+  -- the bit length for positive ints
+  SELECT (1::BIGINT << GREATEST({BLOOM_M_LOG2},
+          length(bin(GREATEST(count(*), 1)
+                     * {BLOOM_BITS_PER_KEY} - 1)))) AS m
+  FROM kb
+),
 epos AS (
   SELECT DISTINCT pos FROM ({_bloom_pos_sql(
-      "(SELECT gram, md5('bloom|' || gram) AS h FROM kb)")})
+      "(SELECT gram, md5('bloom|' || gram) AS h FROM kb)",
+      m_expr="(SELECT m FROM msz)")})
 ),
 ig AS (
   SELECT bk.id, CAST(bk.band AS VARCHAR) || ':' || bk.bh AS gram
@@ -357,7 +373,8 @@ ig AS (
 ),
 igr AS (SELECT DISTINCT gram FROM ig),
 iprobe AS ({_bloom_pos_sql(
-    "(SELECT gram, md5('bloom|' || gram) AS h FROM igr)")}),
+    "(SELECT gram, md5('bloom|' || gram) AS h FROM igr)",
+    m_expr="(SELECT m FROM msz)")}),
 hitg AS (
   SELECT p.gram FROM iprobe p LEFT JOIN epos e ON p.pos = e.pos
   GROUP BY p.gram HAVING count(e.pos) = {BLOOM_K}

@@ -50,13 +50,30 @@ def neardup_index_bitset(index: DataFrame,
     layout (the oracle-mirrored regime) but the build now asserts a
     <= 50% fill fraction, so an undersized explicit bitset fails the
     build instead of filtering wrong.  The chosen parameters ride along
-    the bitset as literal columns for the probe to verify/adopt."""
+    the bitset as literal columns for the probe to verify/adopt.
+
+    The returned ONE-ROW frame is PINNED (eager ``localCheckpoint``
+    when available, r14): this is the build-once path, and without the
+    pin every consumer re-ran the whole index pipeline — the auto-size
+    count, the probe's parameter read, and each probing job all
+    re-evaluated the signature/banding lineage (measured 52 s -> 9 s on
+    the gated bloom query).  The build — including the saturation
+    guard — therefore executes AT CALL TIME when the classic
+    localCheckpoint is available; on the Connect fallback the frame
+    stays lazy (a persist here would outlive the call, the
+    semantic_pairs gate)."""
+    from .. import compat
     from ..pipeline.decontaminate import BLOOM_K, bitset_from_keys, \
         sized_m_log2
     keys = (index.select(
         F.concat(F.col("band").cast("string"), F.lit(":"), F.col("bh"))
         .alias("key")).distinct())
+    lc = compat.lc_available(index.sparkSession)
     if m_log2 is None:
+        if lc:
+            # the count below and the bitset build share ONE evaluation
+            # of the banding lineage; released once the bitset is built
+            keys = compat.pin(keys)
         m = sized_m_log2(keys.count())
     else:
         m = int(m_log2)
@@ -65,9 +82,14 @@ def neardup_index_bitset(index: DataFrame,
     # probe can verify them (ADVICE r11: a probe with mismatched m/k
     # silently passes duplicates as novel or drops novel docs — the
     # contract was a docstring note, now it fails loudly)
-    return (bitset_from_keys(keys, "key", m, kk)
+    bits = (bitset_from_keys(keys, "key", m, kk)
             .withColumn("m_log2", F.lit(m).cast("int"))
             .withColumn("bloom_k", F.lit(kk).cast("int")))
+    if lc:
+        bits = compat.pin(bits)
+        if m_log2 is None:
+            compat.release(keys)
+    return bits
 
 
 def neardup_bloom_filter(docs: DataFrame, index_bits: DataFrame,
