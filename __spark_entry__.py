@@ -70,25 +70,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #: arms — and dedup_repeated_spans, the ExactSubstr fixed-window form)
 #: + the r9 scalar/set block + the r10 LLM-pipeline core + the oldest
 #: r11 rows.
+#:
+#: r14 (recomputed by unioning CORRECTNESS_r1..r13): dedup_trim_spans
+#: (new — the ExactSubstr span-removal step) first, then the r11 TPC-H
+#: /window/scalar-breadth block (now the stalest) and the oldest r12
+#: rows (the HTA core + the ivf/incremental/bloom block, which
+#: includes this round's behavior-touched dedup_neardup_bloom).
 _GATE_ROTATION = [
-    "dedup_ngram_jaccard_hotdrop", "text_strip_boilerplate",
-    "dedup_repeated_spans",
-    "q_date_agg", "q_distinct_agg",
-    "q_scalar_functions", "q_set_ops", "q_sort_limit",
-    "ann_cosine_topk", "ann_ivf_recall", "ann_kmeans_lite",
-    "ann_knn_join", "ann_knn_join_ivf", "curation_report",
-    "decontaminate_bloom", "decontaminate_overlap", "dedup_cluster_keep",
-    "dedup_components", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_incremental", "dedup_lsh_recall", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "mix_weights",
-    "pack_contiguous", "pipeline_funnel", "q_dense_ids",
-    "sample_domain_cap", "sample_stratified", "sketch_hist_quantiles",
-    "sketch_kmv_distinct", "text_bpe_merges", "text_bpe_segment",
-    "text_classifier_score", "text_lang_id", "text_pii_scrub",
-    "text_quality", "text_token_stats", "ann_semantic_dedup",
-    "dedup_simhash_pairs", "q10_returned_items", "q11_important_stock",
-    "q12_priority_case", "q13_order_distribution", "q14_promo_share",
-    "q15_top_supplier", "q16_supplier_variety", "q17_below_avg",
+    "dedup_trim_spans",
+    "q18_large_orders", "q19_disjunction", "q20_excess_suppliers",
+    "q21_last_shipper", "q22_idle_balances", "q2_min_cost_supplier",
+    "q4_order_priority", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_profit_by_nation", "q_array_stats",
+    "q_date_breadth", "q_full_outer", "q_json_props", "q_percentiles",
+    "q_range_frame", "q_session_window", "q_string_breadth",
+    "q_window_funcs", "text_chunk_windows", "text_tfidf",
+    "ann_ivf_assign", "ann_ivf_topk", "ann_knn_label_accuracy",
+    "decontaminate_bloom_fp", "dedup_incremental_neardup",
+    "dedup_injected", "dedup_neardup_bloom", "dedup_prefix",
+    "dedup_source_overlap", "hta_aggregate_auto", "hta_aggregate_range",
+    "hta_check_dups", "hta_count_levels", "hta_count_scoped",
+    "hta_last", "hta_level1_by_user", "hta_level1_rollup",
+    "hta_level2_rollup", "hta_means", "hta_range",
+    "hta_retrieve_aligned", "hta_retrieve_extended", "hta_smooth3",
+    "hta_smooth_raw", "hta_streaming_level1", "hta_throttle",
+    "hta_throttle_auto",
 ]
 
 
