@@ -1059,6 +1059,10 @@ def _se_repeated_spans(spark, n_docs: int = 1_000_000, k: int = 8) -> dict:
         return (round(time.perf_counter() - t0, 3),
                 int(row["n"] or 0), int(row["bad"] or 0))
 
+    run(n_docs // 10)                  # untimed JIT/codegen warmup: the
+    # first spans job in a session pays several seconds of compilation,
+    # which would land entirely on the half-corpus sample and invert
+    # the linearity ratio
     half_sec, half_n, half_bad = run(n_docs // 2)
     full_sec, full_n, full_bad = run(n_docs)
     plan_df = repeated_window_spans(corpus(n_docs), k=k)
