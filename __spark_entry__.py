@@ -71,13 +71,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: + the r9 scalar/set block + the r10 LLM-pipeline core + the oldest
 #: r11 rows.
 #:
-#: r14 (recomputed by unioning CORRECTNESS_r1..r13): dedup_trim_spans
-#: (new — the ExactSubstr span-removal step) first, then the r11 TPC-H
-#: /window/scalar-breadth block (now the stalest) and the oldest r12
-#: rows (the HTA core + the ivf/incremental/bloom block, which
-#: includes this round's behavior-touched dedup_neardup_bloom).
+#: r14 (recomputed by unioning CORRECTNESS_r1..r13): the two new
+#: entries (dedup_trim_spans — the ExactSubstr span-removal step — and
+#: text_strip_boilerplate_anti, the anti-join arm of the line strip
+#: against the same oracle) first, then the r11 TPC-H/window/scalar
+#: breadth block (now the stalest) and the oldest r12 rows (the HTA
+#: core + the ivf/incremental/bloom block, which includes this round's
+#: behavior-touched dedup_neardup_bloom).
 _GATE_ROTATION = [
-    "dedup_trim_spans",
+    "dedup_trim_spans", "text_strip_boilerplate_anti",
     "q18_large_orders", "q19_disjunction", "q20_excess_suppliers",
     "q21_last_shipper", "q22_idle_balances", "q2_min_cost_supplier",
     "q4_order_priority", "q6_forecast_revenue", "q7_nation_volume",
@@ -94,7 +96,6 @@ _GATE_ROTATION = [
     "hta_level2_rollup", "hta_means", "hta_range",
     "hta_retrieve_aligned", "hta_retrieve_extended", "hta_smooth3",
     "hta_smooth_raw", "hta_streaming_level1", "hta_throttle",
-    "hta_throttle_auto",
 ]
 
 

@@ -570,6 +570,19 @@ def q_strip_boilerplate(spark, sf_dir):
                                    max_line_df=STRIP_MAX_DF)
 
 
+def q_strip_boilerplate_anti(spark, sf_dir):
+    """The SAME corpus and oracle through the ANTI-JOIN arm
+    (``hot_broadcast_cap=0`` forces the posexplode + left-anti +
+    ordered-regroup path): with this twin BOTH dispatch arms are
+    driver-gated against one oracle, not just equality-tested against
+    each other (r14 — the default corpus's tiny hot set always lands
+    on the broadcast arm)."""
+    from .pipeline.text import strip_boilerplate_lines
+    return strip_boilerplate_lines(_strip_docs(spark, sf_dir),
+                                   max_line_df=STRIP_MAX_DF,
+                                   hot_broadcast_cap=0)
+
+
 SQL_STRIP_BOILERPLATE = f"""
 WITH lined AS (
   SELECT doc_id,
@@ -1466,6 +1479,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "text_strip_boilerplate": (q_strip_boilerplate,
                                SQL_STRIP_BOILERPLATE),
+    "text_strip_boilerplate_anti": (q_strip_boilerplate_anti,
+                                    SQL_STRIP_BOILERPLATE),
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_assign": (q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
