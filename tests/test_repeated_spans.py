@@ -194,6 +194,32 @@ def test_trim_matches_model(corpus, spark):
     assert a == b
 
 
+def test_trim_matches_model_hypothesis(spark):
+    """Model differential over random tiny-alphabet corpora (the
+    established property pattern): keep-first witness selection, island
+    merging across mixed hot hashes, and within-doc repeats are all
+    exercised by dense collisions that hand-written cases miss."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    doc = st.lists(st.sampled_from("ab"), min_size=1, max_size=10) \
+            .map(" ".join)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(docs=st.lists(doc, min_size=1, max_size=4),
+           k=st.sampled_from([2, 3]))
+    def run(docs, k):
+        rows = list(enumerate(docs))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        want = _trim_model(rows, k, 2)
+        got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_trimmed"])
+               for r in trim_repeated_spans(df, k=k).collect()}
+        assert got == want, (rows, k)
+
+    run()
+
+
 def test_trim_semantics_pinned(corpus):
     rows, df = corpus
     got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_trimmed"])
