@@ -1123,6 +1123,7 @@ def _se_strip_dispatch(spark, n_docs: int = 100_000,
                         .alias("text")).cache())
 
     sweep = {}
+    arm_at_cap = arm_past_cap = None
     for n_hot in (1_000, 10_000, 100_000):
         df = corpus(n_hot)
         df.count()
@@ -1135,20 +1136,19 @@ def _se_strip_dispatch(spark, n_docs: int = 100_000,
                 ["doc_id", "text", "n_removed"])
             arms[arm] = {"sec": round(time.perf_counter() - t0, 3),
                          "fp": (n, h)}
+        if n_hot == 10_000:
+            # dispatch binding at the default cap, on the already-cached
+            # boundary corpus: exactly cap hot lines stays broadcast,
+            # one slot fewer goes anti-join (the planner count sees
+            # n_hot > cap)
+            arm_at_cap = strip_boilerplate_arm(df, max_line_df=4)
+            arm_past_cap = strip_boilerplate_arm(df, max_line_df=4,
+                                                 hot_broadcast_cap=9_999)
         df.unpersist()
         sweep[n_hot] = {
             "broadcast_sec": arms["broadcast"]["sec"],
             "antijoin_sec": arms["antijoin"]["sec"],
             "arms_equal": arms["broadcast"]["fp"] == arms["antijoin"]["fp"]}
-    # dispatch binding at the default cap: a pool of exactly cap hot
-    # lines stays on the broadcast arm, one slot fewer goes anti-join
-    # (the planner count sees n_hot > cap)
-    at_cap = corpus(10_000)
-    at_cap.count()
-    arm_at_cap = strip_boilerplate_arm(at_cap, max_line_df=4)
-    arm_past_cap = strip_boilerplate_arm(at_cap, max_line_df=4,
-                                         hot_broadcast_cap=9_999)
-    at_cap.unpersist()
     b1k, bcap = (sweep[1_000]["broadcast_sec"],
                  sweep[10_000]["broadcast_sec"])
     return {"corpus_lines": n_docs * (per_doc_hot + 2),

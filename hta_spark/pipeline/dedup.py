@@ -707,38 +707,57 @@ def repeated_window_spans(docs: DataFrame, k: int = 8,
     the hot set and positions merge into islands with one per-document
     lag window (bounded by document length, partitioned on the doc
     id).  No stage holds more than one row per token."""
-    from pyspark.sql import Window
-
-    # tokens MATERIALIZE before the shingle lambda (the
-    # shingles_from_tokens contract: an inline split re-tokenizes the
-    # text per element_at — measured quadratic on this very operator),
-    # and the corpus spreads to cluster width first (a one-file corpus
-    # would run the whole tokenize+shingle+hash pipeline in ONE task —
-    # measured 14 s -> 2 s at sf0.1)
-    base = (_spread(docs)
-            .select(F.col(id_col).alias("_id"),
-                    tokens_col(F.col(text_col)).alias("_t"))
-            .select("_id", shingles_from_tokens(F.col("_t"), k)
-                    .alias("_sh")))
-    # posexplode_OUTER, then drop the null rows explicitly: the non-outer
-    # generate's implicit `size(_sh) > 0` filter is a pushable predicate,
-    # and Catalyst pushed it through the repartition INTO the scan — the
-    # whole shingle transform then evaluated inside the pre-spread
-    # single-file scan task (measured: the 32-way stage collapsed back
-    # to one 9 s task).  The explicit IsNotNull on the generator OUTPUT
-    # cannot push below the generate.
-    stream = (base.select(
-        "_id", F.posexplode_outer("_sh").alias("_pos", "_w"))
-        .filter(F.col("_w").isNotNull())
-        .select("_id", "_pos", F.md5(F.col("_w")).alias("_h")))
+    stream = _window_stream(docs, k, text_col, id_col)
     hot = (stream.groupBy("_h")
            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
            .filter(F.col("_c") >= F.lit(int(min_occurrences)))
            .select("_h"))
     marked = stream.join(hot, "_h", "left_semi")
+    return (_merge_islands(marked, k)
+            .select(F.col("_id").alias(id_col),
+                    F.col("s").alias("span_start"),
+                    F.col("e").alias("span_end")))
+
+
+def _window_stream(docs: DataFrame, k: int, text_col: str,
+                   id_col: str) -> DataFrame:
+    """The shared ExactSubstr window stream: one row per token position
+    — ``(_id, _pos, _h = md5(k-token window))``.
+
+    Tokens MATERIALIZE before the shingle lambda (the
+    shingles_from_tokens contract: an inline split re-tokenizes the
+    text per element_at — measured quadratic on this very operator),
+    and the corpus spreads to cluster width first (a one-file corpus
+    would run the whole tokenize+shingle+hash pipeline in ONE task —
+    measured 14 s -> 2 s at sf0.1).
+
+    posexplode_OUTER, then drop the null rows explicitly: the non-outer
+    generate's implicit `size(_sh) > 0` filter is a pushable predicate,
+    and Catalyst pushed it through the repartition INTO the scan — the
+    whole shingle transform then evaluated inside the pre-spread
+    single-file scan task (measured: the 32-way stage collapsed back
+    to one 9 s task).  The explicit IsNotNull on the generator OUTPUT
+    cannot push below the generate."""
+    base = (_spread(docs)
+            .select(F.col(id_col).alias("_id"),
+                    tokens_col(F.col(text_col)).alias("_t"))
+            .select("_id", shingles_from_tokens(F.col("_t"), k)
+                    .alias("_sh")))
+    return (base.select(
+        "_id", F.posexplode_outer("_sh").alias("_pos", "_w"))
+        .filter(F.col("_w").isNotNull())
+        .select("_id", "_pos", F.md5(F.col("_w")).alias("_h")))
+
+
+def _merge_islands(marked: DataFrame, k: int) -> DataFrame:
+    """Merge marked window positions into per-document spans ``(_id, s,
+    e)`` (0-based token positions, inclusive): a new island starts when
+    this window's coverage [pos, pos+k-1] neither overlaps nor touches
+    the previous one's, i.e. pos > prev_pos + k; one per-document lag
+    window, bounded by document length."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("_id").orderBy("_pos")
-    # new island when this window's coverage [pos, pos+k-1] neither
-    # overlaps nor touches the previous one's: pos > prev_pos + k
     flag = F.when(F.lag("_pos").over(w).isNull()
                   | (F.col("_pos") - F.lag("_pos").over(w) > F.lit(int(k))),
                   1).otherwise(0)
@@ -746,10 +765,9 @@ def repeated_window_spans(docs: DataFrame, k: int = 8,
             .withColumn("_isl", F.sum(flag).over(
                 w.rowsBetween(Window.unboundedPreceding, 0)))
             .groupBy("_id", "_isl")
-            .agg(F.min("_pos").cast("long").alias("span_start"),
+            .agg(F.min("_pos").cast("long").alias("s"),
                  (F.max("_pos") + F.lit(int(k) - 1)).cast("long")
-                 .alias("span_end"))
-            .select(F.col("_id").alias(id_col), "span_start", "span_end"))
+                 .alias("e")))
 
 
 def repeated_span_stats(docs: DataFrame, k: int = 8,
@@ -826,20 +844,7 @@ def trim_repeated_spans(docs: DataFrame, k: int = 8,
     (``filter(tokens, (tok, i) -> no span covers i)``) — no corpus
     explode in the rewrite stage, AQE broadcasts the span frame when it
     is small."""
-    from pyspark.sql import Window
-
-    base = (_spread(docs)
-            .select(F.col(id_col).alias("_id"),
-                    tokens_col(F.col(text_col)).alias("_t"))
-            .select("_id", shingles_from_tokens(F.col("_t"), k)
-                    .alias("_sh")))
-    # posexplode_OUTER + explicit IsNotNull: see repeated_window_spans —
-    # the non-outer generate's implicit size filter pushes through the
-    # repartition into the scan and collapses the spread
-    stream = (base.select(
-        "_id", F.posexplode_outer("_sh").alias("_pos", "_w"))
-        .filter(F.col("_w").isNotNull())
-        .select("_id", "_pos", F.md5(F.col("_w")).alias("_h")))
+    stream = _window_stream(docs, k, text_col, id_col)
     hot = (stream.groupBy("_h")
            .agg(F.count(F.lit(1)).cast("long").alias("_c"),
                 F.min(F.struct(F.col("_id"), F.col("_pos")))
@@ -850,17 +855,7 @@ def trim_repeated_spans(docs: DataFrame, k: int = 8,
               .filter((F.col("_id") != F.col("_first._id"))
                       | (F.col("_pos") != F.col("_first._pos")))
               .select("_id", "_pos"))
-    w = Window.partitionBy("_id").orderBy("_pos")
-    flag = F.when(F.lag("_pos").over(w).isNull()
-                  | (F.col("_pos") - F.lag("_pos").over(w) > F.lit(int(k))),
-                  1).otherwise(0)
-    spans = (marked
-             .withColumn("_isl", F.sum(flag).over(
-                 w.rowsBetween(Window.unboundedPreceding, 0)))
-             .groupBy("_id", "_isl")
-             .agg(F.min("_pos").cast("long").alias("s"),
-                  (F.max("_pos") + F.lit(int(k) - 1)).cast("long")
-                  .alias("e")))
+    spans = _merge_islands(marked, k)
     span_arr = (spans.groupBy("_id")
                 .agg(F.sort_array(F.collect_list(
                     F.struct(F.col("s"), F.col("e")))).alias("_spans")))

@@ -307,22 +307,40 @@ def strip_boilerplate_lines(docs: DataFrame, max_line_df: int = 64,
                          lambda s: F.array(s["_h1"], s["_h2"])))
                      .alias("_hh"))))
 
-        def _is_hot(x):
-            t = F.trim(x)
-            a1 = _md5_half(t, 1)
-            a2 = _md5_half(t, 17)
+        def _not_hot(s):
+            # s = struct(l, a1, a2): the md5 halves were materialized
+            # ONCE per line by the two-level transform below — lambda
+            # bodies are not common-subexpression-eliminated, so
+            # hashing inline here would re-run md5 for the bucket
+            # index and again per exists iteration (the
+            # _bloom_probe_exprs lesson, measured ~25% of a query)
+            a1, a2 = s["a1"], s["a2"]
             bi = (F.pmod(a1, F.lit(nb)) + 1).cast("int")
-            s = F.element_at(F.col("_pre"), bi)
+            st = F.element_at(F.col("_pre"), bi)
             c = F.element_at(F.col("_cnt"), bi)
-            return F.when(c > 0, F.exists(
+            return ~F.when(c > 0, F.exists(
                 F.sequence(F.lit(0), c - 1),
                 lambda i: (F.element_at(F.col("_hh"),
-                                        (s + i) * 2 + 1) == a1)
+                                        (st + i) * 2 + 1) == a1)
                 & (F.element_at(F.col("_hh"),
-                                (s + i) * 2 + 2) == a2))) \
+                                (st + i) * 2 + 2) == a2))) \
                 .otherwise(F.lit(False))
 
-        kept = F.filter(lines_arr, lambda x: ~_is_hot(x))
+        # two-level transform: md5(trim(line)) computed once per line,
+        # halves extracted from that one hash, THEN the probe
+        lstruct = F.transform(
+            F.transform(lines_arr,
+                        lambda x: F.struct(
+                            x.alias("l"),
+                            F.md5(F.trim(x)).alias("h"))),
+            lambda s: F.struct(
+                s["l"].alias("l"),
+                F.conv(F.substring(s["h"], 1, 15), 16, 10).cast("long")
+                .alias("a1"),
+                F.conv(F.substring(s["h"], 17, 15), 16, 10).cast("long")
+                .alias("a2")))
+        kept = F.transform(F.filter(lstruct, _not_hot),
+                           lambda s: s["l"])
         return (docs.crossJoin(F.broadcast(table))
                 .withColumn("_kept", kept)
                 .select(*[c if c != text_col else

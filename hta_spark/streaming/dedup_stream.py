@@ -33,7 +33,8 @@ __all__ = ["stream_exact_dedup", "neardup_index_bitset",
 
 def neardup_index_bitset(index: DataFrame,
                          m_log2: int | None = None,
-                         bloom_k: int | None = None) -> DataFrame:
+                         bloom_k: int | None = None,
+                         pin: bool = True) -> DataFrame:
     """Compile a stored :func:`hta_spark.pipeline.dedup.lsh_band_buckets`
     index into the ONE-ROW Bloom bitset :func:`neardup_bloom_filter`
     probes — key = ``band || ':' || bh`` (distinct), built once per index
@@ -52,23 +53,30 @@ def neardup_index_bitset(index: DataFrame,
     build instead of filtering wrong.  The chosen parameters ride along
     the bitset as literal columns for the probe to verify/adopt.
 
-    The returned ONE-ROW frame is PINNED (eager ``localCheckpoint``
-    when available, r14): this is the build-once path, and without the
-    pin every consumer re-ran the whole index pipeline — the auto-size
-    count, the probe's parameter read, and each probing job all
-    re-evaluated the signature/banding lineage (measured 52 s -> 9 s on
-    the gated bloom query).  The build — including the saturation
-    guard — therefore executes AT CALL TIME when the classic
-    localCheckpoint is available; on the Connect fallback the frame
-    stays lazy (a persist here would outlive the call, the
-    semantic_pairs gate)."""
+    The returned ONE-ROW frame is PINNED by default (eager
+    ``localCheckpoint`` when available, r14): this is the build-once
+    path, and without the pin every consumer re-ran the whole index
+    pipeline — the auto-size count, the probe's parameter read, and
+    each probing job all re-evaluated the signature/banding lineage
+    (measured 52 s -> 9 s on the gated bloom query).  The build —
+    including the saturation guard — therefore executes AT CALL TIME
+    when the classic localCheckpoint is available; on the Connect
+    fallback the frame stays lazy (a persist here would outlive the
+    call, the semantic_pairs gate).  Fault-tolerance trade (review
+    r14): checkpoint blocks are non-replicated executor storage with
+    TRUNCATED lineage, so on a cluster an executor loss makes the
+    pinned frame unrecoverable — a LONG-LIVED consumer (a streaming
+    probe re-resolving the bitset for hours) should pass ``pin=False``
+    and manage durability itself (write the one-row frame to a table
+    and re-read it, the index-publish pattern), keeping the lazy
+    recompute-from-lineage behavior."""
     from .. import compat
     from ..pipeline.decontaminate import BLOOM_K, bitset_from_keys, \
         sized_m_log2
     keys = (index.select(
         F.concat(F.col("band").cast("string"), F.lit(":"), F.col("bh"))
         .alias("key")).distinct())
-    lc = compat.lc_available(index.sparkSession)
+    lc = pin and compat.lc_available(index.sparkSession)
     if m_log2 is None:
         if lc:
             # the count below and the bitset build share ONE evaluation
