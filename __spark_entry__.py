@@ -122,10 +122,28 @@ def _registry() -> dict[str, tuple]:
     return reg
 
 
+def _housekeep(spark: SparkSession) -> None:
+    """Pre-query housekeeping for long gate runs on a DEFAULT-heap
+    session (r14: a 50-query sequential run on a vanilla local[8]
+    session OOM'd around query ~36 — 1 GiB driver heap accumulates the
+    previous queries' py4j-held plans and pinned localCheckpoint
+    blocks until the reference chain is collected on BOTH sides).  A
+    Python gc pass releases the py4j proxies, then a JVM gc lets the
+    ContextCleaner drop the now-unreferenced blocks before the next
+    query allocates.  ~0.1 s per query; no-op on Connect (no _jvm)."""
+    import gc
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {}
     for name, (fn, _sql) in _registry().items():
         def wrapped(spark, sf_dir, _fn=fn):
+            _housekeep(spark)
             return _fn(_conf(spark), sf_dir)
         out[name] = wrapped
     return out
