@@ -78,24 +78,33 @@ def entry(spark: SparkSession) -> DataFrame:
 #: breadth block (now the stalest) and the oldest r12 rows (the HTA
 #: core + the ivf/incremental/bloom block, which includes this round's
 #: behavior-touched dedup_neardup_bloom).
+#:
+#: r15 (recomputed by unioning CORRECTNESS_r1..r14; no new registry
+#: entries this round — the round's changes are the strip broadcast-arm
+#: prefix-sum rework, already gate-covered by BOTH strip twins riding
+#: the sweep, and records/contract work): the 24 remaining r12-green
+#: rows (throttle twins, TPC-H head, window/pivot breadth, text stats)
+#: + the oldest 26 r13-green rows (the ANN/dedup/decontaminate block,
+#: which includes the r15-touched dedup_repeated_spans family
+#: neighbors).
 _GATE_ROTATION = [
-    "dedup_trim_spans", "text_strip_boilerplate_anti",
-    "q18_large_orders", "q19_disjunction", "q20_excess_suppliers",
-    "q21_last_shipper", "q22_idle_balances", "q2_min_cost_supplier",
-    "q4_order_priority", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_profit_by_nation", "q_array_stats",
-    "q_date_breadth", "q_full_outer", "q_json_props", "q_percentiles",
-    "q_range_frame", "q_session_window", "q_string_breadth",
-    "q_window_funcs", "text_chunk_windows", "text_tfidf",
-    "ann_ivf_assign", "ann_ivf_topk", "ann_knn_label_accuracy",
-    "decontaminate_bloom_fp", "dedup_incremental_neardup",
-    "dedup_injected", "dedup_neardup_bloom", "dedup_prefix",
-    "dedup_source_overlap", "hta_aggregate_auto", "hta_aggregate_range",
-    "hta_check_dups", "hta_count_levels", "hta_count_scoped",
-    "hta_last", "hta_level1_by_user", "hta_level1_rollup",
-    "hta_level2_rollup", "hta_means", "hta_range",
-    "hta_retrieve_aligned", "hta_retrieve_extended", "hta_smooth3",
-    "hta_smooth_raw", "hta_streaming_level1", "hta_throttle",
+    "hta_throttle_auto", "hta_throttle_parallel", "pack_bin_report",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q_asof_signup", "q_bucketed_join", "q_cube_lineitem",
+    "q_pivot_events", "q_range_join_incidents", "q_rollup_orders",
+    "q_running_sum", "q_semi_anti", "q_sessionize", "q_topk_per_group",
+    "q_unpivot", "sample_top_quality", "sketch_hist_by_group",
+    "text_fingerprint", "text_repetition", "text_rules",
+    "text_unigram_surprisal", "text_vocab", "ann_cosine_topk",
+    "ann_ivf_recall", "ann_kmeans_lite", "ann_knn_join",
+    "ann_knn_join_ivf", "ann_semantic_dedup", "curation_report",
+    "decontaminate_bloom", "decontaminate_overlap", "dedup_cluster_keep",
+    "dedup_components", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_incremental", "dedup_lsh_recall", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_hotdrop",
+    "dedup_repeated_spans", "dedup_simhash", "dedup_simhash_pairs",
+    "mix_weights", "pack_contiguous", "pipeline_funnel",
+    "q10_returned_items", "q11_important_stock",
 ]
 
 
@@ -139,11 +148,19 @@ def _housekeep(spark: SparkSession) -> None:
         pass
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def queries(housekeep: bool = True) \
+        -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """``housekeep=True`` (the driver's no-arg call) runs the gc pass
+    before every query — the 50-query gate needs it on a default-heap
+    session.  bench.py passes ``housekeep=False`` so timed cells never
+    include a full JVM GC pause inside the measured region (ADVICE r14:
+    the r14 pipeline-latency figures silently absorbed ~0.1 s of GC per
+    query, breaking PREV_ROUND comparability)."""
     out = {}
     for name, (fn, _sql) in _registry().items():
         def wrapped(spark, sf_dir, _fn=fn):
-            _housekeep(spark)
+            if housekeep:
+                _housekeep(spark)
             return _fn(_conf(spark), sf_dir)
         out[name] = wrapped
     return out

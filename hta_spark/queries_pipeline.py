@@ -531,11 +531,19 @@ o AS (
          CAST(count(*) AS BIGINT) AS n_kept
   FROM keep GROUP BY doc_id
 )
-SELECT t.doc_id, COALESCE(o.text, '') AS text,
+SELECT t.doc_id,
+       CASE WHEN t.t IS NULL THEN NULL
+            ELSE COALESCE(o.text, '') END AS text,
        CAST(len(t.t) AS BIGINT) AS n_tokens,
-       CAST(len(t.t) - COALESCE(o.n_kept, 0) AS BIGINT) AS n_trimmed
+       CAST(CASE WHEN t.t IS NULL THEN NULL
+                 ELSE len(t.t) - COALESCE(o.n_kept, 0) END
+            AS BIGINT) AS n_trimmed
 FROM toks t LEFT JOIN o USING (doc_id)
 """
+# ^ NULL-text parity (ADVICE r14): trim_repeated_spans is NULL-in ->
+# NULL-out, so the oracle must not coalesce a NULL-text doc to ''.
+# The corpus has no NULL text today; this closes the latent mismatch
+# the same way strip_boilerplate's arms were aligned in r14.
 
 
 # -- line-level boilerplate strip (r13) --------------------------------------
@@ -572,15 +580,18 @@ def q_strip_boilerplate(spark, sf_dir):
 
 def q_strip_boilerplate_anti(spark, sf_dir):
     """The SAME corpus and oracle through the ANTI-JOIN arm
-    (``hot_broadcast_cap=0`` forces the posexplode + left-anti +
-    ordered-regroup path): with this twin BOTH dispatch arms are
-    driver-gated against one oracle, not just equality-tested against
-    each other (r14 — the default corpus's tiny hot set always lands
-    on the broadcast arm)."""
+    (``hot_broadcast_cap=-1`` forces the posexplode + left-anti +
+    ordered-regroup path UNCONDITIONALLY): with this twin BOTH dispatch
+    arms are driver-gated against one oracle, not just equality-tested
+    against each other (r14 — the default corpus's tiny hot set always
+    lands on the broadcast arm).  -1, not 0 (ADVICE r14): the dispatch
+    is ``n_hot <= cap``, so with cap=0 an EMPTY hot set would silently
+    route back to the broadcast arm and anti-arm gate coverage would
+    vanish; no hot-set size is <= -1."""
     from .pipeline.text import strip_boilerplate_lines
     return strip_boilerplate_lines(_strip_docs(spark, sf_dir),
                                    max_line_df=STRIP_MAX_DF,
-                                   hot_broadcast_cap=0)
+                                   hot_broadcast_cap=-1)
 
 
 SQL_STRIP_BOILERPLATE = f"""

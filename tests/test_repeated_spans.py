@@ -220,6 +220,127 @@ def test_trim_matches_model_hypothesis(spark):
     run()
 
 
+def _trim_covered(rows, k, min_occ):
+    """Fresh restatement of the per-window keep-first spec, independent
+    of _trim_model's internals: occurrence lists per window text plus
+    the removed-position set per doc."""
+    occ, toklists = {}, {}
+    for did, text in rows:
+        toks = text.lower().strip().split(" ")
+        toklists[did] = toks
+        for i in range(len(toks) - k + 1):
+            occ.setdefault(" ".join(toks[i:i + k]), []).append((did, i))
+    cov = {d: set() for d in toklists}
+    for w, os_ in occ.items():
+        if len(os_) >= min_occ:
+            first = min(os_)
+            for d, q in os_:
+                if (d, q) != first:
+                    cov[d].update(range(q, q + k))
+    return toklists, occ, cov
+
+
+def test_trim_keep_first_contract():
+    """The per-window keep-first contract, property-pinned as FINAL
+    (r15, VERDICT r14 missing #1 / item 5).  _trim_model is pinned to
+    the Spark operator by test_trim_matches_model*, so pinning the
+    guarantees on the model closes the chain (the coverage-theorem
+    pattern).  G1: every removed position lies inside a k-window
+    occurrence with a strictly-earlier verbatim occurrence in the
+    ORIGINAL corpus.  G2: a doc whose hot-window occurrences are all
+    corpus-first passes through verbatim.  G3: a hot window whose
+    first occurrence overlaps NO non-first occurrence (own later ones
+    included) survives verbatim in the output."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    doc = st.lists(st.sampled_from("ab"), min_size=1, max_size=12) \
+            .map(" ".join)
+    corpus_s = st.lists(doc, min_size=1, max_size=5) \
+                 .map(lambda ds: list(enumerate(ds)))
+
+    @settings(max_examples=300, deadline=None)
+    @given(rows=corpus_s, k=st.sampled_from([2, 3]),
+           mo=st.sampled_from([2, 3]))
+    def run(rows, k, mo):
+        toklists, occ, cov = _trim_covered(rows, k, mo)
+        model = _trim_model(rows, k, mo)
+        # link: the spec's covered sets reproduce the model's rewrite
+        for d, toks in toklists.items():
+            kept = " ".join(t for i, t in enumerate(toks)
+                            if i not in cov[d])
+            assert model[d] == (kept, len(toks), len(cov[d])), (rows, k, mo)
+        # G1: every removed position is covered by an occurrence that
+        # repeats earlier text (its window has an occurrence < it)
+        for d, ps in cov.items():
+            toks = toklists[d]
+            for p in ps:
+                assert any(
+                    min(occ[" ".join(toks[q:q + k])]) < (d, q)
+                    for q in range(max(0, p - k + 1),
+                                   min(p, len(toks) - k) + 1)), (rows, k, p)
+        # G2: all-first docs are verbatim
+        for d, toks in toklists.items():
+            if all(min(occ[" ".join(toks[i:i + k])]) == (d, i)
+                   or len(occ[" ".join(toks[i:i + k])]) < mo
+                   for i in range(len(toks) - k + 1)):
+                assert model[d][0] == " ".join(toks), (rows, k, mo)
+        # G3: isolated first occurrences survive verbatim (positions
+        # contiguous and uncovered => adjacent in the output too)
+        nonfirst = [o for os2 in occ.values() if len(os2) >= mo
+                    for o in os2 if o != min(os2)]
+        for w, os_ in occ.items():
+            if len(os_) < mo:
+                continue
+            d, p = min(os_)
+            if not any(d2 == d and p - k + 1 <= q <= p + k - 1
+                       for d2, q in nonfirst):
+                assert set(range(p, p + k)).isdisjoint(cov[d]), (rows, k, w)
+                assert w in model[d][0], (rows, k, w)
+
+    run()
+
+
+def test_trim_no_survival_counterexample(spark):
+    """The documented LIMIT of the per-window contract, pinned so it is
+    a contract rather than a surprise (trim_repeated_spans docstring):
+    under positional overlap resolution a hot window can lose ALL its
+    occurrences — 'b a' here — because another window's non-first
+    occurrence cuts into its kept first occurrence while its other
+    occurrences are themselves non-first."""
+    df = spark.createDataFrame([(0, "a b a b"), (1, "b a")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_trimmed"])
+           for r in trim_repeated_spans(df, k=2).collect()}
+    assert got[0] == ("a b", 2)
+    assert got[1] == ("", 2)
+    assert all("b a" not in t for t, _ in got.values())
+
+
+def test_trim_oracle_null_text_parity(spark):
+    """ADVICE r14: SQL_TRIM_SPANS used to coalesce NULL text to '' while
+    the operator (and its tests) are NULL-in -> NULL-out — a latent gate
+    mismatch the sf corpora never exercise (no NULL text).  Run the
+    ACTUAL gated oracle SQL in DuckDB on a corpus WITH a NULL-text doc
+    and compare to the operator row-for-row."""
+    import duckdb
+
+    from hta_spark.queries_pipeline import SPAN_K, SQL_TRIM_SPANS
+
+    rows = [(0, "a b c d e f"), (1, "x a b c d y"), (2, None),
+            (3, "p q r")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_trimmed"])
+           for r in trim_repeated_spans(df, k=SPAN_K).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2], r[3])
+            for r in con.sql(SQL_TRIM_SPANS).fetchall()}
+    assert got == want
+    assert got[2] == (None, None, None)
+
+
 def test_trim_semantics_pinned(corpus):
     rows, df = corpus
     got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_trimmed"])
