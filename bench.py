@@ -1019,6 +1019,26 @@ def _se_top_fraction(spark, big: int = 4_200_000,
             "banded_arm_sec": auto_sec, "window_arm_sec": win_sec}
 
 
+def _planted_window_corpus(spark, n: int, k: int):
+    """The shared ExactSubstr scale-cell corpus: every 10th doc is 8
+    unique hex tokens + the same ``k``-token planted phrase (ONE hot
+    window hash at positions 8..15, n/10 occurrences), the rest are
+    all-unique.  Shared by ``repeated_spans_linear`` and
+    ``trim_spans_rewrite`` so their shape claims (and the trim cell's
+    Generate-count comparison across the two operators' plans) stay on
+    the byte-identical corpus by construction."""
+    from pyspark.sql import functions as F
+
+    planted = " ".join(f"planted{j}" for j in range(k))
+    uniq = F.concat_ws(" ", *[
+        F.hex(F.xxhash64(F.col("id"), F.lit(j))) for j in range(8)])
+    txt = F.when(F.col("id") % 10 == 0,
+                 F.concat_ws(" ", uniq, F.lit(planted))) \
+           .otherwise(uniq)
+    return spark.range(n).select(F.col("id").alias("doc_id"),
+                                 txt.alias("text"))
+
+
 def _se_repeated_spans(spark, n_docs: int = 1_000_000, k: int = 8) -> dict:
     """scale_evidence (h, r14 — VERDICT r13 item 5): the ExactSubstr
     fixed-window spans operator's linear-in-corpus-tokens shape on a
@@ -1037,16 +1057,8 @@ def _se_repeated_spans(spark, n_docs: int = 1_000_000, k: int = 8) -> dict:
     from pyspark.sql import functions as F
     from hta_spark.pipeline.dedup import repeated_window_spans
 
-    planted = " ".join(f"planted{j}" for j in range(k))
-
     def corpus(n):
-        uniq = F.concat_ws(" ", *[
-            F.hex(F.xxhash64(F.col("id"), F.lit(j))) for j in range(8)])
-        txt = F.when(F.col("id") % 10 == 0,
-                     F.concat_ws(" ", uniq, F.lit(planted))) \
-               .otherwise(uniq)
-        return spark.range(n).select(F.col("id").alias("doc_id"),
-                                     txt.alias("text"))
+        return _planted_window_corpus(spark, n, k)
 
     def run(n):
         t0 = time.perf_counter()
@@ -1098,16 +1110,8 @@ def _se_trim_spans(spark, n_docs: int = 1_000_000, k: int = 8) -> dict:
     from hta_spark.pipeline.dedup import (repeated_window_spans,
                                           trim_repeated_spans)
 
-    planted = " ".join(f"planted{j}" for j in range(k))
-
     def corpus(n):
-        uniq = F.concat_ws(" ", *[
-            F.hex(F.xxhash64(F.col("id"), F.lit(j))) for j in range(8)])
-        txt = F.when(F.col("id") % 10 == 0,
-                     F.concat_ws(" ", uniq, F.lit(planted))) \
-               .otherwise(uniq)
-        return spark.range(n).select(F.col("id").alias("doc_id"),
-                                     txt.alias("text"))
+        return _planted_window_corpus(spark, n, k)
 
     def run(n):
         t0 = time.perf_counter()

@@ -326,6 +326,7 @@ def strip_boilerplate_lines(docs: DataFrame, max_line_df: int = 64,
 
         blk = max(64, nb // 256)      # power of two; nblk = nb/blk <= 256
         sh = blk.bit_length() - 1
+        nblk = nb // blk
         wblk = Window.partitionBy("_blk").orderBy("_b") \
                      .rowsBetween(Window.unboundedPreceding, -1)
         dense = (docs.sparkSession.range(nb)
@@ -336,14 +337,25 @@ def strip_boilerplate_lines(docs: DataFrame, max_line_df: int = 64,
                          F.shiftright(F.col("_b"), sh).alias("_blk"))
                  .withColumn("_ws", F.coalesce(F.sum("_c").over(wblk),
                                                F.lit(0)).cast("int")))
-        bstart = (dense.groupBy("_blk")
+        # block starts from the SPARSE per-block sums of cnts (not from
+        # `dense`, which would evaluate its window subtree a second
+        # time): gaps fill through a <=256-entry map — the linear map
+        # scan that is O(nb^2)-fatal at bucket granularity is trivial
+        # at block granularity (<=256x256 steps)
+        bstart = (cnts.groupBy(F.shiftright(F.col("_b"), sh)
+                               .alias("_blk"))
                   .agg(F.sum("_c").cast("int").alias("_bs"))
                   .groupBy()
-                  .agg(F.transform(F.sort_array(F.collect_list(
-                           F.struct("_blk", "_bs"))), lambda s: s["_bs"])
-                       .alias("_bsums"))
-                  .select(_excl_scan(F.col("_bsums"), F.lit(0))
-                          .alias("_bst")))
+                  .agg(F.map_from_entries(F.collect_list(
+                           F.struct("_blk", "_bs"))).alias("_bm"))
+                  .select(_excl_scan(
+                      F.transform(
+                          F.sequence(F.lit(0).cast("long"),
+                                     F.lit(int(nblk - 1)).cast("long")),
+                          lambda j: F.coalesce(
+                              F.element_at(F.col("_bm"), j),
+                              F.lit(0).cast("int"))),
+                      F.lit(0)).alias("_bst")))
         table = (dense.crossJoin(F.broadcast(bstart))
                  .select("_b", "_c",
                          (F.col("_ws")
