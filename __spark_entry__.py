@@ -79,15 +79,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: core + the ivf/incremental/bloom block, which includes this round's
 #: behavior-touched dedup_neardup_bloom).
 #:
-#: r15 (recomputed by unioning CORRECTNESS_r1..r14; no new registry
-#: entries this round — the round's changes are the strip broadcast-arm
-#: prefix-sum rework, already gate-covered by BOTH strip twins riding
-#: the sweep, and records/contract work): the 24 remaining r12-green
-#: rows (throttle twins, TPC-H head, window/pivot breadth, text stats)
-#: + the oldest 26 r13-green rows (the ANN/dedup/decontaminate block,
-#: which includes the r15-touched dedup_repeated_spans family
-#: neighbors).
+#: r15 (recomputed by unioning CORRECTNESS_r1..r14): the TWO NEW
+#: entries first — split_leakage_safe (near-dup-component train/val/
+#: test split) and ann_prototype_prune (D4 prototypicality pruning) —
+#: then the 24 remaining r12-green rows (throttle twins, TPC-H head,
+#: window/pivot breadth, text stats) + the oldest 24 r13-green rows
+#: (the ANN/dedup/decontaminate block, which includes the r15-touched
+#: dedup_repeated_spans family neighbors); the two stalest-r13 rows
+#: displaced by the new entries (q10/q11) lead the r16 queue.
 _GATE_ROTATION = [
+    "split_leakage_safe", "ann_prototype_prune",
     "hta_throttle_auto", "hta_throttle_parallel", "pack_bin_report",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_asof_signup", "q_bucketed_join", "q_cube_lineitem",
@@ -104,7 +105,6 @@ _GATE_ROTATION = [
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_hotdrop",
     "dedup_repeated_spans", "dedup_simhash", "dedup_simhash_pairs",
     "mix_weights", "pack_contiguous", "pipeline_funnel",
-    "q10_returned_items", "q11_important_stock",
 ]
 
 

@@ -1457,7 +1457,8 @@ def _pipeline_latency(spark, qs) -> dict:
                  "sample_top_quality", "pack_bin_report",
                  "dedup_ngram_jaccard_hotdrop", "dedup_neardup_bloom",
                  "text_strip_boilerplate", "dedup_repeated_spans",
-                 "text_strip_boilerplate_anti", "dedup_trim_spans"):
+                 "text_strip_boilerplate_anti", "dedup_trim_spans",
+                 "ann_prototype_prune", "split_leakage_safe"):
         fn = qs.get(name)
         if fn is None:
             continue

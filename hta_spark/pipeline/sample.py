@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from .dedup import md5_long
 
 __all__ = ["BP", "group_cap", "hash_bucket", "hash_sample",
-           "stratified_sample", "top_fraction_by"]
+           "leakage_safe_split", "stratified_sample", "top_fraction_by"]
 
 BP = 10_000  # rate unit: basis points (1 bp = 0.01 %)
 
@@ -61,6 +61,65 @@ def stratified_sample(df: DataFrame, rates: DataFrame | dict,
     j = df.join(F.broadcast(rates), strata_col, "left")
     rate = F.coalesce(F.col("rate_bp"), F.lit(int(default_bp)))
     return j.filter(hash_bucket(F.col(key_col), salt) < rate).drop("rate_bp")
+
+
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       rates: tuple[int, ...] = (8000, 1000, 1000),
+                       names: tuple[str, ...] = ("train", "val", "test"),
+                       id_col: str = "doc_id",
+                       salt: str = "split") -> DataFrame:
+    """Train/val/test assignment where near-duplicate documents NEVER
+    straddle splits — the leakage-safe form of a hash split.  A plain
+    per-document :func:`hash_bucket` split leaks evaluation data: a
+    near-duplicate pair lands in train and test independently, and the
+    model is then scored on paraphrases of its own training set (the
+    contamination channel Lee et al. 2022 measure — eval perplexity on
+    duplicated data overstates quality).  Here the split KEY is the
+    document's near-dup COMPONENT: pair evidence (any ``(a, b)`` frame
+    — MinHash/LSH, n-gram Jaccard, SemDeDup pairs) closes transitively
+    through :func:`~hta_spark.pipeline.dedup.connected_components`
+    (min reachable id), every member of a component hashes the SAME
+    key, and documents in no pair key on their own id — so entire
+    near-dup clusters move between splits atomically.
+
+    ``rates`` are basis points per split and must sum to 10000;
+    ``names[i]`` labels bucket range ``[sum(rates[:i]),
+    sum(rates[:i+1]))``.  Output: the input columns plus ``split_key``
+    (the hashed component id) and ``split``.  Deterministic and
+    engine-portable (md5 bucket, DuckDB twin in :func:`hash_bucket`);
+    changing ``salt`` redraws the split without touching the
+    clustering.
+
+    Scale shape: components is the documented O(log diameter)
+    pointer-jumping loop over the PAIR frame only (pairs are the small
+    output of a banded candidate generator, not the corpus); the
+    label-back join is ``id_col``-keyed and AQE-broadcast when the
+    component frame is small; the bucket decision is map-only.  No
+    corpus-wide sort, no driver participation beyond the component
+    loop's convergence probes."""
+    from .dedup import connected_components
+
+    if len(rates) != len(names) or not rates:
+        raise ValueError(
+            f"rates/names length mismatch: {len(rates)} vs {len(names)}")
+    if sum(int(r) for r in rates) != BP:
+        raise ValueError(
+            f"rates must sum to {BP} bp, got {sum(rates)} ({rates})")
+    comp = connected_components(pairs).select(
+        F.col("id").alias(id_col), F.col("comp").alias("_comp"))
+    j = docs.join(comp, id_col, "left")
+    key = F.coalesce(F.col("_comp"), F.col(id_col).cast("long"))
+    b = hash_bucket(key.cast("string"), salt)
+    # CASE left-to-right: bucket < cum(rates[:i+1]) -> names[i]
+    cum, expr = 0, None
+    for r, nm in zip(rates[:-1], names[:-1]):
+        cum += int(r)
+        expr = (F.when(b < cum, str(nm)) if expr is None
+                else expr.when(b < cum, str(nm)))
+    split = (expr.otherwise(str(names[-1])) if expr is not None
+             else F.lit(str(names[-1])))
+    return j.select(*docs.columns, key.alias("split_key"),
+                    split.alias("split"))
 
 
 def top_fraction_by(df: DataFrame, frac_bp: int, score_col: str,

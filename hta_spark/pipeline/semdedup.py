@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 from .ann import _as_double, attach_vectors, cosine_sim, hyperplane_lsh_pairs
 from .dedup import connected_components
 from .kmeans import kmeans_lite
+from .sample import top_fraction_by
 
-__all__ = ["semantic_pairs", "semantic_dedup"]
+__all__ = ["semantic_pairs", "semantic_dedup", "prototype_prune"]
 
 
 def semantic_pairs(emb: DataFrame, k: int = 8, iterations: int = 3,
@@ -124,6 +125,64 @@ def semantic_pairs(emb: DataFrame, k: int = 8, iterations: int = 3,
             .select("a", "b", "cluster", "cos_sim")
         pairs = pairs.unionByName(hot_pairs)
     return pairs
+
+
+def prototype_prune(emb: DataFrame, drop_bp: int = 2500, k: int = 8,
+                    iterations: int = 3, quantize: int | None = 6,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    rows_cap: int = 4_000_000) -> DataFrame:
+    """Prototypicality-based diversification — the second stage of the
+    D4 curation pipeline (Tirumala et al. 2023, "D4: Improving LLM
+    Pretraining via Document De-Duplication and Diversification"):
+    after SemDeDup removes near-duplicates, D4 additionally DROPS the
+    most PROTOTYPICAL ``drop_bp``/10000 fraction of every k-means
+    cluster — the points most cosine-similar to their own centroid form
+    the semantically redundant core of the cluster, and keeping the
+    diverse tail measurably improves downstream models.
+
+    Returns one row per input vector: ``(id_col, cluster, proto_sim,
+    kept)`` where ``proto_sim`` is the round-4 cosine similarity to the
+    vector's final centroid (the redundancy score) and ``kept`` is
+    False for exactly ``ceil(n_cluster * drop_bp / 10000)`` rows per
+    cluster — the highest-``proto_sim`` members, ``id_col``-tiebroken
+    (the :func:`~hta_spark.pipeline.sample.top_fraction_by` exact-count
+    convention, so the boundary is engine-exact and the labeling is a
+    pure function of the embeddings — rerun/backfill-stable).
+
+    Composition, not new machinery: clustering is the oracle-gated
+    quantized :func:`~hta_spark.pipeline.kmeans.kmeans_lite` (whose
+    returned ``sim`` IS the prototypicality score), and the per-cluster
+    top-fraction selection is :func:`top_fraction_by` — which matters
+    at scale because clusters are the archetypal HOT group (``k`` is
+    small by construction, so each cluster holds ~n/k rows): past
+    ``rows_cap`` the selection runs the banded histogram arm instead of
+    sorting an entire cluster inside one task.  The assignment frame is
+    pinned (classic path) so the planner count, the selection, and the
+    label join share ONE assignment pass; there is no matching release
+    because the returned lineage reads the pin (the ``semantic_pairs``
+    no-release gate — on the Connect persist fallback the pin is
+    skipped rather than leaked).
+
+    The label join is ``id_col``-keyed (AQE broadcasts the drop side
+    when small); the dropped fraction of a 100 TB corpus is itself
+    large, and a keyed shuffle join is exactly the right plan there —
+    nothing in this operator sorts or collects beyond
+    :func:`top_fraction_by`'s documented planner jobs."""
+    from ..compat import lc_available, pin
+
+    assigned = (kmeans_lite(emb, k=k, iterations=iterations,
+                            id_col=id_col, vec_col=vec_col,
+                            quantize=quantize)
+                .withColumnRenamed("sim", "proto_sim"))
+    if lc_available(emb.sparkSession):
+        assigned = pin(assigned, eager=False)
+    drop = (top_fraction_by(assigned, int(drop_bp),
+                            score_col="proto_sim", group_col="cluster",
+                            key_col=id_col, rows_cap=rows_cap)
+            .select(F.col(id_col), F.lit(False).alias("_k")))
+    return (assigned.join(drop, id_col, "left")
+            .select(id_col, "cluster", "proto_sim",
+                    F.coalesce("_k", F.lit(True)).alias("kept")))
 
 
 def semantic_dedup(emb: DataFrame, k: int = 8, iterations: int = 3,

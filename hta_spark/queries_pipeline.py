@@ -901,14 +901,18 @@ def q_kmeans_lite(spark, sf_dir):
                        quantize=6).select("vec_id", "cluster")
 
 
-def _kmeans_sql(k: int = 8, iterations: int = 3, dim: int = 64,
+def _kmeans_cte(k: int = 8, iterations: int = 3, dim: int = 64,
                 quantize: int = 6) -> str:
-    """Independent DuckDB re-statement of q_kmeans_lite: Lloyd's rounds
-    unrolled into chained CTEs (assignment = per-vector argmax of rounded
-    cosine vs the previous centroids; update = per-dimension mean,
-    quantized).  Different algorithmic expression (window-ranked cross
-    join + positional list aggregation vs Spark's broadcast codebook row
-    + posexplode), same deterministic convention."""
+    """Independent DuckDB re-statement of q_kmeans_lite's iteration:
+    Lloyd's rounds unrolled into chained CTEs (assignment = per-vector
+    argmax of rounded cosine vs the previous centroids; update =
+    per-dimension mean, quantized).  Different algorithmic expression
+    (window-ranked cross join + positional list aggregation vs Spark's
+    broadcast codebook row + posexplode), same deterministic convention.
+    Returns the WITH body ending at ``a{iterations}`` (the final
+    assignment) with ``c{iterations}`` (the final centroids) and ``emb``
+    in scope, so derived oracles (``_proto_sql``) extend the SAME
+    restatement instead of forking it."""
     assign = """
 a{i} AS (
   SELECT vec_id, c AS cluster FROM (
@@ -934,11 +938,60 @@ c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
     for i in range(1, iterations + 1):
         parts.append(update.format(i=i, prev_a=i - 1, q=quantize))
         parts.append(assign.format(i=i, prev=f"c{i}"))
-    return (",".join(parts)
+    return ",".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 3, dim: int = 64,
+                quantize: int = 6) -> str:
+    return (_kmeans_cte(k, iterations, dim, quantize)
             + f"\nSELECT vec_id, cluster FROM a{iterations}")
 
 
 SQL_KMEANS_LITE = _kmeans_sql()
+
+
+def q_prototype_prune(spark, sf_dir):
+    """D4 stage-2 diversification (Tirumala et al. 2023): label the most
+    PROTOTYPICAL 25% of every k-means cluster — the members most
+    cosine-similar to their own centroid, i.e. the semantically
+    redundant cluster core — as dropped (``kept = false``), with the
+    exact per-cluster ceil-count and id-tiebreak convention of
+    top_fraction_by.  Clustering is the same quantized oracle-gated
+    iteration as ann_kmeans_lite; the score is that iteration's final
+    round-4 assignment cosine."""
+    from .pipeline.semdedup import prototype_prune
+    return (prototype_prune(_emb(spark, sf_dir), drop_bp=2500)
+            .orderBy("vec_id"))
+
+
+def _proto_sql(drop_bp: int = 2500, k: int = 8, iterations: int = 3,
+               dim: int = 64, quantize: int = 6) -> str:
+    """Oracle for q_prototype_prune: the SAME unrolled k-means
+    restatement (:func:`_kmeans_cte`), then the final assignment's
+    prototypicality score — round(round(cos, 9), 4), replicating
+    Spark's two-step rounding (the assignment argmax rounds to 9
+    decimals, the returned sim to 4) — ranked DESC per cluster with the
+    vec_id tiebreak; dropped count per cluster is the exact
+    ``ceil(n * drop_bp / 10000)`` integer form."""
+    return f"""{_kmeans_cte(k, iterations, dim, quantize)},
+psim AS (
+  SELECT a.vec_id, a.cluster,
+         round(round(list_cosine_similarity(e.v, c.v), 9), 4) AS proto_sim
+  FROM a{iterations} a JOIN emb e USING (vec_id)
+  JOIN c{iterations} c ON c.c = a.cluster),
+ranked AS (
+  SELECT vec_id, cluster, proto_sim,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY proto_sim DESC, vec_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n
+  FROM psim)
+SELECT vec_id, cluster, proto_sim,
+       rn > (n * {int(drop_bp)} + 9999) // 10000 AS kept
+FROM ranked ORDER BY vec_id
+"""
+
+
+SQL_PROTOTYPE_PRUNE = _proto_sql()
 
 
 # -- per-source curation report (operator composition) ----------------------
@@ -1168,6 +1221,41 @@ WITH RECURSIVE
 {SQL_PAIRS_05}
 SELECT id AS doc_id, min(reach) AS component
 FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+
+def q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split key is the
+    document's near-dup COMPONENT (same pair evidence + transitive
+    closure as dedup_components; documents in no pair key on their own
+    id), so near-duplicates never straddle splits — a per-document hash
+    split would put paraphrases of training documents into the test
+    set.  80/10/10 by the engine-portable md5 bucket."""
+    from .pipeline.sample import leakage_safe_split
+    docs = _docs(spark, sf_dir)
+    pairs = (ngram_jaccard_pairs(docs, shingle_n=3, min_shared=2)
+             .filter(F.col("jaccard") >= 0.5))
+    return (leakage_safe_split(docs.select("doc_id"), pairs)
+            .orderBy("doc_id"))
+
+
+SQL_SPLIT_LEAKAGE_SAFE = f"""
+WITH RECURSIVE
+{SQL_PAIRS_05},
+comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+keyed AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+bucketed AS (
+  SELECT doc_id, split_key,
+         ('0x' || substr(md5('split|' || CAST(split_key AS VARCHAR)),
+                         1, 15))::BIGINT % 10000 AS b
+  FROM keyed)
+SELECT doc_id, split_key,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed ORDER BY doc_id
 """
 
 
@@ -1469,6 +1557,8 @@ FROM comp GROUP BY component ORDER BY component
 PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_cluster_keep": (q_dedup_cluster_keep, _sql_cluster_keep()),
+    "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
+    "ann_prototype_prune": (q_prototype_prune, SQL_PROTOTYPE_PRUNE),
     "curation_report": (q_curation_report, _sql_curation()),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
