@@ -75,3 +75,13 @@ def test_partition_invariance(spark, emb):
     b = sorted(map(tuple, prototype_prune(
         emb.repartition(7), drop_bp=2500).collect()))
     assert a == b
+
+
+def test_banded_arm_parity(spark, emb):
+    """rows_cap below every cluster size forces the selection through
+    top_fraction_by's banded histogram arm (the 100 TB hot-cluster
+    path); labels must be identical to the window arm's."""
+    a = sorted(map(tuple, prototype_prune(emb, drop_bp=2500).collect()))
+    b = sorted(map(tuple, prototype_prune(
+        emb, drop_bp=2500, rows_cap=10).collect()))
+    assert a == b
