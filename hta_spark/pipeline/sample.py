@@ -102,13 +102,19 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
     if len(rates) != len(names) or not rates:
         raise ValueError(
             f"rates/names length mismatch: {len(rates)} vs {len(names)}")
+    if any(int(r) < 0 for r in rates):
+        raise ValueError(f"rates must be non-negative, got {rates}")
     if sum(int(r) for r in rates) != BP:
         raise ValueError(
             f"rates must sum to {BP} bp, got {sum(rates)} ({rates})")
     comp = connected_components(pairs).select(
         F.col("id").alias(id_col), F.col("comp").alias("_comp"))
     j = docs.join(comp, id_col, "left")
-    key = F.coalesce(F.col("_comp"), F.col(id_col).cast("long"))
+    # native-typed coalesce: _comp inherits the pair id type, which is
+    # the doc id type (connected_components is id-type-agnostic) — a
+    # forced long cast would crash string ids under ANSI and NULL them
+    # (-> every singleton in the last split) without
+    key = F.coalesce(F.col("_comp"), F.col(id_col))
     b = hash_bucket(key.cast("string"), salt)
     # CASE left-to-right: bucket < cum(rates[:i+1]) -> names[i]
     cum, expr = 0, None

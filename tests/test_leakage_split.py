@@ -51,6 +51,26 @@ def test_rates_validation(spark, graph):
     with pytest.raises(ValueError, match="mismatch"):
         leakage_safe_split(docs, pairs, rates=(5000, 5000),
                            names=("a", "b", "c"))
+    # negative rates can still sum to 10000 — must refuse loudly, not
+    # label everything with the over-allocated split (review r15)
+    with pytest.raises(ValueError, match="non-negative"):
+        leakage_safe_split(docs, pairs, rates=(11000, -1000),
+                           names=("a", "b"))
+
+
+def test_string_ids(spark):
+    """String document ids work end-to-end (review r15: a forced long
+    cast crashed them under ANSI and silently routed every singleton
+    to the last split with ANSI off)."""
+    docs = spark.createDataFrame(
+        [("docA",), ("docB",), ("docC",), ("docD",)], "doc_id string")
+    pairs = spark.createDataFrame([("docA", "docB")], "a string, b string")
+    out = {r["doc_id"]: (r["split_key"], r["split"])
+           for r in leakage_safe_split(docs, pairs).collect()}
+    assert out["docA"] == out["docB"]           # pair shares key + split
+    assert out["docA"][0] == "docA"             # min-id component key
+    assert out["docC"][0] == "docC" and out["docD"][0] == "docD"
+    assert all(v[1] in ("train", "val", "test") for v in out.values())
 
 
 def test_two_way_split_and_salt_redraw(spark):
