@@ -649,11 +649,17 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
     cand = lsh_pairs(sig, id_col=id_col, k=n_planes,
                      rows_per_band=rows_per_band,
                      group_cols=tuple(groups))
-    ea = emb.select(F.col(id_col).alias("a"),
-                    _as_double(F.col(vec_col)).alias("_va"))
-    eb = emb.select(F.col(id_col).alias("b"),
-                    _as_double(F.col(vec_col)).alias("_vb"))
-    sim = F.round(cosine_sim(F.col("_va"), F.col("_vb")), 4)
+    # norms hoisted out of the per-candidate verify (r15): computed once
+    # per vector BEFORE the attach joins — the formula stays dot/(na*nb),
+    # identical double arithmetic, so rounded scores are bit-identical
+    ea = (emb.select(F.col(id_col).alias("a"),
+                     _as_double(F.col(vec_col)).alias("_va"))
+          .withColumn("_na", _norm(F.col("_va"))))
+    eb = (emb.select(F.col(id_col).alias("b"),
+                     _as_double(F.col(vec_col)).alias("_vb"))
+          .withColumn("_nb", _norm(F.col("_vb"))))
+    sim = F.round(_dot(F.col("_va"), F.col("_vb"))
+                  / (F.col("_na") * F.col("_nb")), 4)
     return (attach_vectors(attach_vectors(cand, ea, "a"), eb, "b")
             .select("a", "b", *groups, sim.alias("cos_sim"))
             .filter(F.col("cos_sim") >= F.lit(threshold)))

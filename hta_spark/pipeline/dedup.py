@@ -628,32 +628,34 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
                 .groupBy(F.col("d").alias("id"))
                 .agg(F.min("comp").alias("ncomp")))
         stepped = (labels.join(prop, "id", "left")
-                   .select("id",
+                   .select("id", F.col("comp").alias("_pc"),
                            F.least(F.col("comp"),
                                    F.coalesce("ncomp", "comp")).alias("comp")))
         # pointer-jump: comp <- label(comp), halving chain depth per round
         parent = stepped.select(F.col("id").alias("pid"),
                                 F.col("comp").alias("pcomp"))
         labels = (stepped.join(parent, stepped["comp"] == parent["pid"], "left")
-                  .select("id",
+                  .select("id", "_pc",
                           F.least(F.col("comp"),
                                   F.coalesce("pcomp", "comp")).alias("comp"))
                   )
         # pin BEFORE the changed-probe (ADVICE r4): the eager
         # materialization executes the round's propagation exactly once;
         # the probe below and the next round both read the materialized
-        # frame instead of re-running the two-shuffle plan
+        # frame instead of re-running the two-shuffle plan.  The round's
+        # PRE-propagation label rides along as `_pc` (r15): the fixpoint
+        # probe is then a plain filter over the checkpointed blocks — the
+        # old equi-join of two label frames re-shuffled both, one full
+        # shuffle stage per round spent only on convergence detection.
         labels = pin(labels)
-        changed = (labels.join(base.select("id",
-                                           F.col("comp").alias("_pc")), "id")
-                   .filter(F.col("comp") != F.col("_pc"))
+        changed = (labels.filter(F.col("comp") != F.col("_pc"))
                    .limit(1).count())
         # the previous round's labels are now fully consumed (new labels
         # materialized + probe run) — release so the persist-fallback
         # path doesn't accumulate one cached Dataset per round (ADVICE r9)
         release(base)
         if changed == 0:
-            return labels
+            return labels.select("id", "comp")
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
         f"(graph diameter > ~2^{max_iters}); raise max_iters")

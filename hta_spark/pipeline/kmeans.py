@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..compat import pin, release
+from ..compat import pin
 from .ann import _as_double, _best_centroid, centroid_frame
 
 __all__ = ["kmeans_lite"]
@@ -63,8 +63,15 @@ def kmeans_lite(emb: DataFrame, k: int = 8, iterations: int = 3,
     emb = pin(emb.select(id_col, vec_col), eager=False)
     assigned = _assign(emb, centroids, id_col, vec_col)
     for i in range(iterations):
-        assigned = pin(assigned)
-        # centroid update: element-wise mean per cluster — k rows collected
+        # centroid update: element-wise mean per cluster — k rows
+        # collected.  The round's assignment is NOT pinned (r15): this
+        # collect is its only consumer (the next round's assignment
+        # re-derives from the pinned `emb` with the NEW centroid
+        # literals, never from `assigned`), so the former per-round
+        # pin+release merely split one job into two — measured ~0.85 s
+        # of pure localCheckpoint overhead per round at sf0.1.  Plan
+        # depth stays constant either way (every round's plan roots at
+        # the pinned `emb`).
         sums = (assigned
                 .select("cluster", F.posexplode(_as_double(F.col(vec_col)))
                         .alias("d", "x"))
@@ -72,11 +79,6 @@ def kmeans_lite(emb: DataFrame, k: int = 8, iterations: int = 3,
                 .groupBy("cluster")
                 .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
                 .collect())
-        # the collect above is this pin's ONLY consumer (the next round's
-        # assignment re-derives from the pinned `emb`, not from it) —
-        # release now so the persist-fallback path doesn't cache one
-        # Dataset per round (ADVICE r9)
-        release(assigned)
         # half-AWAY-from-zero quantization: Python round() is half-even
         # (banker's), but Spark F.round and DuckDB round() are both
         # half-away — a dyadic mean landing exactly on a quantum midpoint

@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ann import _as_double, attach_vectors, cosine_sim, hyperplane_lsh_pairs
+from .ann import (_as_double, _dot, _norm, attach_vectors,
+                  hyperplane_lsh_pairs)
 from .dedup import connected_components
 from .kmeans import kmeans_lite
 from .sample import top_fraction_by
@@ -104,11 +105,19 @@ def semantic_pairs(emb: DataFrame, k: int = 8, iterations: int = 3,
         emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")),
         id_col)
     cold = e.filter(~F.col("cluster").isin(hot_ids)) if hot_ids else e
-    a = cold.select(F.col(id_col).alias("a"), F.col("cluster"),
-                    F.col("_v").alias("_va"))
-    b = cold.select(F.col(id_col).alias("b"),
-                    F.col("cluster").alias("_cb"), F.col("_v").alias("_vb"))
-    sim = F.round(cosine_sim(F.col("_va"), F.col("_vb")), 4)
+    # per-vector norms hoisted OUT of the quadratic pair stage (r15, the
+    # cosine_pairs precedent): the formula stays dot/(na*nb) — identical
+    # double arithmetic, bit-identical rounded scores — but the two
+    # interpreted _norm folds move from O(pairs) to O(rows), which is
+    # 2/3 of the per-pair HOF work in the cluster-confined expansion
+    a = (cold.select(F.col(id_col).alias("a"), F.col("cluster"),
+                     F.col("_v").alias("_va"))
+         .withColumn("_na", _norm(F.col("_va"))))
+    b = (cold.select(F.col(id_col).alias("b"),
+                     F.col("cluster").alias("_cb"), F.col("_v").alias("_vb"))
+         .withColumn("_nb", _norm(F.col("_vb"))))
+    sim = F.round(_dot(F.col("_va"), F.col("_vb"))
+                  / (F.col("_na") * F.col("_nb")), 4)
     pairs = (a.join(b.hint("shuffle_hash"),
                     (F.col("cluster") == F.col("_cb"))
                     & (F.col("a") < F.col("b")))
