@@ -424,7 +424,8 @@ def build_level1(raw: DataFrame, interval: int,
 
 
 def build_levels_counts(raw: DataFrame, meta: Meta,
-                        ranges: DataFrame | None = None) -> dict[int, DataFrame]:
+                        ranges: DataFrame | None = None,
+                        pin_level1: bool = True) -> dict[int, DataFrame]:
     """Counts-only cascade: dict interval_ns -> (metric, interval_start,
     count) with the same closed-bucket row set as :func:`build_levels`.
 
@@ -439,7 +440,14 @@ def build_levels_counts(raw: DataFrame, meta: Meta,
     groupBy per level — zero windows, zero explodes, one shuffle of
     ~|level-1| rows (guide §1.2: don't compute what you throw away).
     Bucket indexing and the closed-bucket filter use the identical
-    expressions as the full build, so the row set matches exactly."""
+    expressions as the full build, so the row set matches exactly.
+
+    ``pin_level1`` (default on — the counts twin of ``build_levels``'
+    ``cache_level1``): eagerly materializes the level-1 count frame
+    (~raw/30 rows) so a consumer whose one action unions several level
+    branches (the telescoped count walk) reads it once instead of every
+    branch re-deriving the level-1 aggregate from raw — racing branches
+    inside a single job do not reliably share a lazy cache."""
     ranges = ranges if ranges is not None else raw_range(raw)
     out: dict[int, DataFrame] = {}
     intervals = meta.level_intervals()
@@ -456,6 +464,9 @@ def build_levels_counts(raw: DataFrame, meta: Meta,
              .join(F.broadcast(ranges), "metric")
              .filter(F.col("interval_start") + F.lit(d) <= F.col("t_last"))
              .drop("t_first", "t_last"))
+    if pin_level1 and len(intervals) > 1:
+        from ..compat import pin
+        child = pin(child)
     out[d] = child
     for iv in intervals[:-1]:
         parent = iv * meta.interval_factor

@@ -195,9 +195,10 @@ def dedup_against_neardup(incoming: DataFrame, seen: DataFrame,
     stored :func:`lsh_band_buckets` table — the 100 TB path: the corpus
     side is read pre-banded, so the pass costs one signature computation
     over the CRAWL plus one equi-join, both linear in the crawl).
-    Signatures use the MAP-ONLY form (:func:`minhash_signatures_maponly`
-    — bit-identical, zero shuffle), so the only exchanges are the
-    band-key semi-join and the id anti-join.  Candidate acceptance is
+    Signatures use the GROUPED codegen form (:func:`minhash_signatures`
+    — bit-identical; see the r15 note below), so the exchanges are the
+    docs-sized signature groupBys plus the band-key semi-join and the
+    id anti-join.  Candidate acceptance is
     the standard banding rule (>= 1 shared band); recall/precision
     follow the (k, rows_per_band) banding curve exactly as in
     :func:`lsh_pairs`.
@@ -226,19 +227,29 @@ def dedup_against_neardup(incoming: DataFrame, seen: DataFrame,
         raise ValueError(
             "dedup_against_neardup: seen_is_index=False but `seen` lacks "
             f"the text column {text_col!r} (has {sorted(seen.columns)})")
+    # r15 (guide §4.1 "prefer built-ins/codegen"): the signature passes
+    # use the GROUPED form — per-shingle digests codegen'd once, k/2 md5
+    # per shingle, one map-side-combined groupBy shuffling ~(id + k
+    # longs) per doc — instead of the map-only interpreted array fold
+    # (k md5 per shingle inside a CodegenFallback HOF), measured 9x
+    # slower on the sf0.1 crawl split (4.4 s vs 0.5 s) and linearly so
+    # at any corpus size; the added shuffle is docs-sized, not
+    # shingle-sized.  Signatures are bit-identical (equivalence pinned
+    # in tests).  The map-only form remains the STREAMING path, where a
+    # stateless per-row fold is the contract (dedup_stream).
     if seen_is_index:
         idx = seen.select("band", "bh")
     else:
         idx = lsh_band_buckets(
-            minhash_signatures_maponly(seen, text_col=text_col,
-                                       id_col=id_col, k=k,
-                                       shingle_n=shingle_n),
+            minhash_signatures(seen, text_col=text_col,
+                               id_col=id_col, k=k,
+                               shingle_n=shingle_n),
             id_col=id_col, k=k, rows_per_band=rows_per_band) \
             .select("band", "bh")
     inc = lsh_band_buckets(
-        minhash_signatures_maponly(incoming, text_col=text_col,
-                                   id_col=id_col, k=k,
-                                   shingle_n=shingle_n),
+        minhash_signatures(incoming, text_col=text_col,
+                           id_col=id_col, k=k,
+                           shingle_n=shingle_n),
         id_col=id_col, k=k, rows_per_band=rows_per_band)
     # NO distinct on the index side: a left-semi join is insensitive to
     # right-side duplicates, and distinct() would re-shuffle + aggregate

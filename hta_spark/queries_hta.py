@@ -439,11 +439,19 @@ def q_hta_count_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     /root/reference/src/storage/file/metric.cpp:102-156) — and must equal
     a plain pruned COUNT(*) over [begin, end) for every metric, including
     zero for metrics whose data misses the range.  Levels build in-query
-    (EVENTS_META); all outputs are integers — trivially order-robust."""
-    from .operators import build_levels
+    (EVENTS_META); all outputs are integers — trivially order-robust.
+    r15: the in-query cascade is the pruned ``build_levels_counts`` (the
+    walk reads only ``count``, so the full monoid build's lag window +
+    segment explode computed five fields this query throws away — guide
+    §1.2); bucket rows and the telescoped sum are identical."""
+    from .compat import pin
+    from .operators.rollup import build_levels_counts
     from .operators.stats import count_via_levels
-    raw = events_raw(spark, sf_dir)
-    levels = build_levels(raw, EVENTS_META, salt_chunks=None)
+    # pin the deduped raw once: the walk's two ragged-edge counts, the
+    # level-1 count aggregate and the ranges aggregate would otherwise
+    # each re-run the events scan + max-collapse window (4 reads)
+    raw = pin(events_raw(spark, sf_dir))
+    levels = build_levels_counts(raw, EVENTS_META)
     return count_via_levels(raw, levels, EVENTS_META, AGG_BEGIN, AGG_END)
 
 
