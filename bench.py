@@ -906,14 +906,38 @@ def _se_incremental_neardup(spark, corpus_n: int = 1_000_000,
 
         kept_df = dedup_against_neardup(crawl, idx)
         # plan evidence BEFORE caching (an InMemoryRelation embeds its
-        # child plan text and double-counts nodes): the only aggregates
-        # allowed are the crawl-side id-distinct's partial/final pair —
-        # the index side must reach its semi-join as a bare scan
+        # child plan text and double-counts nodes): the index side must
+        # reach its semi-join as a bare scan.  r15: the check is now
+        # STRUCTURAL, not a HashAggregate count — the grouped signature
+        # form legitimately adds the crawl-side groupBy's partial/final
+        # pair (4 aggregates total, all crawl-side), so "n_agg == 2"
+        # stopped encoding the invariant.  Instead walk the plan tree
+        # from the index's parquet scan (the cell's only parquet scan —
+        # the crawl is a Range) up to its first Join ancestor and assert
+        # every node on that path is scan/filter/project/exchange
+        # plumbing: any aggregate there would mean the stored index is
+        # re-banded or re-aggregated per crawl.
         plan = kept_df._sc._jvm.PythonSQLUtils.explainString(
             kept_df._jdf.queryExecution(), "formatted")
-        # node headers only ("(14) HashAggregate") — the formatted text
-        # prints every node a second time in the details section
         n_agg = len(re.findall(r"\n\(\d+\) HashAggregate", plan))
+        tree = plan.split("\n\n")[0].splitlines()
+        arrow = [(ln.find("- "), ln) for ln in tree]
+        scan_rows = [i for i, (_, ln) in enumerate(arrow)
+                     if "Scan parquet" in ln]
+        index_side_clean = bool(scan_rows)
+        for i in scan_rows:
+            depth = arrow[i][0]
+            for j in range(i - 1, -1, -1):
+                d, ln = arrow[j]
+                if d < depth or (d == -1 and "AdaptiveSparkPlan" in ln):
+                    if "Join" in ln:
+                        break
+                    if "Aggregate" in ln:
+                        index_side_clean = False
+                        break
+                    depth = d
+                    if d <= 0:
+                        break
         t0 = time.perf_counter()
         kept = kept_df.cache()
         kept_n = kept.count()
@@ -965,7 +989,7 @@ def _se_incremental_neardup(spark, corpus_n: int = 1_000_000,
             "kept": kept_n, "dups_dropped": dups_dropped,
             "all_planted_dropped": dups_dropped >= dup_n,
             "plan_hashaggregates": n_agg,
-            "index_never_reaggregated": n_agg == 2,
+            "index_never_reaggregated": index_side_clean,
             "bloom_default": bloom_default,
             "bloom_undersized_refused": undersized_refused}
 
