@@ -594,7 +594,8 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def connected_components(pairs: DataFrame, a_col: str = "a",
-                         b_col: str = "b", max_iters: int = 20) -> DataFrame:
+                         b_col: str = "b", max_iters: int = 20,
+                         small_graph_edges: int = 65536) -> DataFrame:
     """Connected components over an undirected duplicate-pair edge list by
     iterative min-label propagation (hash-min): returns ``(id, component)``
     where component is the minimum node id reachable from ``id``.
@@ -620,28 +621,95 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     converges in ~20 rounds, not 1M.  This is the hash-min + pointer-
     doubling scheme of the MapReduce CC literature (Kiveris et al.,
     "Connected Components in MapReduce and Beyond"); every round is two
-    shuffles (edge join + label self-join), both partitioned by node id.
+    shuffles (edge join + label self-join), both partitioned by node id —
+    except round 1, where labels are the identity and the propagation
+    folds to one ``groupBy(d).min(s)`` over the edges (r15), so no
+    identity-label frame is ever built or joined.
     Raises ``RuntimeError`` if the fixpoint is not reached within
     ``max_iters`` — an unconverged label table silently merges clusters
     wrongly downstream, so it is never returned.
+
+    Size-dispatched (r15, the ``throttle_auto`` / ``top_fraction``
+    pattern): near-dup pair evidence is the SMALL output of a banded
+    candidate generator, and the distributed loop costs ~2 driver-
+    sequential jobs per round regardless of data size.  One count on
+    the pinned symmetric edge frame decides: at or under
+    ``small_graph_edges`` edges the components come from a driver-side
+    union-find over ONE bounded collect (min-id root by construction —
+    the same min-reachable-id fixpoint, bit-identical labels), which
+    replaces the whole loop (~11 jobs at typical convergence) with the
+    count + a collect of at most ``small_graph_edges`` two-field rows
+    (~a few MB at the default cap — the planner-sized collect
+    discipline; the count job doubles as the edge materialization the
+    loop's first round would have paid anyway).  Past the cap the
+    iterative loop runs unchanged — at 100 TB a pair frame past any
+    driver bound is exactly what the O(log d) loop is for.
+    ``small_graph_edges=0`` disables the dispatch.
     """
     edges = (pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
              .union(pairs.select(F.col(b_col).alias("s"),
                                  F.col(a_col).alias("d")))
              .distinct())
     edges = pin(edges, eager=False)
-    labels = pin(edges.select(F.col("s").alias("id")).distinct()
-                 .withColumn("comp", F.col("id")))
+    if small_graph_edges:
+        # materializes the pinned edge frame (the loop path reuses the
+        # blocks, so this job is the former round-1 materialization cost)
+        n_edges = edges.count()
+        if n_edges <= int(small_graph_edges):
+            from pyspark.sql.types import StructField, StructType
+            id_type = pairs.schema[a_col].dataType
+            parent: dict = {}
+
+            def _find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for row in edges.collect():
+                s, d = row["s"], row["d"]
+                parent.setdefault(s, s)
+                parent.setdefault(d, d)
+                rs, rd = _find(s), _find(d)
+                if rs != rd:
+                    # attach the larger root under the smaller, so every
+                    # root IS its set's minimum id — the iterative
+                    # path's min-reachable-id convention
+                    if rd < rs:
+                        rs, rd = rd, rs
+                    parent[rd] = rs
+            release(edges)
+            out = [(x, _find(x)) for x in parent]
+            return pairs.sparkSession.createDataFrame(
+                out, StructType([StructField("id", id_type),
+                                 StructField("comp", id_type)]))
+    labels = None
     for _ in range(max_iters):
         base = labels
-        # hash-min: every node adopts the smallest label seen across edges
-        prop = (edges.join(labels, edges["s"] == labels["id"])
-                .groupBy(F.col("d").alias("id"))
-                .agg(F.min("comp").alias("ncomp")))
-        stepped = (labels.join(prop, "id", "left")
-                   .select("id", F.col("comp").alias("_pc"),
-                           F.least(F.col("comp"),
-                                   F.coalesce("ncomp", "comp")).alias("comp")))
+        if labels is None:
+            # round 1 folded into init (r15): every node's initial label
+            # is itself, so the first hash-min propagation collapses to
+            # min(s) over each node's incoming edges — no identity-label
+            # frame to build (one eager pin job gone) and no edge-label /
+            # label-update joins (two shuffle joins gone).  The symmetric
+            # closure guarantees every node appears as a destination, so
+            # this covers the whole node set.
+            stepped = (edges.groupBy(F.col("d").alias("id"))
+                       .agg(F.min("s").alias("_mn"))
+                       .select("id", F.col("id").alias("_pc"),
+                               F.least(F.col("id"), F.col("_mn"))
+                               .alias("comp")))
+        else:
+            # hash-min: every node adopts the smallest label seen across
+            # edges
+            prop = (edges.join(labels, edges["s"] == labels["id"])
+                    .groupBy(F.col("d").alias("id"))
+                    .agg(F.min("comp").alias("ncomp")))
+            stepped = (labels.join(prop, "id", "left")
+                       .select("id", F.col("comp").alias("_pc"),
+                               F.least(F.col("comp"),
+                                       F.coalesce("ncomp", "comp"))
+                               .alias("comp")))
         # pointer-jump: comp <- label(comp), halving chain depth per round
         parent = stepped.select(F.col("id").alias("pid"),
                                 F.col("comp").alias("pcomp"))
@@ -664,7 +732,8 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
         # the previous round's labels are now fully consumed (new labels
         # materialized + probe run) — release so the persist-fallback
         # path doesn't accumulate one cached Dataset per round (ADVICE r9)
-        release(base)
+        if base is not None:
+            release(base)
         if changed == 0:
             return labels.select("id", "comp")
     raise RuntimeError(

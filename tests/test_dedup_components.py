@@ -66,8 +66,53 @@ def test_deep_chain_pointer_jumping(spark):
 
 def test_nonconvergence_raises(spark):
     import pytest
+    # small_graph_edges=0 forces the iterative path (the r15 union-find
+    # dispatch would solve a 40-edge graph driver-side without rounds)
     with pytest.raises(RuntimeError, match="did not converge"):
-        _collect(spark, [(i, i + 1) for i in range(40)], max_iters=2)
+        _collect(spark, [(i, i + 1) for i in range(40)], max_iters=2,
+                 small_graph_edges=0)
+
+
+def test_small_graph_dispatch_matches_iterative(spark):
+    # the r15 size dispatch: driver union-find (<= cap edges) must produce
+    # the exact labels of the distributed hash-min loop on every shape
+    graphs = [
+        [(1, 2), (2, 3), (10, 11)],                 # disjoint clusters
+        [(i, i + 1) for i in range(12)],            # chain (multi-round)
+        [(1, 2), (2, 3), (3, 1)],                   # cycle
+        [(0, i) for i in range(1, 5)]
+        + [(100, i) for i in range(101, 105)] + [(4, 104)],  # bridged stars
+        [],                                         # empty
+    ]
+    for edges in graphs:
+        fast = _collect(spark, edges)                          # union-find
+        slow = _collect(spark, edges, small_graph_edges=0)     # loop
+        assert fast == slow, f"dispatch divergence on {edges!r}"
+
+
+def test_small_graph_dispatch_string_ids(spark):
+    # id-type-agnostic like the loop (review r4): string node ids keep
+    # min-LEXICOGRAPHIC labels on both paths
+    pairs = spark.createDataFrame(
+        [("docB", "docA"), ("docB", "docC"), ("zz", "zy")],
+        "a string, b string")
+    fast = {r["id"]: r["comp"]
+            for r in connected_components(pairs).collect()}
+    slow = {r["id"]: r["comp"]
+            for r in connected_components(
+                pairs, small_graph_edges=0).collect()}
+    assert fast == slow == {"docA": "docA", "docB": "docA",
+                            "docC": "docA", "zy": "zy", "zz": "zy"}
+
+
+def test_small_graph_cap_boundary(spark):
+    # symmetric-distinct edge count == 2 * pairs here; the dispatch must
+    # route exactly at the cap (<= takes the driver path)
+    edges = [(i, i + 1) for i in range(8)]          # 16 symmetric edges
+    at_cap = _collect(spark, edges, small_graph_edges=16)
+    above = _collect(spark, edges, small_graph_edges=15)   # forced loop
+    assert at_cap == above
+    assert set(at_cap.values()) == {0}
 
 
 def test_scale_many_clusters(spark):
