@@ -529,13 +529,18 @@ def knn_join_ivf(emb: DataFrame, centroids: list[tuple[int, list[float]]],
         F.col(id_col).alias("b"),
         _as_double(F.col(vec_col)).alias("_vb"),
         F.col("centroid_id").alias("_c"))
+    # row norm folded once per row (below the join — r15, see
+    # _best_centroid), centroid norms ride the codebook; the score is
+    # dot/(na*nb) with the identical operand order -> bit-identical
     scored = F.transform(
         F.col("_cents"),
         lambda s: F.struct(
-            F.round(cosine_sim(F.col("_va"), s["v"]), 6).alias("s"),
+            F.round(_dot(F.col("_va"), s["v"])
+                    / (F.col("_vn") * s["n"]), 6).alias("s"),
             (-s["c"]).alias("negc")))
     probes = (emb.select(F.col(id_col).alias("a"),
                          _as_double(F.col(vec_col)).alias("_va"))
+              .withColumn("_vn", _norm(F.col("_va")))
               .join(F.broadcast(centroid_frame(emb.sparkSession,
                                                centroids)))
               .withColumn("_probe", F.explode(
@@ -665,26 +670,63 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
             .filter(F.col("cos_sim") >= F.lit(threshold)))
 
 
+def _py_norm(vec) -> float:
+    """Driver-side twin of :func:`_norm`, bit-identical by construction:
+    the same left fold (acc starts 0.0, ``acc + x*x`` in element order)
+    over the same IEEE doubles, then a correctly-rounded sqrt — Python
+    floats and JVM doubles execute the identical operation sequence, so
+    the result matches Spark's ``_norm`` to the last bit (pinned in
+    tests/test_scale_ops.py)."""
+    import math
+    acc = 0.0
+    for x in vec:
+        x = float(x)
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def centroid_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """One-row frame holding all centroids as array<struct<c,v>> (ascending
-    centroid id).  Joined with ``F.broadcast`` this ships the codebook as
-    *data* (a BroadcastNestedLoopJoin with a single build row — map-only, no
-    shuffle), instead of folding k*dim literals into the expression tree,
-    which blows up codegen/task deserialization already at k~100 (the round-1
-    design's cap)."""
-    rows = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
-    cdf = spark.createDataFrame(rows, "c int, v array<double>")
-    return cdf.agg(F.array_sort(F.collect_list(F.struct("c", "v")))
+    """One-row frame holding all centroids as array<struct<c,v,n>>
+    (ascending centroid id).  Joined with ``F.broadcast`` this ships the
+    codebook as *data* (a BroadcastNestedLoopJoin with a single build row
+    — map-only, no shuffle), instead of folding k*dim literals into the
+    expression tree, which blows up codegen/task deserialization already
+    at k~100 (the round-1 design's cap).  ``n`` is each centroid's norm,
+    computed ONCE here (:func:`_py_norm` — bit-identical to ``_norm``)
+    so the per-row argmax never re-folds a centroid's norm per probed
+    row (r15, guide §1.2 — the assignment-stage twin of the
+    semantic_pairs norm hoist)."""
+    rows = [(int(cid), [float(x) for x in vec], _py_norm(vec))
+            for cid, vec in centroids]
+    cdf = spark.createDataFrame(rows, "c int, v array<double>, n double")
+    return cdf.agg(F.array_sort(F.collect_list(F.struct("c", "v", "n")))
                    .alias("_cents"))
 
 
-def _best_centroid(vec: Column, precision: int) -> Column:
+def _best_centroid(vec: Column, precision: int,
+                   vnorm: Column | None = None) -> Column:
     """argmax over the broadcast ``_cents`` column: struct (sim, -c) ordered
-    lexicographically, so ties break to the smaller centroid id."""
-    scored = F.transform(
-        F.col("_cents"),
-        lambda s: F.struct(F.round(cosine_sim(vec, s["v"]), precision)
-                           .alias("s"), (-s["c"]).alias("negc")))
+    lexicographically, so ties break to the smaller centroid id.
+
+    ``vnorm``: the row vector's precomputed ``_norm`` column.  With it,
+    the per-centroid score is ``_dot(vec, v) / (vnorm * n)`` — the same
+    three doubles multiplied/divided in the same order as
+    ``cosine_sim``, so the result is bit-identical — and the row norm is
+    folded ONCE per row instead of once per centroid (and the centroid
+    norm never, it rides the codebook).  Callers must project ``vnorm``
+    (and the double-cast vector) BELOW the codebook join so they
+    evaluate per row, not per centroid."""
+    if vnorm is not None:
+        scored = F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                F.round(_dot(vec, s["v"]) / (vnorm * s["n"]), precision)
+                .alias("s"), (-s["c"]).alias("negc")))
+    else:
+        scored = F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(F.round(cosine_sim(vec, s["v"]), precision)
+                               .alias("s"), (-s["c"]).alias("negc")))
     return F.array_max(scored)
 
 
@@ -695,11 +737,17 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
     codebook row (see :func:`centroid_frame`); ties break to the smaller
     centroid id.  Map-only at any k; for very wide vectors a pandas_udf
     one-matmul-per-batch path can drop in behind the same API."""
-    best = _best_centroid(_as_double(F.col(vec_col)), 6)
-    return (emb.join(F.broadcast(centroid_frame(emb.sparkSession, centroids)))
+    best = _best_centroid(F.col("_vd"), 6, vnorm=F.col("_vn"))
+    pre = (emb.select(F.col(id_col), F.col(vec_col),
+                      _as_double(F.col(vec_col)).alias("_vd"))
+           .withColumn("_vn", _norm(F.col("_vd"))))
+    # two-step select so the argmax struct evaluates once per row, not
+    # once per extracted field (r15 — see kmeans._assign)
+    return (pre.join(F.broadcast(centroid_frame(emb.sparkSession, centroids)))
+            .select(F.col(id_col), F.col(vec_col), best.alias("_b"))
             .select(F.col(id_col), F.col(vec_col),
-                    (-best["negc"]).alias("centroid_id"),
-                    best["s"].alias("centroid_sim")))
+                    (-F.col("_b")["negc"]).alias("centroid_id"),
+                    F.col("_b")["s"].alias("centroid_sim")))
 
 
 def probe_set(centroids: list[tuple[int, list[float]]],

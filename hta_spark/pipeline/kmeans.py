@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..compat import pin
-from .ann import _as_double, _best_centroid, centroid_frame
+from .ann import _as_double, _best_centroid, _norm, centroid_frame
 
 __all__ = ["kmeans_lite"]
 
@@ -26,11 +26,24 @@ __all__ = ["kmeans_lite"]
 def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
             id_col: str, vec_col: str) -> DataFrame:
     """Map-only assignment against a broadcast codebook row (see
-    ann.centroid_frame) — no literal expression trees, works at any k."""
-    best = _best_centroid(_as_double(F.col(vec_col)), 9)
-    return (emb.join(F.broadcast(centroid_frame(emb.sparkSession, centroids)))
+    ann.centroid_frame) — no literal expression trees, works at any k.
+    The double cast and the row norm are projected BELOW the join so
+    they fold once per row, not once per centroid (r15; centroid norms
+    ride the codebook — scores bit-identical, see _best_centroid)."""
+    best = _best_centroid(F.col("_vd"), 9, vnorm=F.col("_vn"))
+    pre = (emb.select(F.col(id_col), F.col(vec_col),
+                      _as_double(F.col(vec_col)).alias("_vd"))
+           .withColumn("_vn", _norm(F.col("_vd"))))
+    # two-step select: the argmax struct materializes ONCE per row —
+    # extracting both fields from `best` in one projection would embed
+    # (and evaluate) the whole transform+array_max twice (r15, verified
+    # in the physical plan; Catalyst keeps the split because the subtree
+    # is non-cheap)
+    return (pre.join(F.broadcast(centroid_frame(emb.sparkSession, centroids)))
+            .select(F.col(id_col), F.col(vec_col), best.alias("_b"))
             .select(F.col(id_col), F.col(vec_col),
-                    (-best["negc"]).alias("cluster"), best["s"].alias("sim")))
+                    (-F.col("_b")["negc"]).alias("cluster"),
+                    F.col("_b")["s"].alias("sim")))
 
 
 def kmeans_lite(emb: DataFrame, k: int = 8, iterations: int = 3,

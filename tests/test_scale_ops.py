@@ -546,3 +546,65 @@ def test_topk_block_bitexact():
             assert np.array_equal(got_sims, want_sims,
                                   equal_nan=True), (n_a, m, lo)
             assert np.array_equal(got_order, want_order), (n_a, m, lo)
+
+
+# -- codebook norm hoist (r15) ----------------------------------------------
+
+def test_codebook_norm_bit_identical_to_spark_fold(spark):
+    # _py_norm (driver-side, rides centroid_frame as the `n` field) must
+    # match Spark's _norm fold to the LAST BIT: same left fold over the
+    # same doubles, same correctly-rounded sqrt.  The assignment score
+    # dot/(vnorm*n) is bit-identical to cosine_sim only if this holds.
+    import struct
+    from hta_spark.pipeline.ann import _norm, _py_norm
+    vecs = [
+        [1.0, 2.0, 3.0],
+        [0.1] * 64,                          # repeating non-dyadic
+        [1e300, 1e-300, -7.25, 3.3],         # extreme magnitudes
+        [float(i) * 0.7 for i in range(33)],  # odd length, accumulating
+        [],                                   # empty -> 0.0
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)],
+                               "i long, v array<double>")
+    got = {r["i"]: r["n"] for r in
+           df.select("i", _norm(F.col("v")).alias("n")).collect()}
+    for i, v in enumerate(vecs):
+        a = struct.pack("<d", got[i])
+        b = struct.pack("<d", _py_norm(v))
+        assert a == b, f"norm bits diverge on {v!r}: {got[i]} vs {_py_norm(v)}"
+
+
+def test_assignment_hoist_matches_unhoisted_cosine(spark):
+    # the hoisted argmax (dot/(vnorm*n), norms folded once) must produce
+    # the exact (cluster, sim) of the per-centroid cosine_sim form
+    import struct
+    from hta_spark.pipeline.ann import (_as_double, _best_centroid,
+                                        centroid_frame, cosine_sim, _norm)
+    import random
+    rnd = random.Random(42)
+    vecs = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(200)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, v array<double>")
+    cents = [(c, vecs[c * 7]) for c in range(8)]
+    cf = centroid_frame(spark, cents)
+    # unhoisted reference: cosine_sim per centroid over the same codebook
+    ref_best = F.array_max(F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            F.round(cosine_sim(_as_double(F.col("v")), s["v"]), 9)
+            .alias("s"), (-s["c"]).alias("negc"))))
+    ref = (emb.join(F.broadcast(cf))
+           .select("vec_id", (-ref_best["negc"]).alias("cluster"),
+                   ref_best["s"].alias("sim")))
+    hoist_best = _best_centroid(F.col("_vd"), 9, vnorm=F.col("_vn"))
+    pre = (emb.select("vec_id", _as_double(F.col("v")).alias("_vd"))
+           .withColumn("_vn", _norm(F.col("_vd"))))
+    got = (pre.join(F.broadcast(cf))
+           .select("vec_id", (-hoist_best["negc"]).alias("cluster"),
+                   hoist_best["s"].alias("sim")))
+
+    def keyed(df):
+        return sorted((r["vec_id"], r["cluster"],
+                       struct.pack("<d", r["sim"]).hex())
+                      for r in df.collect())
+    assert keyed(ref) == keyed(got)
