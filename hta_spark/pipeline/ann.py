@@ -696,11 +696,17 @@ def centroid_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame
     so the per-row argmax never re-folds a centroid's norm per probed
     row (r15, guide §1.2 — the assignment-stage twin of the
     semantic_pairs norm hoist)."""
-    rows = [(int(cid), [float(x) for x in vec], _py_norm(vec))
-            for cid, vec in centroids]
-    cdf = spark.createDataFrame(rows, "c int, v array<double>, n double")
-    return cdf.agg(F.array_sort(F.collect_list(F.struct("c", "v", "n")))
-                   .alias("_cents"))
+    rows = sorted(((int(cid), [float(x) for x in vec], _py_norm(vec))
+                   for cid, vec in centroids), key=lambda r: r[0])
+    # the one row is assembled DRIVER-side (r15): the former
+    # collect_list+array_sort aggregate added a HashAggregate+Exchange
+    # pair (two extra stages) to EVERY assignment plan — ~0.35 s per
+    # k-means round of pure scheduling at sf0.1 — to sort a k-sized
+    # array the driver already holds.  Centroid ids are unique by
+    # contract (enumerate / cluster ids), so sorting on id alone is the
+    # array_sort order; element values are byte-identical either way.
+    return spark.createDataFrame(
+        [(rows,)], "_cents array<struct<c:int,v:array<double>,n:double>>")
 
 
 def _best_centroid(vec: Column, precision: int,
