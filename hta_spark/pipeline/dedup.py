@@ -457,7 +457,14 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     map-side-combined df count and a left-semi join, no pair expansion
     of the hot shingles.  For boilerplate-heavy corpora the banded
     operators (:func:`lsh_pairs` / :func:`simhash_pairs`) remain the
-    scale path; ``max_df=None`` disables the guard entirely."""
+    scale path; ``max_df=None`` disables the guard entirely.
+
+    Laziness note (r15): on the classic path this function runs an
+    EAGER Spark job at call time — the exploded shingle frame is
+    localCheckpoint-pinned so its three shuffle consumers (sizes, the
+    df guard, the self-join) share one tokenization pass (blocks are
+    GC-reclaimed with the returned frame; the Connect persist fallback
+    skips the pin rather than leak it)."""
     if on_hot not in ("error", "drop"):
         raise ValueError(f"unknown on_hot {on_hot!r} "
                          "(expected 'error' or 'drop')")
@@ -468,6 +475,22 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   F.explode(F.array_distinct(
                       shingles_from_tokens(F.col("_toks"), shingle_n)))
                   .alias("sh")))
+    # the shingle frame feeds THREE shuffle keys below (per-id sizes,
+    # per-shingle df guard, the sh-keyed self-join) — without a pin the
+    # tokenize+explode subtree re-evaluates once per consumer (the
+    # self-join's two sides share one ReusedExchange; the other two do
+    # not).  Pinning materializes (id, shingle) ONCE — at 100 TB that
+    # trades two extra full tokenization passes of the corpus for one
+    # write+read of the exploded frame in executor block storage
+    # (~corpus token count rows).  Measured at sf0.1: ~25 % off the
+    # pair scan (interleaved A/B, both hot modes).  EAGER Spark job at
+    # call time (the semantic_pairs laziness note applies); skipped on
+    # the Connect persist fallback, where an unreleasable pin would
+    # leak a session-lifetime cache entry (the returned lineage reads
+    # the pin, so there is no release point).
+    from ..compat import lc_available, pin
+    if lc_available(docs.sparkSession):
+        sh = pin(sh)
     if max_df is not None and on_hot == "drop":
         keep = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
                 .filter(F.col("_df") <= F.lit(int(max_df)))
